@@ -1,13 +1,147 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bfs, GraphOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 (or a
+  * pipeline extension) run against the driver's parquet testdata dir;
+  * [[oracleSql]] holds the DuckDB-equivalent ANSI SQL over the same
+  * parquet files. Column names and values are aligned between the two —
+  * the driver hash-compares them.
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Order/part co-purchase graph from lineitem (FIXTURES.md §B):
+    * order node = l_orderkey*2, part node = l_partkey*2+1 (disjoint key
+    * spaces), undirected. */
+  private def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    GraphOps.symmetrize(
+      li.select((col("l_orderkey") * 2).as("src"),
+                (col("l_partkey") * 2 + 1).as("dst")))
+  }
+
+  /** SQL fragment mirroring [[copurchaseEdges]] for DuckDB oracles. */
+  private def copurchaseEdgesSql: String =
+    """edges(src, dst) AS (
+      |  SELECT l_orderkey*2, l_partkey*2+1 FROM lineitem
+      |  UNION ALL
+      |  SELECT l_partkey*2+1, l_orderkey*2 FROM lineitem
+      |)""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_bfs_copurchase")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1-O2: scan + cast projection (on parquet testdata; the reference
+    // text format is covered by sources.EdgeListSource + its spec).
+    "q_edge_ingest" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select((col("l_orderkey") * 2).as("src"),
+                (col("l_partkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("n_edges"),
+             count_distinct(col("src")).as("n_src"),
+             count_distinct(col("dst")).as("n_dst"),
+             min(col("src")).as("min_src"), max(col("dst")).as("max_dst"))
+    }),
+
+    // O3-O4: symmetrize + adjacency aggregation (degree + neighbour
+    // bounds; arrays stay out of the hash-compare per SURVEY §7.4).
+    "q_adjacency" -> ((s, dir) => {
+      copurchaseEdges(s, dir)
+        .groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("degree"),
+             min(col("dst")).as("min_nb"), max(col("dst")).as("max_nb"))
+        .orderBy("id")
+    }),
+
+    // O5-O17: the flagship — full iterative BFS (init, frontier
+    // expansion, semilattice reduce, convergence, driver loop).
+    "q_bfs_copurchase" -> ((s, dir) => {
+      Bfs.run(copurchaseEdges(s, dir), source = 2L).orderBy("id")
+    }),
+
+    // O11-O14 as a relational aggregate: min, struct-argmin
+    // (deterministic tie-break), ordered max — the reduce semilattice.
+    "q_semilattice_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_orderkey").as("okey"))
+        .agg(min(col("l_quantity")).cast("double").as("min_qty"),
+             min(struct(col("l_quantity"), col("l_partkey")))
+               .getField("l_partkey").as("argmin_part"),
+             max(col("l_returnflag")).as("darkest_flag"),
+             count_distinct(col("l_partkey")).as("n_parts"))
+        .orderBy("okey")
+    }),
+
+    // Partial-agg showcase (TPC-H Q1 shape); decimal-exact money math
+    // so the DuckDB hash-compare is float-safe.
+    "q1_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+               .as("sum_qty"),
+             sum(price * (lit(1) - disc)).cast("double").as("revenue"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_edge_ingest" ->
+      """SELECT count(*) AS n_edges,
+        |       count(DISTINCT l_orderkey*2) AS n_src,
+        |       count(DISTINCT l_partkey*2+1) AS n_dst,
+        |       min(l_orderkey*2) AS min_src,
+        |       max(l_partkey*2+1) AS max_dst
+        |FROM lineitem""".stripMargin,
+
+    "q_adjacency" ->
+      s"""WITH $copurchaseEdgesSql
+         |SELECT src AS id, count(*) AS degree,
+         |       min(dst) AS min_nb, max(dst) AS max_nb
+         |FROM edges GROUP BY src ORDER BY id""".stripMargin,
+
+    "q_bfs_copurchase" ->
+      s"""WITH RECURSIVE $copurchaseEdgesSql,
+         |bfs(id, dist) AS (
+         |  SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+         |  UNION
+         |  SELECT e.dst, bfs.dist + 1 FROM bfs JOIN edges e ON e.src = bfs.id
+         |  WHERE bfs.dist < 40
+         |)
+         |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_semilattice_agg" ->
+      """SELECT l_orderkey AS okey,
+        |       CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+        |       CAST(min(row(l_quantity, l_partkey)) AS ROW(q DOUBLE, p BIGINT)).p
+        |         AS argmin_part,
+        |       max(l_returnflag) AS darkest_flag,
+        |       count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_orderkey ORDER BY okey""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Single-source BFS as iterative DataFrame rounds.
+  *
+  * Capability parity with the reference's MapReduce BFS
+  * (`BFS_map_reduce.py:115-150` in Riachi02/BFS-MapReduce): for every
+  * vertex reachable from `source`, the shortest-hop distance and
+  * (optionally) one deterministic shortest path `[source .. v]`
+  * inclusive — the path semantics of the reference's map phase
+  * (`BFS_map_reduce.py:31-35`).
+  *
+  * Design — frontier-only dataflow, NOT a port of the reference:
+  *   - The reference re-sends the whole vertex set through map+shuffle+
+  *     reduce every round and merges proposals single-threaded on the
+  *     driver (`BFS_map_reduce.py:124-136`). Here each round touches only
+  *     the current frontier: `frontier JOIN edges` -> candidate set ->
+  *     min-merge -> anti-join visited. Per-round cost is
+  *     O(|frontier| * avg-degree), not O(|V|).
+  *   - The reference's reduce semilattice (min dist, argmin path, darkest
+  *     color — `BFS_map_reduce.py:50-70`) collapses to
+  *     `min(struct(dist, path))`: one Catalyst aggregate, associative and
+  *     order-insensitive, with a deterministic lexicographic tie-break
+  *     (reference hazard H2/H6 impossible by construction). Color is
+  *     derivable (visited=BLACK, else WHITE) and never materialized.
+  *   - Convergence is "frontier empty", not the reference's "all BLACK"
+  *     (`BFS_map_reduce.py:149-150`), so disconnected graphs terminate
+  *     (reference hazard H4) and unreachable vertices surface as
+  *     dist=null via [[withUnreachable]].
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *   - Edges are hash-partitioned by `src` ONCE up front and persisted;
+  *     every round's expansion join reuses that partitioning, so only the
+  *     (small) frontier moves when the join shuffles.
+  *   - While the frontier is below `broadcastFrontierRows`, the expansion
+  *     is a broadcast-hash join — the edge table never shuffles at all.
+  *     For web-scale frontiers the join degrades gracefully to
+  *     shuffle-hash/sort-merge on the co-partitioned edge table.
+  *   - Lineage is truncated with `localCheckpoint` every
+  *     `checkpointInterval` rounds — without this, plan nesting makes
+  *     round N re-derive rounds 1..N-1 and planning time blows up
+  *     (Catalyst has no fixpoint operator; the loop lives on the driver,
+  *     one action per round, same barrier structure as the reference's
+  *     `ray.get`).
+  *   - The per-round action is the `count()` on the new frontier, which
+  *     doubles as the convergence test — exactly one job per round.
+  */
+object Bfs {
+
+  /** @param maxIterations hard stop (defense against adversarial inputs;
+    *                      BFS rounds = eccentricity(source) + 1)
+    * @param checkpointInterval truncate lineage every k rounds
+    * @param broadcastFrontierRows frontier row-count below which the
+    *        expansion join broadcasts the frontier
+    * @param withPaths also compute the lexicographically-smallest
+    *        shortest path (costs an array column through every shuffle;
+    *        off for distance-only analytics at scale) */
+  final case class Config(
+      maxIterations: Int = 200,
+      checkpointInterval: Int = 5,
+      broadcastFrontierRows: Long = 4000000L,
+      withPaths: Boolean = false)
+
+  /** BFS over a DIRECTED edge table (columns `src`, `dst`). For an
+    * undirected graph pass `GraphOps.symmetrize(edges)`.
+    *
+    * @return DataFrame(id LONG, dist LONG [, path ARRAY<LONG>]) — reached
+    *         vertices only; join [[withUnreachable]] for the full set. */
+  def run(edges: DataFrame, source: Long, cfg: Config = Config()): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // Partition the (big) edge table once; all rounds reuse it.
+    val e = edges.select($"src", $"dst")
+      .repartition($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val initCols =
+      if (cfg.withPaths)
+        Seq(lit(source).as("id"), lit(0L).as("dist"),
+            array(lit(source)).as("path"))
+      else Seq(lit(source).as("id"), lit(0L).as("dist"))
+
+    var visited = spark.range(1).select(initCols: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var frontierRows = 1L
+    var iter = 0
+    val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    while (frontierRows > 0 && iter < cfg.maxIterations) {
+      iter += 1
+      // Expansion (reference map phase, `BFS_map_reduce.py:25-42`):
+      // emit (dst, dist+1[, path :+ dst]) per frontier-adjacent edge.
+      // Alias both sides: from round 2 the frontier's lineage contains
+      // the edge table, so unqualified refs would be ambiguous.
+      val f0 =
+        if (frontierRows <= cfg.broadcastFrontierRows) broadcast(frontier)
+        else frontier
+      val f = f0.as("f")
+      val ea = e.as("e")
+      val candidates =
+        if (cfg.withPaths)
+          f.join(ea, col("f.id") === col("e.src"))
+            .select(col("e.dst").as("id"), (col("f.dist") + 1L).as("dist"),
+                    concat(col("f.path"), array(col("e.dst"))).as("path"))
+        else
+          f.join(ea, col("f.id") === col("e.src"))
+            .select(col("e.dst").as("id"), (col("f.dist") + 1L).as("dist"))
+
+      // Reduce (reference `BFS_map_reduce.py:50-56`): per id keep the
+      // min (dist, path) — struct-min = argmin with deterministic
+      // lexicographic tie-break. Partial aggregation is map-side.
+      val merged =
+        if (cfg.withPaths)
+          candidates.groupBy($"id")
+            .agg(min(struct($"dist", $"path")).as("m"))
+            .select($"id", $"m.dist".as("dist"), $"m.path".as("path"))
+        else
+          candidates.groupBy($"id").agg(min($"dist").as("dist"))
+
+      // Already-finalized vertices can only receive >= dist proposals:
+      // drop them (reference recolor-to-BLACK pass-through).
+      var next = merged.join(visited, Seq("id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (iter % cfg.checkpointInterval == 0)
+        next = next.localCheckpoint(true)
+      frontierRows = next.count() // the one action per round
+
+      if (frontierRows > 0) {
+        val newVisited = visited.union(next)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (iter % cfg.checkpointInterval == 0) {
+          visited.unpersist(false)
+          visited = newVisited.localCheckpoint(false)
+        } else {
+          toUnpersist += visited
+          visited = newVisited
+        }
+        frontier = next
+      } else {
+        next.unpersist(false)
+      }
+    }
+    toUnpersist.foreach(_.unpersist(false))
+    e.unpersist(false)
+    visited
+  }
+
+  /** Full vertex report in the reference's output shape: unreachable
+    * vertices appear with dist=null (and path=null), color BLACK for
+    * reached else WHITE (`Node.py:6-10` semantics, hazard-H4-safe). */
+  def withUnreachable(reached: DataFrame, edges: DataFrame): DataFrame = {
+    val all = GraphOps.vertices(edges)
+    all.join(reached, Seq("id"), "left_outer")
+      .withColumn("color",
+        when(col("dist").isNotNull, lit("BLACK")).otherwise(lit("WHITE")))
+  }
+}

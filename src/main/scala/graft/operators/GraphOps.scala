@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relational graph primitives.
+  *
+  * Capability parity with the reference's ingestion/adjacency layer
+  * (`Graph.py:2-16` in Riachi02/BFS-MapReduce): undirected
+  * symmetrization and vertex -> neighbour-list aggregation — re-expressed
+  * as declarative DataFrame transforms so Catalyst handles partitioning,
+  * partial aggregation and pushdown.
+  *
+  * Scale notes (100 TB): `symmetrize` is a narrow union (no shuffle);
+  * `adjacency`/`degrees` shuffle once on the vertex id with map-side
+  * partial aggregation. Adjacency lists of power-law graphs can skew —
+  * callers that only need traversal should prefer the edge-table form
+  * (see [[Bfs]]) which never materializes per-vertex arrays.
+  */
+object GraphOps {
+
+  /** Insert each edge in both directions (reference `Graph.py:9-16`).
+    * Input columns: `src`, `dst`. Narrow op — no shuffle. */
+  def symmetrize(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Drop self-loops and exact duplicate edges (hazard H2 of the
+    * reference: duplicate input lines corrupt its reduce). */
+  def dedupEdges(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst")).distinct()
+
+  /** vertex -> sorted neighbour list (reference adjacency dict,
+    * `Graph.py:3,9-16`). Sorted for deterministic output. */
+  def adjacency(edges: DataFrame): DataFrame =
+    edges
+      .groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(col("dst"))).as("neighbours"))
+
+  /** vertex -> out-degree. On a symmetrized edge table this is the
+    * undirected degree. Partial-aggregated map-side by Catalyst. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+
+  /** All distinct vertex ids appearing in the edge table. */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+}

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
+runs the matching oracle_sql.json entry in DuckDB with the sf tables
+registered as views, sorts columns by name and rows by all columns,
+and value-compares. Exit 1 on any mismatch.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    # normalize dtypes for compare
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.reset_index(drop=True)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name in sorted(oracles):
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            failures.append((name, "no spark result written"))
+            continue
+        spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        try:
+            duck_df = canon(con.sql(oracles[name]).df())
+        except Exception as e:
+            failures.append((name, f"oracle error: {e}"))
+            continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            failures.append((name, f"schema: spark={list(spark_df.columns)} duck={list(duck_df.columns)}"))
+            continue
+        if len(spark_df) != len(duck_df):
+            failures.append((name, f"rows: spark={len(spark_df)} duck={len(duck_df)}"))
+            continue
+        try:
+            pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False,
+                                          check_exact=True)
+            print(f"PASS {name} ({len(spark_df)} rows)")
+        except AssertionError as e:
+            failures.append((name, str(e)[:500]))
+    for name, msg in failures:
+        print(f"FAIL {name}: {msg}")
+    print(f"{len(oracles)-len(failures)}/{len(oracles)} queries match")
+    sys.exit(1 if failures else 0)
+
+main()
