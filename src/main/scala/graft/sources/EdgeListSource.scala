@@ -23,8 +23,10 @@ object EdgeListSource {
     spark.read.text(path)
       .filter(length(trim(col("value"))) > 0)
       .select(
-        element_at(toks, 1).cast("long").as("src"),
-        element_at(toks, 2).cast("long").as("dst"))
+        // try_cast: malformed lines yield null (dropped below) instead
+        // of failing the whole scan under ANSI mode.
+        element_at(toks, 1).try_cast("long").as("src"),
+        try_element_at(toks, lit(2)).try_cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
   }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraphOps
+import graft.sources.EdgeListSource
+import java.nio.file.Files
+
+class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("symmetrize doubles edges, adjacency collects sorted neighbours") {
+    val e = Seq((0L, 1L), (0L, 2L), (2L, 1L)).toDF("src", "dst")
+    val sym = GraphOps.symmetrize(e)
+    assert(sym.count() == 6)
+    val adj = GraphOps.adjacency(sym).as[(Long, Seq[Long])].collect().toMap
+    assert(adj == Map(0L -> Seq(1L, 2L), 1L -> Seq(0L, 2L),
+                      2L -> Seq(0L, 1L)))
+  }
+
+  test("dedupEdges drops duplicates and self-loops (hazard H2)") {
+    val e = Seq((0L, 1L), (0L, 1L), (2L, 2L), (1L, 0L)).toDF("src", "dst")
+    val d = GraphOps.dedupEdges(e).as[(Long, Long)].collect().toSet
+    assert(d == Set((0L, 1L), (1L, 0L)))
+  }
+
+  test("degrees and vertices") {
+    val sym = GraphOps.symmetrize(Seq((0L, 1L), (0L, 2L)).toDF("src", "dst"))
+    val deg = GraphOps.degrees(sym).as[(Long, Long)].collect().toMap
+    assert(deg == Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+    assert(GraphOps.vertices(sym).count() == 3)
+  }
+
+  test("edge-list source parses reference format, tolerates mess") {
+    val f = Files.createTempFile("edges", ".txt")
+    Files.writeString(f,
+      "0 5\n4 3\n\n  7   8  \nnot an edge\n12\n9\t11\n")
+    val e = EdgeListSource.load(spark, f.toString)
+      .as[(Long, Long)].collect().toSet
+    assert(e == Set((0L, 5L), (4L, 3L), (7L, 8L), (9L, 11L)))
+    Files.delete(f)
+  }
+}
