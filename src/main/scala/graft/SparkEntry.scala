@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bfs, GraphOps}
+import graft.operators.{Bfs, GraphOps, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -95,12 +95,90 @@ object SparkEntry {
              sum(price * (lit(1) - disc)).cast("double").as("revenue"),
              count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Text analysis: token/char/punct stats, BPE-ish token count,
+    // canonical fingerprint, native rolling-hash expression.
+    "q_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val txt = col("text")
+      d.select(col("doc_id"),
+               TextAnalysis.tokenCount(txt).as("n_tokens"),
+               TextAnalysis.bpeTokenCount(txt).as("n_bpe_tokens"),
+               TextAnalysis.punctCount(txt).as("n_punct"),
+               TextAnalysis.distinctTokenCount(txt).as("n_distinct_tokens"),
+               TextAnalysis.fingerprintMd5(txt).as("fingerprint"),
+               TextAnalysis.rollingHash(txt).as("rhash"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic + quality scoring.
+    "q_lang_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val txt = col("text")
+      d.select(col("doc_id"), col("lang"),
+               TextAnalysis.languageId(txt).as("guessed_lang"),
+               TextAnalysis.qualityScore(txt).as("quality"))
+        .orderBy("doc_id")
     })
   )
+
+  // --- DuckDB mirrors of the TextAnalysis formulas (generated from the
+  // same stopword lists so Scala and SQL can't drift) -----------------
+  private val toksSql = "string_split_regex(lower(text), '\\s+')"
+  private def stopCountSql(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toksSql, t -> list_contains($lst, t)))"
+  }
+  private def langCaseSql: String = {
+    val langs = TextAnalysis.StopwordLists.map(_._1)
+    val arms = TextAnalysis.StopwordLists.map { case (l, _) =>
+      val others = langs.filter(_ != l)
+        .map(o => s"c_$l >= c_$o").mkString(" AND ")
+      s"WHEN c_$l > 0 AND $others THEN '$l'"
+    }.mkString("\n       ")
+    s"""CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0
+       |         THEN 'zh'
+       |       $arms
+       |       ELSE 'und' END""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         |    AS n_bpe_tokens,
+         |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         |  len(list_distinct($toksSql)) AS n_distinct_tokens,
+         |  md5(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint,
+         |  CASE WHEN len(text) = 0 THEN 0 ELSE
+         |    list_reduce(list_transform(range(1, len(text)+1),
+         |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+         |      (acc, x) -> (acc*31 + x) % 1000000007) END AS rhash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_quality" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lang, text,
+         |    ${TextAnalysis.StopwordLists.map { case (l, ws) =>
+                 s"${stopCountSql(ws)} AS c_$l" }.mkString(",\n    ")},
+         |    CAST(len($toksSql) AS DOUBLE) AS tok,
+         |    CAST(len(list_distinct($toksSql)) AS DOUBLE) AS uniq,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |      AS punct
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  $langCaseSql AS guessed_lang,
+         |  0.25 * least(1.0, tok / 50.0)
+         |    + 0.25 * (uniq / (tok + 1.0))
+         |    + 0.25 * (1.0 - least(1.0, punct * 5.0 / (tok + 1.0)))
+         |    + 0.25 * least(1.0, c_en * 5.0 / (tok + 1.0)) AS quality
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_edge_ingest" ->
       """SELECT count(*) AS n_edges,
         |       count(DISTINCT l_orderkey*2) AS n_src,
