@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bfs, GraphOps, TextAnalysis}
+import graft.operators.{Bfs, Dedup, GraphOps, TextAnalysis}
+import graft.functions.SimHashExpr
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -120,6 +121,35 @@ object SparkEntry {
                TextAnalysis.languageId(txt).as("guessed_lang"),
                TextAnalysis.qualityScore(txt).as("quality"))
         .orderBy("doc_id")
+    }),
+
+    // Exact dedup: canonical-fingerprint window (one shuffle, no skew).
+    "q_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash signatures (k=8 affine permutations of shingle rolling
+    // hashes) — the LSH building block, exposed per-component.
+    "q_minhash" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(col("text"), 3)
+      val cols = col("doc_id") +: Dedup.Coeffs.indices.map(i =>
+        element_at(sig, i + 1).as(s"m$i"))
+      t(s, dir, "documents").select(cols: _*).orderBy("doc_id")
+    }),
+
+    // Near-dup pairs: LSH banding (never all-pairs) + exact Jaccard
+    // verify — the scale path for 100 TB dedup.
+    "q_lsh_near_dups" -> ((s, dir) => {
+      Dedup.lshNearDups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash fingerprint (native one-pass Catalyst expression).
+    "q_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
     })
   )
 
@@ -143,9 +173,95 @@ object SparkEntry {
        |       ELSE 'und' END""".stripMargin
   }
 
+  // --- DuckDB mirrors of the Dedup pipeline, generated from the same
+  // Dedup.Coeffs / SimHashExpr.NumBits constants so Scala and SQL can't
+  // drift ------------------------------------------------------------
+  /** Rolling hash of a string value `v` (mirrors RollingHashExpr). */
+  private def rhSql(v: String): String =
+    s"CASE WHEN len($v) = 0 THEN 0 ELSE list_reduce(list_transform(" +
+      s"range(1, len($v)+1), j -> CAST(ascii(substr($v, j, 1)) AS BIGINT)), " +
+      s"(acc, x) -> (acc*31 + x) % ${Dedup.P}) END"
+
+  /** Distinct 3-gram shingles per document (mirrors Dedup.shingles). */
+  private val shingleCte: String =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(toks)-2, 1)+1),
+      |    i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |        FROM documents))""".stripMargin
+
+  /** MinHash signature columns m0..mk (mirrors Dedup.minhashSignature). */
+  private def sigCte: String = {
+    val ms = Dedup.Coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h*$a + $b) % ${Dedup.P})) AS m$i"
+    }.mkString(",\n    ")
+    s"""hs AS (SELECT doc_id, list_transform(sh, s -> ${rhSql("s")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $ms
+       |  FROM hs)""".stripMargin
+  }
+
+  private val fingerprintSql =
+    """md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      s"""WITH f AS (SELECT doc_id, $fingerprintSql AS fingerprint FROM documents)
+         |SELECT doc_id, fingerprint,
+         |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+         |  count(*) OVER (PARTITION BY fingerprint) AS group_size,
+         |  doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_minhash" ->
+      s"""WITH $shingleCte,
+         |$sigCte
+         |SELECT doc_id, ${Dedup.Coeffs.indices.map(i => s"m$i").mkString(", ")}
+         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_lsh_near_dups" -> {
+      val bandArms = (0 until Dedup.numBands).map { j =>
+        s"SELECT doc_id, $j AS band, m${j * Dedup.BandRows} AS h1, " +
+          s"m${j * Dedup.BandRows + 1} AS h2 FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $shingleCte,
+         |$sigCte,
+         |bands AS (
+         |  $bandArms),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+         |   AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |      AS sim
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, sim FROM scored
+         |WHERE sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_simhash" -> {
+      val bits = (0 until SimHashExpr.NumBits).map { b =>
+        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 " +
+          s"THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+      }.mkString("\n  + ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+         |           FROM documents),
+         |hs AS (SELECT doc_id, list_transform(toks, s -> ${rhSql("s")}) AS hs FROM t)
+         |SELECT doc_id,
+         |  $bits AS simhash
+         |FROM hs ORDER BY doc_id""".stripMargin
+    },
+
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,

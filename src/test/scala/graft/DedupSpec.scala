@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.SimHashExpr
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val docA  = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val docA2 = "the quick brown fox jumps over the lazy dog near the river bank now" // 1-word edit
+  private val docB  = "completely different content about spark catalyst optimizer internals and planning"
+
+  private def docs = Seq((1L, docA), (2L, docA2), (3L, docB), (4L, docA))
+    .toDF("doc_id", "text")
+
+  test("shingles: distinct word n-grams; short texts collapse to one shingle") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq("a b"))
+  }
+
+  test("minhash: identical texts get identical signatures, disjoint texts differ") {
+    val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text", 3).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs.values.forall(_.length == Dedup.Coeffs.size))
+    assert(sigs(1L) != sigs(3L))
+    // near-dup pair agrees on most components (deterministic fixture)
+    val agree = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }
+    assert(agree >= Dedup.Coeffs.size / 2, s"only $agree components agree")
+  }
+
+  test("lshNearDups finds the near-dup and exact pairs, not the unrelated one") {
+    val pairs = Dedup.lshNearDups(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.6)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("lshNearDups matches allPairsJaccard on data where LSH should catch everything") {
+    val lsh = Dedup.lshNearDups(docs, "doc_id", "text").select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val brute = Dedup.allPairsJaccard(docs, "doc_id", "text").select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    assert(brute.subsetOf(lsh), s"LSH missed ${brute -- lsh}")
+  }
+
+  test("exactDedup collapses case/punct/spacing variants to one canonical id") {
+    val df = Seq(
+      (10L, "Hello,   World!"), (11L, "hello world"), (12L, "HELLO WORLD."),
+      (13L, "something else")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+      .select($"doc_id", $"canonical_id", $"group_size", $"is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (10L, 10L, 3L, true), (11L, 10L, 3L, false),
+      (12L, 10L, 3L, false), (13L, 13L, 1L, true)))
+  }
+
+  test("simhash: identical equal; near-dup closer than unrelated (Hamming)") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+    // matches a direct scala computation of the same definition
+    val toks = docA.toLowerCase.split("\\s+")
+    val hashes = toks.map(t => graft.functions.RollingHashExpr.hash(t, 31, 1000000007L))
+    val expected = {
+      var packed = 0L
+      for (b <- 0 until SimHashExpr.NumBits) {
+        val votes = hashes.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) packed |= (1L << b)
+      }
+      packed
+    }
+    assert(sh(1L) == expected)
+  }
+
+  test("hammingDistance column matches bitCount") {
+    val d = Seq((5L, 9L)).toDF("a", "b")
+      .select(Dedup.hammingDistance($"a", $"b")).as[Int].head()
+    assert(d == java.lang.Long.bitCount(5L ^ 9L))
+  }
+}
