@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bfs, Dedup, GraphOps, TextAnalysis}
+import graft.operators.{Bfs, Dedup, GraphOps, Similarity, TextAnalysis}
 import graft.functions.SimHashExpr
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -150,6 +150,20 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")
+    }),
+
+    // Brute-force cosine top-k (quantized, oracle-exact) — the ANN
+    // correctness baseline.
+    "q_cosine_topk" -> ((s, dir) => {
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // IVF-partitioned approximate top-k — the similarity scale path
+    // (broadcast centroid assign + cluster-local search).
+    "q_ann_ivf" -> ((s, dir) => {
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .orderBy("vec_id", "rank")
     })
   )
 
@@ -201,6 +215,20 @@ object SparkEntry {
        |    $ms
        |  FROM hs)""".stripMargin
   }
+
+  /** Exact integer dot product of two quantized list columns. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
+
+  private def cosineQSql(a: String, b: String, na: String, nb: String): String =
+    s"CAST(${dotSql(a, b)} AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+
+  /** Quantized embeddings + squared norms (mirrors Similarity.quantize). */
+  private val quantCte: String =
+    s"""qv AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |nv AS (SELECT vec_id, qe, list_sum(list_transform(qe, v -> v*v)) AS nn FROM qv)""".stripMargin
 
   private val fingerprintSql =
     """md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -294,6 +322,46 @@ object SparkEntry {
          |    + 0.25 * (1.0 - least(1.0, punct * 5.0 / (tok + 1.0)))
          |    + 0.25 * least(1.0, c_en * 5.0 / (tok + 1.0)) AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_cosine_topk" ->
+      s"""WITH $quantCte,
+         |p AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
+         |  FROM nv a JOIN nv b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT vec_id, neighbor_id, sim,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY sim DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT vec_id, rank, neighbor_id, sim FROM r
+         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH $quantCte,
+         |cents AS (SELECT vec_id AS cid, qe AS cqe, nn AS cnn FROM nv
+         |          WHERE vec_id % 25 = 0),
+         |asg AS (
+         |  SELECT vec_id, cid, qe, nn,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY csim DESC, cid) AS crank
+         |  FROM (SELECT v.vec_id, c.cid, v.qe, v.nn,
+         |          ${cosineQSql("v.qe", "c.cqe", "v.nn", "c.cnn")} AS csim
+         |        FROM nv v CROSS JOIN cents c)),
+         |idx AS (SELECT vec_id AS neighbor_id, cid AS cluster, qe, nn
+         |        FROM asg WHERE crank = 1),
+         |probes AS (SELECT vec_id, cid AS cluster, qe, nn
+         |           FROM asg WHERE crank <= 3),
+         |p AS (
+         |  SELECT a.vec_id, b.neighbor_id,
+         |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
+         |  FROM probes a JOIN idx b
+         |    ON a.cluster = b.cluster AND a.vec_id <> b.neighbor_id),
+         |r AS (SELECT vec_id, neighbor_id, sim,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY sim DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT vec_id, rank, neighbor_id, sim FROM r
+         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
 
     "q_edge_ingest" ->
       """SELECT count(*) AS n_edges,
