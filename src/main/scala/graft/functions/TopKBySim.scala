@@ -1,0 +1,140 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Bounded top-k accumulator: keeps the k (sim, id) pairs with the
+  * highest sim (ties broken by lower id) seen so far. */
+final class TopKBuffer(val k: Int) {
+  val sims = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  def insert(s: Double, id: Long): Unit = {
+    if (size < k) {
+      sims(size) = s; ids(size) = id; size += 1
+    } else {
+      // replace the current worst if the newcomer beats it (k is tiny —
+      // linear scan beats heap constant factors)
+      var worst = 0
+      var i = 1
+      while (i < size) {
+        if (better(sims(worst), ids(worst), sims(i), ids(i))) worst = i
+        i += 1
+      }
+      if (better(s, id, sims(worst), ids(worst))) {
+        sims(worst) = s; ids(worst) = id
+      }
+    }
+  }
+
+  /** Indices 0..size-1 ordered best-first. */
+  def sortedIndices: Array[Int] =
+    (0 until size).toArray.sortWith((a, b) => better(sims(a), ids(a), sims(b), ids(b)))
+}
+
+/** `top_k_by_sim(sim, id, k)` — per group, the k (neighbor_id, sim)
+  * pairs with the highest sim, returned best-first as
+  * `array<struct<neighbor_id:bigint, sim:double>>` with a deterministic
+  * (sim desc, id asc) order.
+  *
+  * Replaces the `row_number() OVER (PARTITION BY ... ORDER BY sim DESC)
+  * <= k` formulation for top-k: the window must shuffle AND fully sort
+  * every candidate row (measured: the 4M-pair sort was 3.6s of a 7.8s
+  * query at sf0.1), while this aggregate keeps a k-element buffer per
+  * key, combines map-side, and never sorts more than k elements per
+  * group. At 100 TB the difference is a full-data sort vs a partial
+  * aggregation that collapses to |keys|·k rows before the exchange.
+  */
+case class TopKBySim(
+    simExpr: Expression,
+    idExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(simExpr, idExpr)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_by_sim"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = simExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (s != null && id != null)
+      buf.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < other.size) {
+      buf.insert(other.sims(i), other.ids(i))
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val rows: Array[Any] = buf.sortedIndices.map { i =>
+      new GenericInternalRow(Array[Any](buf.ids(i), buf.sims(i)))
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.size * 16)
+    bb.putInt(buf.k).putInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      bb.putDouble(buf.sims(i)).putLong(buf.ids(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble(); val id = bb.getLong()
+      buf.insert(s, id)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKBySim =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKBySim =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKBySim =
+    copy(simExpr = newChildren(0), idExpr = newChildren(1))
+}
+
+object TopKBySim {
+  def top_k_by_sim(sim: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKBySim(ColumnBridge.expression(sim), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+}

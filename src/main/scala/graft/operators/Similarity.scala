@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{DotProductLongExpr, TopKBySim}
+
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the correctness baseline, and an
   * IVF-partitioned (inverted-file) variant as the scale path.
@@ -36,9 +38,11 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * QuantScale).cast("long"))
 
-  /** Exact integer dot product of two array<long> vectors. */
-  def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two array<long> vectors — a native
+    * codegen'd expression ([[DotProductLongExpr]]); the equivalent
+    * `aggregate(zip_with(...))` interprets its lambdas per element per
+    * pair and was the brute-force top-k bottleneck. */
+  def dotLong(a: Column, b: Column): Column = DotProductLongExpr.dot_long(a, b)
 
   /** Raw double cosine similarity (library use; not oracle-compared). */
   def cosineSim(a: Column, b: Column): Column = {
@@ -60,23 +64,30 @@ object Similarity {
     df.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qe"))
       .withColumn("nn", dotLong(col("qe"), col("qe")))
 
+  /** Explode a best-first `top_k_by_sim` array into ranked rows. */
+  private def explodeRanked(grouped: DataFrame): DataFrame =
+    grouped.select(col("vec_id"), posexplode(col("tk")).as(Seq("pos", "nb")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nb.neighbor_id").as("neighbor_id"), col("nb.sim").as("sim"))
+
   /** Brute-force cosine top-k neighbours per vector. O(n²) — baseline
     * and bounded-block searcher. Output: (vec_id, rank, neighbor_id,
-    * sim), rank 1..k by (sim desc, neighbor_id asc) — deterministic. */
+    * sim), rank 1..k by (sim desc, neighbor_id asc) — deterministic.
+    *
+    * Ranking is the bounded [[TopKBySim]] aggregate, not a window:
+    * partial aggregation collapses the pair stream to k rows per key
+    * map-side instead of shuffling + sorting every candidate pair. */
   def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
                      k: Int = 5): DataFrame = {
     val base = quantized(df, idCol, embCol).persist()
     val a = base.select(col("vec_id"), col("qe").as("qe_a"), col("nn").as("nn_a"))
     val b = base.select(col("vec_id").as("neighbor_id"), col("qe").as("qe_b"),
       col("nn").as("nn_b"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    a.join(b, col("vec_id") =!= col("neighbor_id"))
+    val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", cosineQ(dotLong(col("qe_a"), col("qe_b")),
         col("nn_a"), col("nn_b")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("sim"))
+    explodeRanked(pairs.groupBy(col("vec_id"))
+      .agg(TopKBySim.top_k_by_sim(col("sim"), col("neighbor_id"), k).as("tk")))
   }
 
   /** IVF approximate top-k: centroids are the vectors with
@@ -112,14 +123,11 @@ object Similarity {
       .select(col("vec_id"), col("cid").as("cluster"),
         col("qe").as("qe_a"), col("nn").as("nn_a"))
 
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    probes.join(index, Seq("cluster"))
+    val pairs = probes.join(index, Seq("cluster"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", cosineQ(dotLong(col("qe_a"), col("qe_b")),
         col("nn_a"), col("nn_b")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("sim"))
+    explodeRanked(pairs.groupBy(col("vec_id"))
+      .agg(TopKBySim.top_k_by_sim(col("sim"), col("neighbor_id"), k).as("tk")))
   }
 }
