@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bfs, Dedup, GraphOps, Similarity, TextAnalysis}
+import graft.operators.{Bfs, ConnectedComponents, Dedup, GraphOps, Similarity,
+  TextAnalysis}
 import graft.functions.SimHashExpr
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -69,6 +70,22 @@ object SparkEntry {
     // expansion, semilattice reduce, convergence, driver loop).
     "q_bfs_copurchase" -> ((s, dir) => {
       Bfs.run(copurchaseEdges(s, dir), source = 2L).orderBy("id")
+    }),
+
+    // Multi-source BFS: distance to nearest seed (capability extension
+    // of O5 init — same semilattice).
+    "q_bfs_multisource" -> ((s, dir) => {
+      Bfs.runMulti(copurchaseEdges(s, dir), Seq(2L, 4L, 6L)).orderBy("id")
+    }),
+
+    // Connected components by min-label propagation on the
+    // customer-order bipartite graph.
+    "q_connected_components" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val edges = GraphOps.symmetrize(
+        o.select((col("o_custkey") * 2).as("src"),
+                 (col("o_orderkey") * 2 + 1).as("dst")))
+      ConnectedComponents.run(edges).orderBy("id")
     }),
 
     // O11-O14 as a relational aggregate: min, struct-argmin
@@ -386,6 +403,28 @@ object SparkEntry {
          |  WHERE bfs.dist < 40
          |)
          |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_bfs_multisource" ->
+      s"""WITH RECURSIVE $copurchaseEdgesSql,
+         |bfs(id, dist) AS (
+         |  SELECT CAST(v.id AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM (VALUES (2), (4), (6)) AS v(id)
+         |  UNION
+         |  SELECT e.dst, bfs.dist + 1 FROM bfs JOIN edges e ON e.src = bfs.id
+         |  WHERE bfs.dist < 40
+         |)
+         |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_connected_components" ->
+      """WITH RECURSIVE oedges(src, dst) AS (
+        |  SELECT o_custkey*2, o_orderkey*2+1 FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey*2+1, o_custkey*2 FROM orders),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM oedges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN oedges e ON e.src = reach.r)
+        |SELECT id, min(r) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q_semilattice_agg" ->
       """SELECT l_orderkey AS okey,

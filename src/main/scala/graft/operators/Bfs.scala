@@ -84,7 +84,16 @@ object Bfs {
     *
     * @return DataFrame(id LONG, dist LONG [, path ARRAY<LONG>]) — reached
     *         vertices only; join [[withUnreachable]] for the full set. */
-  def run(edges: DataFrame, source: Long, cfg: Config = Config()): DataFrame = {
+  def run(edges: DataFrame, source: Long, cfg: Config = Config()): DataFrame =
+    runMulti(edges, Seq(source), cfg)
+
+  /** Multi-source BFS: distance (and path) to the NEAREST of the given
+    * sources — same semilattice, multi-seed init (a capability
+    * extension; the reference hardcodes source 0,
+    * `BFS_map_reduce.py:109`). */
+  def runMulti(edges: DataFrame, sources: Seq[Long],
+               cfg: Config = Config()): DataFrame = {
+    require(sources.nonEmpty, "at least one source vertex required")
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -95,11 +104,10 @@ object Bfs {
 
     val initCols =
       if (cfg.withPaths)
-        Seq(lit(source).as("id"), lit(0L).as("dist"),
-            array(lit(source)).as("path"))
-      else Seq(lit(source).as("id"), lit(0L).as("dist"))
+        Seq($"id", lit(0L).as("dist"), array($"id").as("path"))
+      else Seq($"id", lit(0L).as("dist"))
 
-    var state = spark.range(1).select(initCols: _*)
+    var state = sources.distinct.toDF("id").select(initCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = state
     var frontierRows = 1L

@@ -94,6 +94,30 @@ class BfsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("multi-source BFS: distance to nearest source (tinyG, sources 3 and 9)") {
+    val result = Bfs.runMulti(GraphOps.symmetrize(edgesDf(tinyG)), Seq(3L, 9L))
+      .as[(Long, Long)].collect().toMap
+    val sym = undirected(tinyG)
+    val d3 = SerialBfsOracle.distances(sym, 3L)
+    val d9 = SerialBfsOracle.distances(sym, 9L)
+    val expected = (d3.keySet ++ d9.keySet).map { v =>
+      v -> math.min(d3.getOrElse(v, Long.MaxValue), d9.getOrElse(v, Long.MaxValue))
+    }.toMap
+    assert(result == expected)
+  }
+
+  test("property: engine paths equal serial lex-min paths on random graphs") {
+    samples(4).foreach { case (edges, src) =>
+      val expected = graft.operators.SerialBfs.run(undirected(edges), src)
+        .view.mapValues { case (d, p) => (d, p.toSeq) }.toMap
+      val got = Bfs.run(GraphOps.symmetrize(edgesDf(edges)), src,
+          Bfs.Config(withPaths = true))
+        .as[(Long, Long, Seq[Long])].collect()
+        .map { case (id, d, p) => id -> ((d, p)) }.toMap
+      assert(got == expected, s"src=$src edges=$edges")
+    }
+  }
+
   test("property: paths are valid shortest walks") {
     samples(4).foreach { case (edges, src) =>
       val sym = undirected(edges).toSet
