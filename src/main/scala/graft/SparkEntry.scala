@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bfs, ConnectedComponents, Dedup, GraphOps, Similarity,
-  TextAnalysis}
+import graft.operators.{Bfs, ConnectedComponents, Dedup, GraphOps, Multimodal,
+  Similarity, TextAnalysis}
 import graft.functions.SimHashExpr
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -181,6 +181,20 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("vec_id", "rank")
+    }),
+
+    // Multimodal plumbing: binary payload -> mapPartitions decode ->
+    // fixed-width features (decode itself is stubbed — see Multimodal
+    // scaladoc). No oracleSql entry: not SQL-expressible, driver
+    // records the rows-only check.
+    "q_media_features" -> ((s, dir) => {
+      val feats = Multimodal.decode(Multimodal.fromDocuments(t(s, dir, "documents")))
+      feats.toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("checksum"),
+          element_at(col("histogram"), 1).as("h0"),
+          element_at(col("histogram"), 2).as("h1"))
+        .orderBy("media_id")
     })
   )
 
