@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Bfs, ConnectedComponents, Dedup, GraphOps, Multimodal,
   Similarity, TextAnalysis}
+import graft.streaming.EventStream
 import graft.functions.SimHashExpr
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -181,6 +182,21 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("vec_id", "rank")
+    }),
+
+    // Watermark-ready tumbling-window aggregation over event time
+    // (EventStream.windowedCounts runs identically on readStream input).
+    "q_events_window" -> ((s, dir) => {
+      EventStream.windowedCounts(EventStream.eventsTable(s, dir))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Sessionization (gap-based) — batch face of the streaming
+    // flatMapGroupsWithState operator, window-function formulation.
+    "q_sessionize" -> ((s, dir) => {
+      EventStream.sessionizeBatch(EventStream.eventsTable(s, dir),
+          gapMs = 6L * 3600000)
+        .orderBy("user_id", "session_no")
     }),
 
     // Multimodal plumbing: binary payload -> mapPartitions decode ->
@@ -417,6 +433,38 @@ object SparkEntry {
          |  WHERE bfs.dist < 40
          |)
          |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_events_window" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |           AS window_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM b GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |x AS (SELECT user_id, event_id, ts, value,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                     > 21600000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS session_no
+        |      FROM x)
+        |SELECT user_id, session_no,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
 
     "q_bfs_multisource" ->
       s"""WITH RECURSIVE $copurchaseEdgesSql,

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference engine is strictly batch-iterative (SURVEY.md §2.2 —
+  * streaming is absent); this module is the training-pipeline
+  * extension: the same declarative transforms run unchanged over a
+  * `readStream` source (incremental, watermarked) and a batch
+  * DataFrame — which is also how the specs verify them (batch run ==
+  * accumulated streaming output).
+  *
+  * Scale notes: both aggregations are keyed by (window/user) and
+  * partial-aggregate before the shuffle; state is bounded by the
+  * watermark (windowed agg) / gap timeout (sessionize), so a
+  * 1000-executor streaming job holds O(active keys) state, not
+  * O(history).
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long,
+                           total_value: Double)
+
+  // NOT private: the state encoder's generated code must reach the
+  // accessors from outside this object's scope
+  final case class SessionState(start: Long, last: Long, n: Long,
+                                total: Double)
+
+  /** `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark reads
+    * only as a nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`).
+    * Truncating integer division to microseconds matches DuckDB's
+    * ns→µs cast, so oracle SQL and Spark agree bit-for-bit. */
+  def eventTime(tsNanos: Column): Column =
+    // decimal division keeps all 19 digits (a double round-trip would
+    // lose sub-µs precision above 2^53) and its long-cast truncates
+    // like DuckDB's ns→µs conversion
+    timestamp_micros((tsNanos.cast("decimal(20,0)") / lit(1000)).cast("long"))
+
+  /** Read the events table with a proper µs event-time column. */
+  def eventsTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", eventTime(col("ts")))
+
+  /** Tumbling-window counts and value totals per event type. Works on
+    * a streaming OR batch frame; with streaming input the watermark
+    * bounds state and admits late events up to `watermarkDelay`. */
+  def windowedCounts(events: DataFrame, windowDur: String = "1 hour",
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+
+  /** Streaming sessionization: consecutive events of a user belong to
+    * one session while the gap stays below `gapMs`; a session closes
+    * (and is emitted) when the event-time watermark passes its gap
+    * timeout, or mid-batch when a later event arrives beyond the gap.
+    * Custom state via flatMapGroupsWithState — the engine's
+    * KeyValueGroupedDataset state-store surface. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def close(u: Long, s: SessionState): Session =
+      Session(u, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+
+    def fn(user: Long, it: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(user, _))
+        state.remove()
+        out.iterator
+      } else {
+        val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+        val closed = Vector.newBuilder[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.last, t),
+                s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed += close(user, s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Batch sessionization — identical semantics to [[sessionize]]
+    * expressed with window functions (gap-break flags → running
+    * session number): the oracle-checkable face of the same operator. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // integer microseconds on both sides: exact, and identical to the
+    // DuckDB oracle's epoch_us arithmetic (a double-seconds comparison
+    // would round differently near the gap boundary)
+    val prevUs = lag(unix_micros(col("ts")), 1).over(byUser)
+    val isBreak = when(prevUs.isNull ||
+      unix_micros(col("ts")) - prevUs > gapMs * 1000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("brk", isBreak)
+      .withColumn("session_no", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("session_no"), col("session_start"),
+        col("session_end"), col("n_events"), col("total_value"))
+  }
+}

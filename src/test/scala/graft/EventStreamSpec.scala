@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class EventStreamSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // epoch 0 would equal Spark's initial watermark and be dropped as
+  // late — anchor the fixture at a realistic base time
+  private val Base = 1700000000000L
+  private def ts(minutes: Long): Timestamp = new Timestamp(Base + minutes * 60000L)
+
+  private val fixture = Seq(
+    // user 1: two sessions (gap 30min closes after 45min silence)
+    Event(1, ts(0), 1L, "view", 1.0),
+    Event(2, ts(10), 1L, "click", 2.0),
+    Event(3, ts(70), 1L, "view", 3.0),
+    // user 2: one session
+    Event(4, ts(5), 2L, "purchase", 10.0),
+    Event(5, ts(20), 2L, "view", 1.5))
+
+  test("windowedCounts: streaming output equals batch run of the same transform") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.windowedCounts(mem.toDF(), "1 hour", "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("wc")
+        .as[(Timestamp, Timestamp, String, Long, Double)].collect().toSet
+      val batch = EventStream.windowedCounts(fixture.toDF(), "1 hour", "5 minutes")
+        .as[(Timestamp, Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      // window boundaries are hour-aligned
+      assert(batch.forall { case (s, e, _, _, _) =>
+        s.getTime % 3600000L == 0 && e.getTime - s.getTime == 3600000L })
+    } finally q.stop()
+  }
+
+  test("sessionize (streaming state) emits gap-closed sessions; " +
+       "matches sessionizeBatch semantics") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val gapMs = 30L * 60000
+    val q = EventStream.sessionize(mem.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      // advance watermark far past all timeouts to flush open sessions
+      mem.addData(Event(99, ts(10000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(20000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess")
+        .as[EventStream.Session].collect()
+        .filter(_.user_id != 9L)
+        .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+          s.n_events, s.total_value)).toSet
+      val expected = Set(
+        (1L, ts(0).getTime, ts(10).getTime, 2L, 3.0),
+        (1L, ts(70).getTime, ts(70).getTime, 1L, 3.0),
+        (2L, ts(5).getTime, ts(20).getTime, 2L, 11.5))
+      assert(streamed == expected)
+
+      val batch = EventStream.sessionizeBatch(fixture.toDF(), gapMs)
+        .select($"user_id", $"session_start", $"session_end", $"n_events",
+          $"total_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .map(s => (s._1, s._2.getTime, s._3.getTime, s._4, s._5)).toSet
+      assert(batch == expected)
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch on real events agrees with a serial fold") {
+    val events = EventStream.eventsTable(spark, "/root/testdata/sf0.001")
+      .limit(2000)
+    val gapMs = 6L * 3600000
+    val got = EventStream.sessionizeBatch(events, gapMs)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, ns, ne) => u -> ((ns, ne)) }.toMap
+    val serial = events.select($"user_id", $"ts", $"event_id")
+      .as[(Long, Timestamp, Long)].collect()
+      .groupBy(_._1).map { case (u, rows) =>
+        val sorted = rows.sortBy(r => (r._2.getTime, r._3))
+        var sessions = 1L
+        sorted.sliding(2).foreach {
+          case Array((_, a, _), (_, b, _)) =>
+            if (b.getTime - a.getTime > gapMs) sessions += 1
+          case _ =>
+        }
+        u -> ((sessions, rows.length.toLong))
+      }
+    assert(got == serial)
+  }
+}

@@ -18,6 +18,9 @@ object SparkTestBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // driver testdata writes TIMESTAMP(NANOS) parquet (events.ts);
+      // Spark only reads it as long — EventStream.eventTime converts
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
