@@ -184,6 +184,14 @@ object SparkEntry {
         .orderBy("vec_id", "rank")
     }),
 
+    // Embedding-cosine near-dup pairs (threshold calibrated to the
+    // synthetic embeddings: max off-diagonal sim is ~0.51).
+    "q_embedding_near_dups" -> ((s, dir) => {
+      Similarity.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.45)
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // Watermark-ready tumbling-window aggregation over event time
     // (EventStream.windowedCounts runs identically on readStream input).
     "q_events_window" -> ((s, dir) => {
@@ -433,6 +441,15 @@ object SparkEntry {
          |  WHERE bfs.dist < 40
          |)
          |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_embedding_near_dups" ->
+      s"""WITH $quantCte,
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
+         |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, sim FROM p
+         |WHERE sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_events_window" ->
       """WITH b AS (

@@ -90,6 +90,25 @@ object Similarity {
       .agg(TopKBySim.top_k_by_sim(col("sim"), col("neighbor_id"), k).as("tk")))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    * quantized cosine ≥ threshold — the embedding-space face of the
+    * dedup family (Dedup covers the token-space faces). Brute force
+    * here; at corpus scale run it per IVF cluster ([[ivfTopK]]'s
+    * assignment) so candidate pairs stay cluster-local. */
+  def cosineNearDups(df: DataFrame, idCol: String, embCol: String,
+                     threshold: Double): DataFrame = {
+    val base = quantized(df, idCol, embCol).persist()
+    val a = base.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
+      col("nn").as("nn_a"))
+    val b = base.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
+      col("nn").as("nn_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", cosineQ(dotLong(col("qe_a"), col("qe_b")),
+        col("nn_a"), col("nn_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+  }
+
   /** IVF approximate top-k: centroids are the vectors with
     * `vec_id % centroidStride == 0` (deterministic "training"); every
     * vector is indexed under its nearest centroid (broadcast assign),
