@@ -322,12 +322,12 @@ object SparkEntry {
          |   AND a.doc_id < b.doc_id),
          |scored AS (
          |  SELECT c.doc_a, c.doc_b,
-         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+         |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
          |      AS sim
          |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b)
+         |  JOIN hs sa ON sa.doc_id = c.doc_a
+         |  JOIN hs sb ON sb.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, sim FROM scored
          |WHERE sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
     },

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{RollingHashExpr, SimHashExpr}
+import graft.functions.{MinHashSigExpr, RollingHashExpr, ShingleHashesExpr,
+  SimHashExpr}
 
 /** Deduplication operators for a large-scale training-data pipeline:
   * exact (canonical-fingerprint groupBy), MinHash signatures, LSH-banded
@@ -36,17 +37,9 @@ object Dedup {
   val P: Long = 1000000007L
 
   /** Fixed affine-permutation coefficients (a, b) for the MinHash
-    * family h_i(x) = (a_i*x + b_i) mod P. a < 2^30 so a*h < 2^60 —
-    * no Long overflow in either engine. */
-  val Coeffs: Seq[(Long, Long)] = Seq(
-    (387420489L, 12582917L),
-    (268435399L, 87178291L),
-    (536870909L, 479001599L),
-    (999999937L, 321534781L),
-    (433494437L, 198491317L),
-    (786433213L, 54018521L),
-    (920419823L, 370248451L),
-    (715827881L, 145601253L))
+    * family h_i(x) = (a_i*x + b_i) mod P — canonical definition lives
+    * with the native expression. */
+  val Coeffs: Seq[(Long, Long)] = MinHashSigExpr.Coeffs
 
   /** Rows per LSH band; bands = Coeffs.size / BandRows = 4. With
     * signature k=8, r=2: P(candidate | sim s) = 1-(1-s^2)^4 — ~0.98 at
@@ -63,18 +56,17 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** Rolling-hash of each shingle → array<long>, the MinHash input. */
+  /** Rolling-hash of each DISTINCT shingle → array<long>, the MinHash
+    * input — one native pass ([[ShingleHashesExpr]]); the composable
+    * `transform(shingles(...), rolling_hash)` is what it replaces
+    * (and what the DuckDB oracle still mirrors definitionally). */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => RollingHashExpr.rolling_hash(s))
+    ShingleHashesExpr.shingle_hashes(text, n)
 
   /** MinHash signature from a precomputed array<long> of shingle
-    * hashes. Taking the hashes column (not the text) keeps the
-    * expensive string hashing out of the 8 per-coefficient min scans —
-    * chain it as its own projection so it's evaluated once per row. */
-  def minhashFromHashes(hs: Column): Column =
-    array(Coeffs.map { case (a, b) =>
-      array_min(transform(hs, h => (h * a + b) % P))
-    }: _*)
+    * hashes — one native pass over the array tracking all k minima
+    * ([[MinHashSigExpr]]). */
+  def minhashFromHashes(hs: Column): Column = MinHashSigExpr.minhash_sig(hs)
 
   /** k-component MinHash signature (k = Coeffs.size) as array<long>.
     * Component i = min over shingles of (a_i*rolling_hash + b_i) mod P;
@@ -105,22 +97,26 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("canonical_id"))
   }
 
-  private def jaccardSim(shA: Column, shB: Column): Column = {
-    val isz = size(array_intersect(shA, shB))
-    // |A∪B| = |A|+|B|-|A∩B| (inputs are distinct); integer-over-integer
-    // double division — bit-exact in any engine, oracle-safe.
-    isz.cast("double") / (size(shA) + size(shB) - isz)
+  /** Jaccard over distinct shingle-hash sets: |A∩B| / (|A|+|B|-|A∩B|).
+    * Equal to string-set Jaccard absent cross-document hash collisions
+    * (~|sh|²/2e9 per pair); integer-over-integer double division —
+    * bit-exact in any engine, oracle-safe (the oracle computes the
+    * same hash sets). */
+  private def jaccardSim(hsA: Column, hsB: Column): Column = {
+    val isz = size(array_intersect(hsA, hsB))
+    isz.cast("double") / (size(hsA) + size(hsB) - isz)
   }
 
   /** All-pairs n-gram Jaccard ≥ threshold. O(n²) — the correctness
     * baseline for [[lshNearDups]] and for small bounded blocks only. */
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val base = df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
-    val a = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val base = df.select(col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), n).as("hs"))
+    val a = base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("sim", jaccardSim(col("sh_a"), col("sh_b")))
+      .withColumn("sim", jaccardSim(col("hs_a"), col("hs_b")))
       .filter(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }
@@ -139,10 +135,9 @@ object Dedup {
     // feeds three consumers (band explode, both sides of the verify
     // join) and is by far the dominant per-row cost. Without the
     // persist each consumer re-hashes every document from the source.
-    val base = df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => RollingHashExpr.rolling_hash(s)))
+    val base = df.select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), n).as("hs"))
       .withColumn("sig", minhashFromHashes(col("hs")))
-      .drop("hs")
       .persist()
 
     val bandCols = (0 until numBands).map { j =>
@@ -160,10 +155,10 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sa = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val sa = base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("sim", jaccardSim(col("sh_a"), col("sh_b")))
+      .withColumn("sim", jaccardSim(col("hs_a"), col("hs_b")))
       .filter(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }
