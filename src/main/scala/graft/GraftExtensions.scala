@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions._
+
+/** SQL surface for graft's native expressions.
+  *
+  * Two equivalent entry points:
+  *  - config-driven: `spark.sql.extensions=graft.GraftExtensions`
+  *    (the SparkSessionExtensions route — works for plain SQL users
+  *    with no Scala imports);
+  *  - imperative: `GraftExtensions.register(spark)` on an existing
+  *    session.
+  *
+  * After either, `spark.sql("SELECT rolling_hash(text), ...")` works —
+  * `rolling_hash`, `simhash`, `shingle_hashes(text, n)`,
+  * `minhash_sig`, `dot_long`, and the aggregate
+  * `top_k_by_sim(sim, id, k)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (name, info, builder) triples shared by both registration routes. */
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      ("rolling_hash",
+        info("rolling_hash", "rolling_hash(str) - polynomial rolling hash"),
+        { case Seq(e) =>
+          RollingHashExpr(e, RollingHashExpr.DefaultBase, RollingHashExpr.DefaultMod)
+        }),
+      ("simhash",
+        info("simhash", "simhash(array<long>) - 30-bit SimHash of token hashes"),
+        { case Seq(e) => SimHashExpr(e) }),
+      ("shingle_hashes",
+        info("shingle_hashes",
+          "shingle_hashes(text, n) - distinct word n-gram rolling hashes"),
+        { case Seq(t, n) => ShingleHashesExpr(t, intLit(n, "shingle size n")) }),
+      ("minhash_sig",
+        info("minhash_sig", "minhash_sig(array<long>) - 8-component MinHash"),
+        { case Seq(e) => MinHashSigExpr(e) }),
+      ("dot_long",
+        info("dot_long", "dot_long(array<long>, array<long>) - integer dot product"),
+        { case Seq(a, b) => DotProductLongExpr(a, b) }),
+      ("top_k_by_sim",
+        info("top_k_by_sim",
+          "top_k_by_sim(sim, id, k) - top-k (neighbor_id, sim) pairs per group"),
+        { case Seq(s, id, k) => TopKBySim(s, id, intLit(k, "k")) }))
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+}

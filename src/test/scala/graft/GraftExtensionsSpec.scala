@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.RollingHashExpr
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("scalar functions callable from SQL") {
+    val r = spark.sql(
+      "SELECT rolling_hash('hello world') AS rh, " +
+      "  simhash(array(rolling_hash('a'), rolling_hash('b'))) AS sh, " +
+      "  dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d, " +
+      "  shingle_hashes('a b c d', 3) AS shs, " +
+      "  minhash_sig(shingle_hashes('a b c d', 3)) AS sig")
+      .collect().head
+    assert(r.getAs[Long]("rh") ==
+      RollingHashExpr.hash("hello world", 31, 1000000007L))
+    assert(r.getAs[Long]("d") == 4 + 10 + 18)
+    assert(r.getSeq[Long](r.fieldIndex("shs")).length == 2) // "a b c", "b c d"
+    assert(r.getSeq[Long](r.fieldIndex("sig")).length == 8)
+  }
+
+  test("top_k_by_sim aggregate callable from SQL") {
+    Seq((1L, 0.9, 10L), (1L, 0.5, 11L), (1L, 0.7, 12L), (2L, 0.1, 13L))
+      .toDF("g", "sim", "id").createOrReplaceTempView("sims")
+    val rows = spark.sql(
+      "SELECT g, top_k_by_sim(sim, id, 2) AS tk FROM sims GROUP BY g")
+      .selectExpr("g", "tk.neighbor_id AS ids").as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(rows(1L) == Seq(10L, 12L))
+    assert(rows(2L) == Seq(13L))
+  }
+
+  test("SQL results match the Column API on real documents") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d.createOrReplaceTempView("docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, minhash_sig(shingle_hashes(text, 3)) AS sig FROM docs")
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaApi = d.select($"doc_id",
+        graft.operators.Dedup.minhashSignature($"text", 3).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaSql == viaApi)
+  }
+}
