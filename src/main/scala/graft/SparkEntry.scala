@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Bfs, ConnectedComponents, Dedup, GraphOps, Multimodal,
-  Similarity, TextAnalysis}
+  Similarity, SkewOps, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.SimHashExpr
 
@@ -182,6 +182,44 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("vec_id", "rank")
+    }),
+
+    // Rollup (grouping-sets family — subtotals + grand total).
+    "q_rollup" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Skew-safe salted two-phase aggregation — identical values to the
+    // direct groupBy, skew-spread exchange topology.
+    "q_salted_agg" -> ((s, dir) => {
+      SkewOps.saltedCountSum(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice")
+        .orderBy("key")
+    }),
+
+    // End-to-end curation pipeline: language-verified, quality-scored,
+    // exact-deduped document funnel (composition of the text +
+    // dedup operators — counts per source).
+    "q_curation" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.languageId(col("text")).as("guessed_lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val canon = Dedup.exactDedup(d, "doc_id", "text")
+        .select(col("doc_id"), col("is_canonical"))
+      scored.join(canon, "doc_id")
+        .filter(col("is_canonical") && col("guessed_lang") === col("lang") &&
+          col("quality") >= 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("source")
     }),
 
     // Embedding-cosine near-dup pairs (threshold calibrated to the
@@ -441,6 +479,47 @@ object SparkEntry {
          |  WHERE bfs.dist < 40
          |)
          |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag AS key, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+        |         AS total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_curation" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, source, lang, text,
+         |    ${TextAnalysis.StopwordLists.map { case (l, ws) =>
+                  s"${stopCountSql(ws)} AS c_$l" }.mkString(",\n    ")},
+         |    CAST(len($toksSql) AS DOUBLE) AS tok,
+         |    CAST(len(list_distinct($toksSql)) AS DOUBLE) AS uniq,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |      AS punct
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source, lang,
+         |    $langCaseSql AS gl,
+         |    0.25 * least(1.0, tok / 50.0)
+         |      + 0.25 * (uniq / (tok + 1.0))
+         |      + 0.25 * (1.0 - least(1.0, punct * 5.0 / (tok + 1.0)))
+         |      + 0.25 * least(1.0, c_en * 5.0 / (tok + 1.0)) AS q
+         |  FROM c),
+         |f AS (SELECT doc_id, $fingerprintSql AS fp FROM documents),
+         |canon AS (
+         |  SELECT doc_id,
+         |         doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_c
+         |  FROM f)
+         |SELECT source, count(*) AS n_kept,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM scored JOIN canon USING (doc_id)
+         |WHERE is_c AND gl = lang AND q >= 0.5
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_embedding_near_dups" ->
       s"""WITH $quantCte,
