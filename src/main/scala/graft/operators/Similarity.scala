@@ -124,23 +124,29 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("qe").as("cqe"), col("nn").as("cnn"))
 
     // centroid ranking per vector: broadcast the (tiny) centroid set,
-    // deterministic tie-break on centroid id
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid"))
+    // then keep each vector's nprobe best centroids with the bounded
+    // top-k aggregate ((csim desc, cid asc) — the same deterministic
+    // order a row_number window would give, without sorting the full
+    // n×centroids stream)
     val ranked = base.crossJoin(broadcast(cents))
       .withColumn("csim", cosineQ(dotLong(col("qe"), col("cqe")),
         col("nn"), col("cnn")))
-      .withColumn("crank", row_number().over(wAssign))
+      .groupBy(col("vec_id"))
+      .agg(TopKBySim.top_k_by_sim(col("csim"), col("cid"), nprobe).as("tk"),
+        first(col("qe")).as("qe"), first(col("nn")).as("nn"))
       .persist()
 
-    // candidates live in their single home cluster (crank = 1);
+    // candidates live in their single home cluster (best centroid);
     // queries probe their nprobe nearest clusters
-    val index = ranked.filter(col("crank") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("cid").as("cluster"),
+    val index = ranked
+      .select(col("vec_id").as("neighbor_id"),
+        col("tk").getItem(0).getField("neighbor_id").as("cluster"),
         col("qe").as("qe_b"), col("nn").as("nn_b"))
-    val probes = ranked.filter(col("crank") <= nprobe)
-      .select(col("vec_id"), col("cid").as("cluster"),
+    val probes = ranked
+      .select(col("vec_id"), explode(col("tk")).as("probe"),
         col("qe").as("qe_a"), col("nn").as("nn_a"))
+      .select(col("vec_id"), col("probe.neighbor_id").as("cluster"),
+        col("qe_a"), col("nn_a"))
 
     val pairs = probes.join(index, Seq("cluster"))
       .filter(col("vec_id") =!= col("neighbor_id"))
