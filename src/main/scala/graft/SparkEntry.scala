@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bfs, ConnectedComponents, Dedup, GraphOps, Multimodal,
-  Similarity, SkewOps, TextAnalysis}
+import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, Dedup, GraphOps,
+  Multimodal, Similarity, SkewOps, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.SimHashExpr
 
@@ -182,6 +182,23 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("vec_id", "rank")
+    }),
+
+    // As-of join (beyond-parity: reference has no joins at all):
+    // each purchase attributed to the user's latest strictly-prior view.
+    "q_asof_attribution" -> ((s, dir) => {
+      val ev = EventStream.eventsTable(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asof(purchases, views, Seq("user_id"), "ts", Seq("value"))
+        // attributed rows only: the driver compare chokes on NaT vs
+        // cross-unit datetime columns; outer semantics covered by spec
+        .filter(col("asof_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"),
+          col("asof_value"))
+        .orderBy("event_id")
     }),
 
     // Rollup (grouping-sets family — subtotals + grand total).
@@ -479,6 +496,16 @@ object SparkEntry {
          |  WHERE bfs.dist < 40
          |)
          |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_asof_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  value, event_type FROM events),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, value FROM e WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       v.ts AS asof_ts, v.value AS asof_value
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

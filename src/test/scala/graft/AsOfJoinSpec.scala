@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(m: Long) = new Timestamp(1700000000000L + m * 60000)
+
+  test("asof picks the latest strictly-prior right row per key") {
+    val purchases = Seq(
+      (1L, ts(10), 100.0), (1L, ts(30), 200.0), (2L, ts(5), 50.0))
+      .toDF("user_id", "ts", "amount")
+    val views = Seq(
+      (1L, ts(1), "a"), (1L, ts(9), "b"), (1L, ts(10), "same-ts"),
+      (1L, ts(25), "c"), (3L, ts(1), "other-user"))
+      .toDF("user_id", "ts", "page")
+    val got = AsOfJoin.asof(purchases, views, Seq("user_id"), "ts", Seq("page"))
+      .select($"user_id", $"ts", $"asof_ts", $"asof_page", $"amount")
+      .as[(Long, Timestamp, Option[Timestamp], Option[String], Double)]
+      .collect().map(r => (r._1, r._2.getTime, r._3.map(_.getTime), r._4, r._5))
+      .toSet
+    assert(got == Set(
+      // ts(10) view does NOT match the ts(10) purchase (strict <)
+      (1L, ts(10).getTime, Some(ts(9).getTime), Some("b"), 100.0),
+      (1L, ts(30).getTime, Some(ts(25).getTime), Some("c"), 200.0),
+      (2L, ts(5).getTime, None, None, 50.0)))
+  }
+
+  test("matches DuckDB-style semantics on real events (purchase ← prior view)") {
+    val events = graft.streaming.EventStream.eventsTable(spark, "/root/testdata/sf0.001")
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val views = events.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"value")
+    val got = AsOfJoin.asof(purchases, views, Seq("user_id"), "ts", Seq("value"))
+    assert(got.count() == purchases.count()) // left-outer: all purchases kept
+    // serial oracle
+    val vByUser = views.as[(Long, Timestamp, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime).toSeq).toMap
+    val check = got.select($"user_id", $"ts", $"asof_ts")
+      .as[(Long, Timestamp, Option[Timestamp])].collect()
+    check.foreach { case (u, pts, ats) =>
+      val expected = vByUser.getOrElse(u, Seq.empty)
+        .filter(_._2.getTime < pts.getTime).lastOption.map(_._2.getTime)
+      assert(ats.map(_.getTime) == expected, s"user=$u purchase=$pts")
+    }
+  }
+}
