@@ -184,6 +184,17 @@ object SparkEntry {
         .orderBy("vec_id", "rank")
     }),
 
+    // Corpus token frequencies, top 20 (explode + global sort + limit;
+    // deterministic tie-break on the token).
+    "q_top_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
     // As-of join (beyond-parity: reference has no joins at all):
     // each purchase attributed to the user's latest strictly-prior view.
     "q_asof_attribution" -> ((s, dir) => {
@@ -496,6 +507,12 @@ object SparkEntry {
          |  WHERE bfs.dist < 40
          |)
          |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_top_tokens" ->
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest($toksSql) AS token FROM documents)
+         |WHERE len(token) > 0
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "q_asof_attribution" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
