@@ -78,7 +78,9 @@ case class TopKBySim(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = simExpr.eval(input)
     val id = idExpr.eval(input)
-    if (s != null && id != null)
+    // NaN would poison the buffer's comparisons (never evictable once
+    // admitted) — treat it like null and skip
+    if (s != null && id != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
       buf.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
     buf
   }

@@ -43,7 +43,14 @@ object ConnectedComponents {
       .select($"id", $"id".as("comp"))
       .localCheckpoint(true)
 
-    var checksum = labels.agg(sum($"comp")).head().getLong(0)
+    // sum() of an empty frame is null — an empty edge table has no
+    // vertices and is already converged
+    def checksumOf(df: DataFrame): Long = {
+      val row = df.agg(sum($"comp")).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var checksum = checksumOf(labels)
+    if (labels.isEmpty) { e.unpersist(false); return labels }
     var converged = false
     var iter = 0
     val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -57,7 +64,7 @@ object ConnectedComponents {
         .groupBy($"id").agg(min($"comp").as("comp"))
         .localCheckpoint(true)
 
-      val newChecksum = merged.agg(sum($"comp")).head().getLong(0)
+      val newChecksum = checksumOf(merged)
       converged = newChecksum == checksum
       checksum = newChecksum
       toRelease += labels

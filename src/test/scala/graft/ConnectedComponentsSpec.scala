@@ -51,6 +51,11 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("empty edge table yields empty components (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(ConnectedComponents.run(empty).count() == 0)
+  }
+
   test("long path converges (rounds = diameter, checkpointed)") {
     val chain = (0L until 20L).map(i => (i, i + 1))
     val got = ConnectedComponents.run(GraphOps.symmetrize(chain.toDF("src", "dst")))
