@@ -349,7 +349,9 @@ object SparkEntry {
     s"""qv AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.QuantScale}) AS BIGINT)) AS qe
        |  FROM embeddings),
-       |nv AS (SELECT vec_id, qe, list_sum(list_transform(qe, v -> v*v)) AS nn FROM qv)""".stripMargin
+       |nv AS (SELECT vec_id, qe, list_sum(list_transform(qe, v -> v*v)) AS nn
+       |       FROM qv
+       |       WHERE list_sum(list_transform(qe, v -> v*v)) > 0)""".stripMargin
 
   private val fingerprintSql =
     """md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.Locale
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -49,7 +47,10 @@ object ShingleHashesExpr {
 
   /** Referenced from generated code — keep public and static-shaped. */
   def compute(text: String, n: Int): ArrayData = {
-    val toks = text.toLowerCase(Locale.ROOT).split("\\s+", -1)
+    // lowercase via Spark's own UTF8String implementation — bit-exact
+    // with the `lower()` the composable pipeline / oracle uses (a Java
+    // toLowerCase would diverge on locale-sensitive chars, e.g. tr-TR)
+    val toks = UTF8String.fromString(text).toLowerCase.toString.split("\\s+", -1)
     val count = math.max(toks.length - (n - 1), 1)
     // dedup on the shingle string, preserving first-occurrence order
     val seen = new java.util.LinkedHashSet[String](count * 2)

@@ -65,6 +65,8 @@ case class TopKBySim(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
 
+  require(k > 0, s"top_k_by_sim requires k > 0, got $k")
+
   override def children: Seq[Expression] = Seq(simExpr, idExpr)
   override def nullable: Boolean = false
   override def prettyName: String = "top_k_by_sim"

@@ -53,8 +53,12 @@ object AsOfJoin {
         leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
+    // carried-value columns join the ordering as a final tiebreak so
+    // right rows tied on ts yield a DETERMINISTIC last() payload
+    // (max by value order) instead of shuffle-order roulette
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts") +: col("__side") +:
+        valueCols.map(c => col(s"__v_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val matched = lTagged.unionByName(rTagged)
       .withColumn("asof_ts", last(col("__asof_ts"), ignoreNulls = true).over(w))

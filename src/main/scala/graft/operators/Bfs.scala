@@ -110,7 +110,9 @@ object Bfs {
     var state = sources.distinct.toDF("id").select(initCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = state
-    var frontierRows = 1L
+    // actual seed count — a large multi-source seed set must not slip
+    // under the broadcast guard on round 1
+    var frontierRows = sources.distinct.size.toLong
     var iter = 0
     val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 

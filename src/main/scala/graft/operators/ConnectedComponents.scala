@@ -44,10 +44,12 @@ object ConnectedComponents {
       .localCheckpoint(true)
 
     // sum() of an empty frame is null — an empty edge table has no
-    // vertices and is already converged
-    def checksumOf(df: DataFrame): Long = {
-      val row = df.agg(sum($"comp")).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
+    // vertices and is already converged. Decimal sum: a Long sum of
+    // ~1e9 vertex ids around 1e10 overflows (ANSI crash under Spark 4
+    // defaults); decimal(38) is exact at any realistic scale.
+    def checksumOf(df: DataFrame): java.math.BigDecimal = {
+      val row = df.agg(sum($"comp".cast("decimal(38,0)"))).head()
+      if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
     }
     var checksum = checksumOf(labels)
     if (labels.isEmpty) { e.unpersist(false); return labels }
@@ -65,7 +67,7 @@ object ConnectedComponents {
         .localCheckpoint(true)
 
       val newChecksum = checksumOf(merged)
-      converged = newChecksum == checksum
+      converged = newChecksum.compareTo(checksum) == 0
       checksum = newChecksum
       toRelease += labels
       labels = merged

@@ -28,6 +28,12 @@ import graft.functions.{DotProductLongExpr, TopKBySim}
   * agree bit-for-bit; the final cosine is exact-int division and
   * IEEE sqrt, deterministic in both engines. [[cosineSim]] offers the
   * raw double variant for library use (spec checks quantized ≈ raw).
+  *
+  * Caching note: each operator persists its quantized projection for
+  * the duration of the returned query (it feeds multiple join sides).
+  * Long-lived applications issuing many calls should release caches
+  * between queries (`spark.catalog.clearCache()` — the Bench/Verify
+  * harnesses do) or accept LRU eviction.
   */
 object Similarity {
 
@@ -59,10 +65,14 @@ object Similarity {
   private def cosineQ(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
-  /** (id, qe, nn): quantized embedding + its squared norm. */
+  /** (id, qe, nn): quantized embedding + its squared norm. Vectors
+    * that quantize to all-zero (nn = 0) are dropped — cosine is
+    * undefined for them and a NaN sim would rank differently across
+    * engines; the oracle SQL mirrors the same `nn > 0` filter. */
   private def quantized(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.select(col(idCol).as("vec_id"), quantize(col(embCol)).as("qe"))
       .withColumn("nn", dotLong(col("qe"), col("qe")))
+      .filter(col("nn") > 0)
 
   /** Explode a best-first `top_k_by_sim` array into ranked rows. */
   private def explodeRanked(grouped: DataFrame): DataFrame =

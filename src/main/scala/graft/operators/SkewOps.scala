@@ -26,10 +26,12 @@ object SkewOps {
   def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
                      saltBuckets: Int = 16): DataFrame = {
     require(saltBuckets > 0)
-    // deterministic salt (hash of the full row's monotonic id would be
-    // random-ish but non-deterministic across retries; spread by a
-    // cheap value-derived hash instead)
-    val salt = pmod(xxhash64(col(valueCol)), lit(saltBuckets))
+    // salt by source partition: spreads a hot key across however many
+    // partitions it arrives from, independent of the VALUE distribution
+    // (a value-derived hash collapses when the hot key's values are
+    // constant/low-cardinality — exactly the skew case). Any salt is
+    // correctness-neutral: the two-phase agg is associative.
+    val salt = pmod(spark_partition_id(), lit(saltBuckets))
     df.select(col(keyCol).as("key"),
         col(valueCol).cast("decimal(30,6)").as("v"), salt.as("salt"))
       .groupBy(col("key"), col("salt"))

@@ -23,7 +23,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * 1000-executor streaming job holds O(active keys) state, not
   * O(history).
   */
-object EventStream {
+object EventStream extends Serializable {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
@@ -33,7 +33,8 @@ object EventStream {
                            total_value: Double)
 
   // NOT private: the state encoder's generated code must reach the
-  // accessors from outside this object's scope
+  // accessors from outside this object's scope. start/last are exact
+  // MICROSECONDS since epoch.
   final case class SessionState(start: Long, last: Long, n: Long,
                                 total: Double)
 
@@ -65,18 +66,33 @@ object EventStream {
         col("event_type"), col("n_events"),
         col("total_value").cast("double").as("total_value"))
 
+  /** Exact microseconds since epoch of a Timestamp (getTime alone
+    * truncates to ms — gap comparisons must match the batch/oracle
+    * epoch_us arithmetic exactly). */
+  private def micros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def tsOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Streaming sessionization: consecutive events of a user belong to
     * one session while the gap stays below `gapMs`; a session closes
     * (and is emitted) when the event-time watermark passes its gap
     * timeout, or mid-batch when a later event arrives beyond the gap.
     * Custom state via flatMapGroupsWithState — the engine's
-    * KeyValueGroupedDataset state-store surface. */
+    * KeyValueGroupedDataset state-store surface. Gap math runs on
+    * exact microseconds (state stores µs), so the session boundaries
+    * and emitted timestamps equal [[sessionizeBatch]]'s bit-for-bit. */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMs * 1000L
 
     def close(u: Long, s: SessionState): Session =
-      Session(u, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+      Session(u, tsOfMicros(s.start), tsOfMicros(s.last), s.n, s.total)
 
     def fn(user: Long, it: Iterator[Event],
            state: GroupState[SessionState]): Iterator[Session] = {
@@ -85,13 +101,13 @@ object EventStream {
         state.remove()
         out.iterator
       } else {
-        val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = it.toVector.sortBy(e => (micros(e.ts), e.event_id))
         val closed = Vector.newBuilder[Session]
         var cur = state.getOption
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = micros(e.ts)
           cur match {
-            case Some(s) if t - s.last <= gapMs =>
+            case Some(s) if t - s.last <= gapUs =>
               cur = Some(SessionState(s.start, math.max(s.last, t),
                 s.n + 1, s.total + e.value))
             case Some(s) =>
@@ -103,7 +119,9 @@ object EventStream {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
+          // timeout API is ms-granular: round UP so it never fires
+          // before the µs-exact gap has elapsed
+          state.setTimeoutTimestamp(math.floorDiv(s.last + gapUs + 999L, 1000L))
         }
         closed.result().iterator
       }
