@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, Dedup, GraphOps,
-  Multimodal, Similarity, SkewOps, TextAnalysis}
+  Multimodal, PageRank, Similarity, SkewOps, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.SimHashExpr
 
@@ -182,6 +182,14 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("vec_id", "rank")
+    }),
+
+    // PageRank on the co-purchase graph (10 power iterations,
+    // decimal-exact accumulation — byte-deterministic). No oracleSql:
+    // iterative double math is not SQL-expressible; driver records the
+    // rows-only check, spec compares vs in-memory power iteration.
+    "q_pagerank" -> ((s, dir) => {
+      PageRank.run(copurchaseEdges(s, dir)).orderBy("id")
     }),
 
     // Corpus token frequencies, top 20 (explode + global sort + limit;
