@@ -22,8 +22,12 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators persist intermediates; drop them so queries are
-      // isolated and cached data doesn't pile into GC pressure
+      // isolated and cached data doesn't pile into GC pressure.
+      // clearCache() misses localCheckpoint blocks (RDD storage, not
+      // the SQL cache) — the iterative ops' returned results are
+      // checkpoint-backed, so release those too.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       // -1 marks a failed query — a regression must not read as a speedup
       name -> (if (ok) dt else -1.0)
     }
