@@ -133,6 +133,17 @@ object EventStream extends Serializable {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact-dedup: drop rows whose dedup key was already seen
+    * within the watermark horizon — the incremental face of
+    * `Dedup.exactDedup` for a document ingest stream (state is bounded
+    * by the watermark; an unbounded `dropDuplicates` would grow state
+    * forever at 100 TB/day). Works on any streaming frame with an
+    * event-time column. */
+  def streamingDedup(stream: DataFrame, keyCol: String, tsCol: String,
+                     watermarkDelay: String = "1 hour"): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Batch sessionization — identical semantics to [[sessionize]]
     * expressed with window functions (gap-break flags → running
     * session number): the oracle-checkable face of the same operator. */

@@ -81,6 +81,25 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingDedup drops in-watermark duplicates, keeps distinct keys") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStream.streamingDedup(
+      mem.toDF().withColumn("fp", col("event_type")), "fp", "ts")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1L, "viewX", 1.0),
+        Event(2, ts(1), 2L, "viewX", 2.0),  // dup key within watermark
+        Event(3, ts(2), 3L, "clickX", 3.0))
+      q.processAllAvailable()
+      val kept = spark.table("dedup").select("event_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(1L, 3L)) // first viewX and the distinct clickX
+    } finally q.stop()
+  }
+
   test("sessionizeBatch on real events agrees with a serial fold") {
     val events = EventStream.eventsTable(spark, "/root/testdata/sf0.001")
       .limit(2000)
