@@ -24,7 +24,8 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info, builder))
+      ext.injectFunction((FunctionIdentifier(name), info,
+        GraftExtensions.checkedBuilder(name, builder)))
     }
 }
 
@@ -65,10 +66,30 @@ object GraftExtensions {
           "top_k_by_sim(sim, id, k) - top-k (neighbor_id, sim) pairs per group"),
         { case Seq(s, id, k) => TopKBySim(s, id, intLit(k, "k")) }))
 
+  /** Wrap a builder so a wrong argument count surfaces as a clear
+    * error instead of a raw scala.MatchError from the partial
+    * function. */
+  private val arities = Map("rolling_hash" -> 1, "simhash" -> 1,
+    "shingle_hashes" -> 2, "minhash_sig" -> 1, "dot_long" -> 2,
+    "top_k_by_sim" -> 3)
+
+  /** Wrap a builder so a wrong argument count surfaces as a clear
+    * error instead of a raw scala.MatchError from the partial
+    * function. */
+  private[graft] def checkedBuilder(name: String,
+      builder: Seq[Expression] => Expression): Seq[Expression] => Expression = {
+    exprs =>
+      val arity = arities(name)
+      if (exprs.length != arity)
+        throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${exprs.length}")
+      builder(exprs)
+  }
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =
     definitions.foreach { case (name, inf, builder) =>
-      spark.sessionState.functionRegistry
-        .registerFunction(FunctionIdentifier(name), inf, builder)
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, checkedBuilder(name, builder))
     }
 }

@@ -231,10 +231,10 @@ object SparkEntry {
           col("l_linestatus").asc_nulls_first)
     }),
 
-    // Skew-safe salted two-phase aggregation — identical values to the
-    // direct groupBy, skew-spread exchange topology.
+    // Skew-safe salted two-phase aggregation (holistic exact-distinct
+    // spread over salt buckets) — identical values to a direct groupBy.
     "q_salted_agg" -> ((s, dir) => {
-      SkewOps.saltedCountSum(t(s, dir, "lineitem"), "l_returnflag",
+      SkewOps.saltedDistinctAndSum(t(s, dir, "lineitem"), "l_returnflag",
           "l_extendedprice")
         .orderBy("key")
     }),
@@ -541,7 +541,10 @@ object SparkEntry {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_salted_agg" ->
-      """SELECT l_returnflag AS key, count(*) AS n,
+      """SELECT l_returnflag AS key,
+        |       count(DISTINCT CAST(l_extendedprice AS DECIMAL(30,6)))
+        |         AS n_distinct,
+        |       count(*) AS n,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
         |         AS total
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

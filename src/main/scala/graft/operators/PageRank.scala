@@ -35,6 +35,10 @@ object PageRank {
   def run(edges: DataFrame, iterations: Int = 10,
           damping: Double = 0.85): DataFrame = {
     require(iterations > 0)
+    // damping outside [0,1) breaks the mass-≤-1 invariant that makes
+    // the fixed-point Long sum overflow-free
+    require(damping >= 0.0 && damping < 1.0,
+      s"damping must be in [0, 1), got $damping")
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -83,6 +87,10 @@ object PageRank {
       toRelease += state
       state = newState
     }
+    // NOTE: unpersist releases SQL-cache entries only; localCheckpoint
+    // RDD blocks are reclaimed asynchronously by the ContextCleaner
+    // once these references drop (or deterministically by a harness
+    // sweep of sc.getPersistentRDDs — Bench/Verify do exactly that).
     toRelease.foreach(_.unpersist(false))
     e.unpersist(false)
     state.select($"id", $"rank")

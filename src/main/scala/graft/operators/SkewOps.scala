@@ -5,38 +5,45 @@ import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities: salted two-phase aggregation.
   *
-  * A `groupBy(key).agg(...)` over a power-law key (the norm in web
-  * corpora: one domain = 10% of documents) sends every hot-key row to
-  * one reducer. Salting splits each key into `saltBuckets` sub-keys,
-  * aggregates partially per (key, salt) — spreading the hot key over
-  * the cluster — then combines the partials per key. Works for any
-  * algebraic aggregate (sum/count/min/max here).
+  * WHEN this pattern earns its keep (and when it doesn't): for purely
+  * ALGEBRAIC aggregates (sum/count/min/max), Catalyst's map-side
+  * partial aggregation already caps a hot key at one partial row per
+  * upstream partition, so salting adds a second exchange for nothing.
+  * Salting matters when the per-key reduce state is HOLISTIC — exact
+  * distinct counts, collect_list/set, large TypedImperativeAggregate
+  * buffers — or when the input partitions themselves are skewed (the
+  * output of a skewed join): phase 1 groups by (key, salt) so the hot
+  * key's heavy state is built on `saltBuckets` reducers, phase 2
+  * combines the small per-salt results. AQE's skew handling covers
+  * JOIN inputs; it does not split a single aggregation key.
   *
-  * AQE's skew-join handling covers JOINS automatically; aggregation
-  * skew still needs this pattern (partial aggregation helps only when
-  * upstream partitions already spread the hot key — after a skewed
-  * join output, they don't).
+  * [[saltedDistinctAndSum]] demonstrates the pattern with an exact
+  * count_distinct (holistic: its phase-1 state is a per-key hash set).
   */
 object SkewOps {
 
-  /** Salted count + sum per key. Deterministic results, identical to
-    * the direct `groupBy(key).agg(count, sum)` — only the exchange
-    * topology differs. `sum` runs on the supplied column cast to
-    * decimal for order-free exactness. */
-  def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
-                     saltBuckets: Int = 16): DataFrame = {
+  /** Salted exact-distinct + sum per key: phase 1 dedups/sums within
+    * (key, salt) buckets, phase 2 merges. `n_distinct` is exact
+    * because a value lands in exactly one salt bucket per key when
+    * salted by a hash OF THE VALUE — which simultaneously spreads a
+    * hot key's distinct-set state across `saltBuckets` reducers.
+    * `sum` runs on decimal for order-free exactness (values assumed
+    * within decimal(30,6) range — money-like magnitudes). */
+  def saltedDistinctAndSum(df: DataFrame, keyCol: String, valueCol: String,
+                           saltBuckets: Int = 16): DataFrame = {
     require(saltBuckets > 0)
-    // salt by source partition: spreads a hot key across however many
-    // partitions it arrives from, independent of the VALUE distribution
-    // (a value-derived hash collapses when the hot key's values are
-    // constant/low-cardinality — exactly the skew case). Any salt is
-    // correctness-neutral: the two-phase agg is associative.
-    val salt = pmod(spark_partition_id(), lit(saltBuckets))
+    // value-derived salt: REQUIRED for distinct correctness (equal
+    // values must meet in the same bucket to dedup) — and it spreads
+    // the hot key's state whenever the key has many distinct values,
+    // which is exactly when its distinct-set state is heavy.
+    val salt = pmod(xxhash64(col(valueCol)), lit(saltBuckets))
     df.select(col(keyCol).as("key"),
         col(valueCol).cast("decimal(30,6)").as("v"), salt.as("salt"))
       .groupBy(col("key"), col("salt"))
-      .agg(count(lit(1)).as("pc"), sum(col("v")).as("ps"))
+      .agg(count_distinct(col("v")).as("pd"), sum(col("v")).as("ps"),
+        count(lit(1)).as("pc"))
       .groupBy(col("key"))
-      .agg(sum(col("pc")).as("n"), sum(col("ps")).cast("double").as("total"))
+      .agg(sum(col("pd")).as("n_distinct"), sum(col("pc")).as("n"),
+        sum(col("ps")).cast("double").as("total"))
   }
 }

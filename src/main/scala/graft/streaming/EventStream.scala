@@ -12,10 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * The reference engine is strictly batch-iterative (SURVEY.md §2.2 —
   * streaming is absent); this module is the training-pipeline
-  * extension: the same declarative transforms run unchanged over a
-  * `readStream` source (incremental, watermarked) and a batch
-  * DataFrame — which is also how the specs verify them (batch run ==
-  * accumulated streaming output).
+  * extension. [[windowedCounts]] runs unchanged over a `readStream`
+  * source and a batch DataFrame; the stateful ops come in explicit
+  * pairs ([[sessionize]] streaming / [[sessionizeBatch]] batch —
+  * flatMapGroupsWithState on a BATCH frame would silently drop each
+  * user's trailing open session, since batch execution never fires
+  * timeouts). Specs verify streaming output == the batch face.
   *
   * Scale notes: both aggregations are keyed by (window/user) and
   * partial-aggregate before the shuffle; state is bounded by the
@@ -85,8 +87,12 @@ object EventStream extends Serializable {
     * Custom state via flatMapGroupsWithState — the engine's
     * KeyValueGroupedDataset state-store surface. Gap math runs on
     * exact microseconds (state stores µs), so the session boundaries
-    * and emitted timestamps equal [[sessionizeBatch]]'s bit-for-bit. */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    * and emitted timestamps equal [[sessionizeBatch]]'s bit-for-bit
+    * (for events the watermark admits — cross-batch events more than
+    * `watermarkDelay` out of order are dropped as late, the inherent
+    * streaming/batch divergence every watermarked op has). */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMs * 1000L
@@ -127,18 +133,21 @@ object EventStream extends Serializable {
       }
     }
 
-    events.withWatermark("ts", "0 seconds")
+    events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Streaming exact-dedup: drop rows whose dedup key was already seen
-    * within the watermark horizon — the incremental face of
+    * within the watermark horizon — the incremental counterpart of
     * `Dedup.exactDedup` for a document ingest stream (state is bounded
     * by the watermark; an unbounded `dropDuplicates` would grow state
     * forever at 100 TB/day). Works on any streaming frame with an
-    * event-time column. */
+    * event-time column. Survivor semantics differ from the batch op:
+    * streaming keeps the FIRST ARRIVAL per key (arrival-order
+    * dependent), batch keeps the min-id canonical — dedup-set
+    * membership matches, the surviving representative may not. */
   def streamingDedup(stream: DataFrame, keyCol: String, tsCol: String,
                      watermarkDelay: String = "1 hour"): DataFrame =
     stream.withWatermark(tsCol, watermarkDelay)
