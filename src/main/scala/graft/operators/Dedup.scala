@@ -128,9 +128,20 @@ object Dedup {
     *
     * Candidate generation is linear in the corpus + bucket-pair sized —
     * never all-pairs. Deterministic given [[Coeffs]], so the DuckDB
-    * oracle reproduces the exact pair set. */
+    * oracle reproduces the exact pair set.
+    *
+    * `maxBucketSize` guards the degenerate case (a near-identical
+    * sub-corpus lands whole in one bucket → |bucket|² candidate pairs;
+    * at web scale a boilerplate page repeated 10M times would emit
+    * 10¹⁴ pairs): buckets larger than the cap are DROPPED — their
+    * members are still found through their other (k/r - 1) bands
+    * unless those are equally degenerate, in which case the content is
+    * so duplicated that cluster-level dedup (exact fingerprint, which
+    * scales linearly) is the right tool anyway. Default None preserves
+    * exact oracle semantics. */
   def lshNearDups(df: DataFrame, idCol: String, textCol: String,
-                  n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                  n: Int = 3, threshold: Double = 0.5,
+                  maxBucketSize: Option[Long] = None): DataFrame = {
     // Shingle + signature projection evaluated ONCE and cached: it
     // feeds three consumers (band explode, both sides of the verify
     // join) and is by far the dominant per-row cost. Without the
@@ -145,9 +156,17 @@ object Dedup {
         element_at(col("sig"), j * BandRows + 1).as("h1"),
         element_at(col("sig"), j * BandRows + 2).as("h2"))
     }
-    val bands = base.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+    val allBands = base.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"),
         col("b.h1").as("h1"), col("b.h2").as("h2"))
+    val bands = maxBucketSize match {
+      case None => allBands
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "h1", "h2")
+        allBands.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= cap).drop("__bsz")
+    }
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.h1") === col("y.h1") &&

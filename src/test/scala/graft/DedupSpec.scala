@@ -52,6 +52,17 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.subsetOf(lsh), s"LSH missed ${brute -- lsh}")
   }
 
+  test("lshNearDups maxBucketSize drops degenerate buckets, default keeps them") {
+    // 6 identical docs: every band bucket holds all 6
+    val clones = (1L to 6L).map(i => (i, docA)).toDF("doc_id", "text")
+    val uncapped = Dedup.lshNearDups(clones, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 15) // all C(6,2) pairs
+    val capped = Dedup.lshNearDups(clones, "doc_id", "text",
+      maxBucketSize = Some(3L))
+    assert(capped.count() == 0) // every bucket oversized -> dropped
+  }
+
   test("exactDedup collapses case/punct/spacing variants to one canonical id") {
     val df = Seq(
       (10L, "Hello,   World!"), (11L, "hello world"), (12L, "HELLO WORLD."),

@@ -34,6 +34,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(2L) == Seq(13L))
   }
 
+  test("wrong arity surfaces a clear error, not a MatchError") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT rolling_hash('a', 'b')").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("expects 1 argument")),
+      s"got: ${e.getMessage}")
+  }
+
   test("SQL results match the Column API on real documents") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     d.createOrReplaceTempView("docs")
