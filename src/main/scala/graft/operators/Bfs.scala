@@ -35,7 +35,8 @@ import org.apache.spark.storage.StorageLevel
   * Scale notes (100 TB / 1000 executors):
   *   - Edges are hash-partitioned by `src` ONCE up front and persisted;
   *     every round's expansion join reuses that partitioning, so only the
-  *     (small) frontier moves when the join shuffles.
+  *     (small) frontier moves when the join shuffles — and per-round work
+  *     runs at full parallelism rather than the raw scan's partition count.
   *   - While the frontier is below `broadcastFrontierRows`, the expansion
   *     is a broadcast-hash join — the edge table never shuffles at all.
   *     For web-scale frontiers the join degrades gracefully to
@@ -97,7 +98,13 @@ object Bfs {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // Partition the (big) edge table once; all rounds reuse it.
+    // Partition the (big) edge table by src once, upfront. Measured
+    // tradeoff: deferring this exchange until a frontier outgrows the
+    // broadcast threshold LOOKS cheaper, but a compact parquet scan
+    // yields very few partitions and every round's join then runs at
+    // that parallelism — the one-time exchange both co-locates the
+    // join key for non-broadcast rounds AND spreads the per-round work
+    // across the cluster.
     val e = edges.select($"src", $"dst")
       .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -94,6 +94,16 @@ class BfsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("non-broadcast path (forced shuffle join + lazy edge co-partition)") {
+    val result = Bfs.run(GraphOps.symmetrize(edgesDf(tinyG)), 0L,
+        Bfs.Config(broadcastFrontierRows = 0L, withPaths = true))
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    val viaBroadcast = Bfs.run(GraphOps.symmetrize(edgesDf(tinyG)), 0L,
+        Bfs.Config(withPaths = true))
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    assert(result.toSeq == viaBroadcast.toSeq)
+  }
+
   test("multi-source BFS: distance to nearest source (tinyG, sources 3 and 9)") {
     val result = Bfs.runMulti(GraphOps.symmetrize(edgesDf(tinyG)), Seq(3L, 9L))
       .as[(Long, Long)].collect().toMap
