@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, Dedup, GraphOps,
-  Multimodal, PageRank, Similarity, SkewOps, TextAnalysis}
+  Multimodal, PageRank, RangeJoin, Similarity, SkewOps, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.SimHashExpr
 
@@ -281,6 +282,68 @@ object SparkEntry {
         .orderBy("user_id", "session_no")
     }),
 
+    // Binned range join (equi-join on (key, time-bucket), never a
+    // non-equi NLJ): views in the strictly-preceding hour per purchase.
+    "q_range_attribution" -> ((s, dir) => {
+      val ev = EventStream.eventsTable(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      RangeJoin.precedingWindowStats(purchases, views, Seq("user_id"),
+          "ts", "ts", windowUs = 3600L * 1000000, valueCol = "value")
+        .select(col("event_id"), col("user_id"), col("n_matched"),
+          col("matched_value"))
+        .orderBy("event_id")
+    }),
+
+    // Multi-table relational join (TPC-H Q3 shape): broadcast the
+    // customer dim, shuffle-join the two facts on the order key.
+    "q_join_pricing" -> ((s, dir) => {
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(sum(price * (lit(1) - disc)).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"),
+          count_distinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment", "o_orderpriority")
+    }),
+
+    // Ranking window: top-3 quality documents per language
+    // (deterministic tie-break on doc_id).
+    "q_top_docs_per_lang" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("quality").desc, col("doc_id"))))
+        .filter(col("rank") <= 3)
+        .select(col("lang"), col("rank"), col("doc_id"), col("quality"))
+        .orderBy("lang", "rank")
+    }),
+
+    // Deterministic hash-based train/val/test split (80/10/10) — the
+    // standard reproducible corpus-split primitive; portable rolling
+    // hash so the DuckDB oracle derives identical assignments.
+    "q_hash_split" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bucket = pmod(TextAnalysis.rollingHash(col("doc_id").cast("string")),
+        lit(10))
+      d.select(col("doc_id"), col("n_chars"),
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    }),
+
     // Multimodal plumbing: binary payload -> mapPartitions decode ->
     // fixed-width features (decode itself is stubbed — see Multimodal
     // scaladoc). No oracleSql entry: not SQL-expressible, driver
@@ -533,6 +596,69 @@ object SparkEntry {
         |       v.ts AS asof_ts, v.value AS asof_value
         |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_range_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  value, event_type FROM events),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, value FROM e WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id,
+        |       count(v.ts) AS n_matched,
+        |       CAST(coalesce(sum(CAST(v.value AS DECIMAL(18,6))), 0)
+        |            AS DOUBLE) AS matched_value
+        |FROM p LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.ts < p.ts
+        | AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000
+        |GROUP BY p.event_id, p.user_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_join_pricing" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n_items,
+        |       count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderpriority
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q_top_docs_per_lang" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lang, text,
+         |    ${TextAnalysis.StopwordLists.map { case (l, ws) =>
+                  s"${stopCountSql(ws)} AS c_$l" }.mkString(",\n    ")},
+         |    CAST(len($toksSql) AS DOUBLE) AS tok,
+         |    CAST(len(list_distinct($toksSql)) AS DOUBLE) AS uniq,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |      AS punct
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    0.25 * least(1.0, tok / 50.0)
+         |      + 0.25 * (uniq / (tok + 1.0))
+         |      + 0.25 * (1.0 - least(1.0, punct * 5.0 / (tok + 1.0)))
+         |      + 0.25 * least(1.0, c_en * 5.0 / (tok + 1.0)) AS quality
+         |  FROM c),
+         |r AS (SELECT lang, doc_id, quality,
+         |        row_number() OVER (PARTITION BY lang
+         |                           ORDER BY quality DESC, doc_id) AS rank
+         |      FROM scored)
+         |SELECT lang, rank, doc_id, quality FROM r
+         |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    "q_hash_split" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |    ${rhSql("CAST(doc_id AS VARCHAR)")} % 10 AS b
+         |  FROM documents)
+         |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
