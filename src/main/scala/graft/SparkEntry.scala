@@ -327,6 +327,33 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // Semi/anti join: per market segment, customers with vs without
+    // orders (left_semi / left_anti — the relational EXISTS family).
+    "q_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      val active = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_active"))
+      val inactive = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_inactive"))
+      active.join(inactive, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Cube (full grouping-sets lattice — all 4 grouping combinations).
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // Deterministic hash-based train/val/test split (80/10/10) — the
     // standard reproducible corpus-split primitive; portable rolling
     // hash so the DuckDB oracle derives identical assignments.
@@ -648,6 +675,22 @@ object SparkEntry {
          |      FROM scored)
          |SELECT lang, rank, doc_id, quality FROM r
          |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_mktsegment,
+        |       count(*) FILTER (WHERE EXISTS
+        |         (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |         AS n_active,
+        |       count(*) FILTER (WHERE NOT EXISTS
+        |         (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |         AS n_inactive
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_hash_split" ->
       s"""WITH h AS (SELECT doc_id, n_chars,

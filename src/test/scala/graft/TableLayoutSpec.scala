@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import graft.sources.TableLayout
+
+class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def collectPlan(df: org.apache.spark.sql.DataFrame) = {
+    df.collect() // materialize so AQE finalizes the physical plan
+    df.queryExecution.executedPlan
+  }
+
+  test("partitioned parquet write prunes directories on read") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/docs"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    TableLayout.writePartitioned(docs, dir, Seq("lang"))
+
+    val back = spark.read.parquet(dir).filter($"lang" === "en")
+    val plan = collectPlan(back)
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // pruning reached the scan: the partition filter is on the scan
+    // node and only the lang=en directory's files are read
+    assert(scans.head.partitionFilters.nonEmpty)
+    val totalLangs = docs.select(countDistinct($"lang")).as[Long].head()
+    assert(totalLangs > 1)
+    // strictly fewer files read than exist across all lang= directories
+    val allFiles = spark.read.parquet(dir).inputFiles.length
+    assert(scans.head.metrics("numFiles").value < allFiles)
+    // values intact
+    assert(back.count() == docs.filter($"lang" === "en").count())
+  }
+
+  test("bucketed tables equi-join with zero exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      TableLayout.writeBucketed(o, "b_orders", "o_orderkey", 8)
+      TableLayout.writeBucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", 8)
+
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val plan = collectPlan(joined)
+      val inner = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the join reads co-located buckets: a sort-merge join with NO
+      // shuffle anywhere beneath it (the aggregation above may still
+      // exchange its few grouped rows). AQE wraps finished stages in
+      // QueryStageExec leaves, so flatten through them explicitly.
+      def all(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(all)) ++ (p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            all(q.plan)
+          case _ => Nil
+        })
+      val smjs = all(inner).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected a sort-merge join, plan:\n$inner")
+      assert(smjs.forall(j => all(j).collect {
+        case e: ShuffleExchangeExec => e }.isEmpty),
+        s"bucketed join shuffled its inputs, plan:\n$inner")
+      // join result matches the unbucketed plan
+      val expected = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val got = joined.as[(String, Long)].collect().toMap
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
