@@ -164,6 +164,13 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Cluster-level dedup: LSH pairs → connected components →
+    // canonical min-id doc per transitive near-dup cluster.
+    "q_neardup_clusters" -> ((s, dir) => {
+      Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // SimHash fingerprint (native one-pass Catalyst expression).
     "q_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -280,6 +287,19 @@ object SparkEntry {
       EventStream.sessionizeBatch(EventStream.eventsTable(s, dir),
           gapMs = 6L * 3600000)
         .orderBy("user_id", "session_no")
+    }),
+
+    // Sliding window frame: per-user 4-row moving sum over event time
+    // (decimal accumulation — frame math is oracle-exact).
+    "q_moving_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+      EventStream.eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+            .as("moving_value"),
+          count(lit(1)).over(w).as("n_window"))
+        .orderBy("user_id", "ts", "event_id")
     }),
 
     // Binned range join (equi-join on (key, time-bucket), never a
@@ -435,6 +455,33 @@ object SparkEntry {
        |  FROM hs)""".stripMargin
   }
 
+  /** Full LSH candidate+verify pipeline CTEs (shingles → signatures →
+    * bands → candidate pairs → exact-Jaccard `scored`), shared by the
+    * near-dup pair and cluster oracles. */
+  private def lshPipelineSql: String = {
+    val bandArms = (0 until Dedup.numBands).map { j =>
+      s"SELECT doc_id, $j AS band, m${j * Dedup.BandRows} AS h1, " +
+        s"m${j * Dedup.BandRows + 1} AS h2 FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  $bandArms),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+       |   AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+       |      AS sim
+       |  FROM cand c
+       |  JOIN hs sa ON sa.doc_id = c.doc_a
+       |  JOIN hs sb ON sb.doc_id = c.doc_b)""".stripMargin
+  }
+
   /** Exact integer dot product of two quantized list columns. */
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
@@ -472,31 +519,29 @@ object SparkEntry {
          |SELECT doc_id, ${Dedup.Coeffs.indices.map(i => s"m$i").mkString(", ")}
          |FROM sig ORDER BY doc_id""".stripMargin,
 
-    "q_lsh_near_dups" -> {
-      val bandArms = (0 until Dedup.numBands).map { j =>
-        s"SELECT doc_id, $j AS band, m${j * Dedup.BandRows} AS h1, " +
-          s"m${j * Dedup.BandRows + 1} AS h2 FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $shingleCte,
-         |$sigCte,
-         |bands AS (
-         |  $bandArms),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
-         |   AND a.doc_id < b.doc_id),
-         |scored AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-         |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
-         |      AS sim
-         |  FROM cand c
-         |  JOIN hs sa ON sa.doc_id = c.doc_a
-         |  JOIN hs sb ON sb.doc_id = c.doc_b)
+    "q_lsh_near_dups" ->
+      s"""WITH $lshPipelineSql
          |SELECT doc_a, doc_b, sim FROM scored
-         |WHERE sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |WHERE sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_neardup_clusters" ->
+      s"""WITH RECURSIVE $lshPipelineSql,
+         |pedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM scored WHERE sim >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM scored WHERE sim >= 0.5),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM pedges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN pedges e ON e.src = reach.r),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |asg AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, cluster,
+         |       count(*) OVER (PARTITION BY cluster) AS cluster_size,
+         |       doc_id = cluster AS is_canonical
+         |FROM asg ORDER BY doc_id""".stripMargin,
 
     "q_simhash" -> {
       val bits = (0 until SimHashExpr.NumBits).map { b =>
@@ -623,6 +668,17 @@ object SparkEntry {
         |       v.ts AS asof_ts, v.value AS asof_value
         |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_moving_sum" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  value FROM events)
+        |SELECT user_id, event_id, ts,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |         AS moving_value,
+        |       count(*) OVER w AS n_window
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q_range_attribution" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

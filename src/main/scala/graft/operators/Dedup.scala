@@ -181,4 +181,30 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }
+
+  /** Cluster-level near-dup resolution: the end-to-end "dedup the
+    * corpus" operator. [[lshNearDups]] mines verified pairs, connected
+    * components groups transitively-linked documents (A≈B, B≈C ⇒ one
+    * cluster even when A,C don't pair), and each cluster keeps its
+    * min-id document as canonical. Every document appears in the
+    * output; singletons are their own (size-1) cluster.
+    *
+    * All three phases are the scale-path formulations: LSH (never
+    * all-pairs), min-label-propagation CC (one shuffle per round), and
+    * a window for cluster sizes (one shuffle on cluster id). */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.5,
+                      maxBucketSize: Option[Long] = None): DataFrame = {
+    val pairs = lshNearDups(df, idCol, textCol, n, threshold, maxBucketSize)
+    val edges = GraphOps.symmetrize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val comps = ConnectedComponents.run(edges) // (id, comp) — paired docs only
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    df.select(col(idCol).as("doc_id"))
+      .join(comps, col("doc_id") === col("id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+  }
 }

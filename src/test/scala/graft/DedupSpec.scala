@@ -95,6 +95,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(sh(1L) == expected)
   }
 
+  test("nearDupClusters groups transitive pairs, keeps singletons, min-id canonical") {
+    // 1≈2 (edit), 1=4 (exact) ⇒ {1,2,4} one transitive cluster even if
+    // 2–4 alone wouldn't pair; 3 is a singleton
+    val got = Dedup.nearDupClusters(docs, "doc_id", "text")
+      .select($"doc_id", $"cluster", $"cluster_size", $"is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (4L, 1L, 3L, false),
+      (3L, 3L, 1L, true)))
+  }
+
+  test("nearDupClusters on a pair-free corpus is all singletons") {
+    val solo = Seq((10L, docA), (20L, docB)).toDF("doc_id", "text")
+    val got = Dedup.nearDupClusters(solo, "doc_id", "text")
+      .select($"doc_id", $"cluster", $"cluster_size", $"is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((10L, 10L, 1L, true), (20L, 20L, 1L, true)))
+  }
+
   test("hammingDistance column matches bitCount") {
     val d = Seq((5L, 9L)).toDF("a", "b")
       .select(Dedup.hammingDistance($"a", $"b")).as[Int].head()
