@@ -51,6 +51,40 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(naive.nonEmpty) // fixture actually exercises the operator
   }
 
+  test("property: binned join == naive join on random intervals/keys/timestamps") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      nL <- Gen.choose(1, 30); nR <- Gen.choose(1, 30)
+      keys <- Gen.choose(1, 3)
+      // timestamps within a few bin-widths so boundary cases are dense
+      lRows <- Gen.listOfN(nL, Gen.zip(Gen.choose(0L, keys - 1L),
+        Gen.choose(0L, 500L)))
+      rRows <- Gen.listOfN(nR, Gen.zip(Gen.choose(0L, keys - 1L),
+        Gen.choose(0L, 500L)))
+      lower <- Gen.choose(-120L, 60L)
+      width <- Gen.choose(1L, 150L)
+    } yield (lRows, rRows, lower, lower + width)
+    val epoch = 1700000000000000L // µs; avoid epoch-0 edge cases
+    (1 to 12).flatMap(i => caseGen.apply(Gen.Parameters.default,
+        Seed(i.toLong))).foreach { case (lRows, rRows, lowerUs, upperUs) =>
+      // build timestamps at exact µs precision (java.sql.Timestamp
+      // through toDF only carries ms)
+      val l = lRows.zipWithIndex.map { case ((k, t), i) => (k, epoch + t, i.toLong) }
+        .toDF("k", "us", "lid").withColumn("ts", timestamp_micros($"us")).drop("us")
+      val r = rRows.zipWithIndex.map { case ((k, t), i) => (k, epoch + t, i.toLong) }
+        .toDF("k", "us", "rid").withColumn("ts", timestamp_micros($"us")).drop("us")
+      val binned = RangeJoin.rangeJoin(l, r, Seq("k"), "ts", "ts",
+          lowerUs, upperUs, rValueCols = Seq("rid"))
+        .select($"lid", $"r_rid").as[(Long, Long)].collect().toSet
+      val naive = l.join(r.select($"k", $"ts".as("rts"), $"rid"), Seq("k"))
+        .filter(unix_micros($"rts") - unix_micros($"ts") >= lowerUs &&
+          unix_micros($"rts") - unix_micros($"ts") < upperUs)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      assert(binned == naive, s"interval [$lowerUs, $upperUs)")
+    }
+  }
+
   test("precedingWindowStats keeps unmatched left rows with zero counts") {
     val left = Seq((1L, ts(10), 7L), (9L, ts(10), 8L))
       .toDF("user_id", "ts", "event_id")
