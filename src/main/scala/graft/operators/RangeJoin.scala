@@ -40,7 +40,10 @@ object RangeJoin {
     * @return one row per matching pair: left columns + `r_ts` + values */
   def rangeJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                 lTs: String, rTs: String, lowerUs: Long, upperUs: Long,
-                rValueCols: Seq[String]): DataFrame = {
+                rValueCols: Seq[String], joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"unsupported join type $joinType (left is never replicated, so " +
+        "only inner/left_outer are well-defined)")
     require(upperUs > lowerUs, s"empty interval [$lowerUs, $upperUs)")
     val binUs = upperUs - lowerUs
     // exact floor-division bin: `/` on long Columns is double division,
@@ -60,10 +63,21 @@ object RangeJoin {
     val r = right.select(rCols: _*)
     val l = left.withColumn("__bin", lBin)
     val delta = unix_micros(col("__r_ts")) - unix_micros(col(lTs))
-    l.join(r, keyCols :+ "__bin")
-      .filter(delta >= lowerUs && delta < upperUs)
-      .drop("__bin")
-      .withColumnRenamed("__r_ts", "r_ts")
+    // the range predicate rides INSIDE the join condition: for inner
+    // joins a post-filter is equivalent, but for left_outer it must
+    // decide matchedness (a post-filter would drop unmatched rows)
+    val cond = keyCols.map(k => l(k) === r(k))
+      .reduce(_ && _) && l("__bin") === r("__bin") &&
+      delta >= lowerUs && delta < upperUs
+    val joined = l.join(r, cond, joinType)
+    val keep = l.columns.filterNot(_ == "__bin").map(l(_)) ++
+      Seq(r("__r_ts").as("r_ts")) ++
+      rValueCols.map(c => r(s"r_$c").as(s"r_$c"))
+    // no dedup needed under left_outer: a right row's two bin copies
+    // differ in __bin while each left row holds exactly one bin value,
+    // so a (left, right) pair can match through at most one copy —
+    // and the unreplicated left side appears exactly once when unmatched
+    joined.select(keep: _*)
   }
 
   /** Convenience: for each left row, COUNT and decimal-exact SUM of a
@@ -72,16 +86,16 @@ object RangeJoin {
   def precedingWindowStats(left: DataFrame, right: DataFrame,
                            keyCols: Seq[String], lTs: String, rTs: String,
                            windowUs: Long, valueCol: String): DataFrame = {
+    // left_outer binned join keeps unmatched left rows inline — one
+    // aggregation over the pair stream, no join-back to the left table
+    // (a separate inner-join + re-join costs two extra exchanges)
     val pairs = rangeJoin(left, right, keyCols, lTs, rTs,
-      lowerUs = -windowUs + 1, upperUs = 0, rValueCols = Seq(valueCol))
-    val grouped = pairs
+      lowerUs = -windowUs + 1, upperUs = 0, rValueCols = Seq(valueCol),
+      joinType = "left_outer")
+    pairs
       .groupBy((left.columns.map(col)): _*)
-      .agg(count(lit(1)).as("n_matched"),
-        sum(col(s"r_$valueCol").cast("decimal(18,6)")).as("__sum"))
-    left.join(grouped, left.columns.toSeq, "left")
-      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
-      .withColumn("matched_value",
-        coalesce(col("__sum"), lit(0).cast("decimal(18,6)")).cast("double"))
-      .drop("__sum")
+      .agg(count(col("r_ts")).as("n_matched"),
+        coalesce(sum(col(s"r_$valueCol").cast("decimal(18,6)")),
+          lit(0).cast("decimal(18,6)")).cast("double").as("matched_value"))
   }
 }
