@@ -347,6 +347,18 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // Exact interpolated percentiles (holistic aggregate — the sketch
+    // path at 100 TB is approx_percentile; this is the exact oracle-
+    // matched face, verified bit-identical to DuckDB quantile_cont).
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Semi/anti join: per market segment, customers with vs without
     // orders (left_semi / left_anti — the relational EXISTS family).
     "q_semi_anti" -> ((s, dir) => {
@@ -389,6 +401,18 @@ object SparkEntry {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("split")
+    }),
+
+    // Sketch-path aggregates (HLL distinct, GK-quantile): the 100 TB
+    // default where q_percentiles/count_distinct are the exact faces.
+    // No oracleSql: sketches are implementation-defined — driver
+    // records the rows-only check; the spec bounds error vs exact.
+    "q_sketch_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_extendedprice")).as("approx_prices"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50_qty"))
+        .orderBy("l_returnflag")
     }),
 
     // Multimodal plumbing: binary payload -> mapPartitions decode ->
@@ -731,6 +755,13 @@ object SparkEntry {
          |      FROM scored)
          |SELECT lang, rank, doc_id, quality FROM r
          |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |       quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT c_mktsegment,

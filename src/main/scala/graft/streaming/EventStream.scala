@@ -153,6 +153,36 @@ object EventStream extends Serializable {
     stream.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream interval join: each purchase pairs with the same
+    * user's views in the strictly-preceding `windowDur` — the
+    * streaming face of `operators.RangeJoin` (whose batch binning is
+    * unnecessary here: Spark's stream-stream join buffers both sides
+    * in the state store and the time-range condition + watermarks
+    * bound retention — a view is evicted once the purchase-side
+    * watermark passes `v_ts + windowDur`, so state is O(window), not
+    * O(history)). Both inputs need an event-time `ts` column; works
+    * on batch frames too (same plan minus state).
+    *
+    * @return (event_id, user_id, p_ts, v_ts, value) — one row per
+    *         (purchase, qualifying view) pair, append-mode safe. */
+  def streamAttribution(purchases: DataFrame, views: DataFrame,
+                        watermarkDelay: String = "10 minutes",
+                        windowDur: String = "1 hour"): DataFrame = {
+    val isStreaming = purchases.isStreaming
+    def wm(df: DataFrame) =
+      if (isStreaming) df.withWatermark("ts", watermarkDelay) else df
+    val p = wm(purchases)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id"))
+    val v = wm(views)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("value"))
+    p.join(v, col("p_user") === col("v_user") &&
+        col("v_ts") < col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowDur"))
+      .select(col("event_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("v_ts"), col("value"))
+  }
+
   /** Batch sessionization — identical semantics to [[sessionize]]
     * expressed with window functions (gap-break flags → running
     * session number): the oracle-checkable face of the same operator. */

@@ -100,6 +100,54 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamAttribution: stream-stream interval join equals batch face " +
+       "and the binned RangeJoin") {
+    implicit val sql = spark.sqlContext
+    val pMem = MemoryStream[Event]
+    val vMem = MemoryStream[Event]
+    val q = EventStream.streamAttribution(pMem.toDF(), vMem.toDF(),
+        watermarkDelay = "5 minutes", windowDur = "1 hour")
+      .writeStream.format("memory").queryName("attr").outputMode("append")
+      .start()
+    try {
+      val purchases = Seq(
+        Event(100, ts(90), 1L, "purchase", 50.0),
+        Event(101, ts(200), 1L, "purchase", 60.0), // no view in window
+        Event(102, ts(61), 2L, "purchase", 70.0))
+      val views = Seq(
+        Event(1, ts(35), 1L, "view", 1.0),   // 55min before 100: in
+        Event(2, ts(89), 1L, "view", 2.0),   // 1min before 100: in
+        Event(3, ts(90), 1L, "view", 3.0),   // simultaneous: out (strict)
+        Event(4, ts(30), 2L, "view", 4.0),   // 31min before 102: in
+        Event(5, ts(120), 9L, "view", 5.0))  // other user
+      pMem.addData(purchases: _*)
+      vMem.addData(views: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr")
+        .select($"event_id", $"user_id", $"v_ts", $"value")
+        .as[(Long, Long, Timestamp, Double)].collect().toSet
+      assert(streamed == Set(
+        (100L, 1L, ts(35), 1.0), (100L, 1L, ts(89), 2.0),
+        (102L, 2L, ts(30), 4.0)))
+      // batch face of the same operator: identical pairs
+      val batch = EventStream.streamAttribution(
+          purchases.toDF(), views.toDF())
+        .select($"event_id", $"user_id", $"v_ts", $"value")
+        .as[(Long, Long, Timestamp, Double)].collect().toSet
+      assert(batch == streamed)
+      // and the binned batch range join agrees (inclusive-lower bound
+      // -1h == v_ts >= p_ts - INTERVAL 1 hour)
+      val binned = graft.operators.RangeJoin.rangeJoin(
+          purchases.toDF().select($"user_id", $"ts", $"event_id"),
+          views.toDF().select($"user_id", $"ts", $"value"),
+          Seq("user_id"), "ts", "ts",
+          lowerUs = -3600L * 1000000, upperUs = 0, rValueCols = Seq("value"))
+        .select($"event_id", $"user_id", $"r_ts", $"r_value")
+        .as[(Long, Long, Timestamp, Double)].collect().toSet
+      assert(binned == streamed)
+    } finally q.stop()
+  }
+
   test("sessionizeBatch on real events agrees with a serial fold") {
     val events = EventStream.eventsTable(spark, "/root/testdata/sf0.001")
       .limit(2000)
