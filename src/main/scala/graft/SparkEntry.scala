@@ -347,6 +347,40 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // Calendar-dimension aggregation (date_trunc on the orders fact).
+    "q_orders_by_month" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"),
+          count_distinct(col("o_custkey")).as("n_customers"))
+        .orderBy("month")
+    }),
+
+    // Relational set ops (INTERSECT/EXCEPT — absent from the reference,
+    // SURVEY §2.2): parts both sold and large; parts never sold.
+    "q_set_ops" -> ((s, dir) => {
+      val sold = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p_partkey")).distinct()
+      val parts = t(s, dir, "part")
+      val soldLarge = sold
+        .intersect(parts.filter(col("p_size") > 25).select(col("p_partkey")))
+        .agg(count(lit(1)).as("n_sold_large"))
+      val unsold = parts.select(col("p_partkey")).except(sold)
+        .agg(count(lit(1)).as("n_unsold"))
+      soldLarge.crossJoin(unsold)
+    }),
+
+    // Pivot (values-to-columns reshaping over the line-status domain).
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact interpolated percentiles (holistic aggregate — the sketch
     // path at 100 TB is approx_percentile; this is the exact oracle-
     // matched face, verified bit-identical to DuckDB quantile_cont).
@@ -755,6 +789,33 @@ object SparkEntry {
          |      FROM scored)
          |SELECT lang, rank, doc_id, quality FROM r
          |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    "q_orders_by_month" ->
+      """SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total,
+        |       count(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT l_partkey FROM lineitem
+        |     INTERSECT
+        |     SELECT p_partkey FROM part WHERE p_size > 25)) AS n_sold_large,
+        |  (SELECT count(*) FROM
+        |    (SELECT p_partkey FROM part
+        |     EXCEPT
+        |     SELECT l_partkey FROM lineitem)) AS n_unsold""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,
