@@ -347,6 +347,20 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // Semi-structured extraction: JSON property column → typed field
+    // (codegen'd JsonPath, no UDF) → relational aggregation.
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"),
+          sum(col("k")).as("sum_k"),
+          count_distinct(col("k")).as("distinct_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // Calendar-dimension aggregation (date_trunc on the orders fact).
     "q_orders_by_month" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -789,6 +803,15 @@ object SparkEntry {
          |      FROM scored)
          |SELECT lang, rank, doc_id, quality FROM r
          |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |       count(CAST(props ->> 'k' AS BIGINT)) AS n,
+        |       CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(DISTINCT CAST(props ->> 'k' AS BIGINT)) AS distinct_k,
+        |       min(CAST(props ->> 'k' AS BIGINT)) AS min_k,
+        |       max(CAST(props ->> 'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_orders_by_month" ->
       """SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,

@@ -22,6 +22,36 @@ object TableLayout {
                        partCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
+  /** Rewrite a parquet directory into ~`targetBytes`-sized files — the
+    * small-file compaction every long-running ingest needs (a 100 TB
+    * table accreting 1000 micro-batches/day of KB-sized files destroys
+    * scan parallelism bookkeeping and NameNode/listing time; compacting
+    * to ~128 MB restores one-task-per-file scans). Coalesce (not
+    * repartition): no shuffle — existing partitions are concatenated. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.read.parquet(path)
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = (((totalBytes + targetBytes - 1) / targetBytes)
+      .max(BigInt(1))).toInt
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    df.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
+    // swap: overwrite source from the materialized compacted copy
+    // (reading tmp, not the original lineage, makes the overwrite safe)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Read a parquet directory written under an EVOLVING schema: file
+    * footers are reconciled into the union schema (columns absent in
+    * older files surface as null) — append-only column evolution, the
+    * standard contract for long-lived corpus tables. */
+  def readMergedSchema(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Register `df` as a parquet-backed table bucketed (and sorted)
     * by `bucketCol` into `numBuckets` files per partition. Equi-joins
     * and aggregations on `bucketCol` between tables with matching

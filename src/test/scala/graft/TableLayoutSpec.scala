@@ -38,6 +38,28 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(back.count() == docs.filter($"lang" === "en").count())
   }
 
+  test("compact rewrites a fragmented directory into few files, data intact") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(64).write.parquet(dir) // simulate micro-batch fragmentation
+    assert(spark.read.parquet(dir).inputFiles.length >= 32)
+    val before = docs.orderBy("doc_id").collect()
+    graft.sources.TableLayout.compact(spark, dir, targetBytes = 64L * 1024 * 1024)
+    val after = spark.read.parquet(dir)
+    assert(after.inputFiles.length <= 4)
+    assert(after.orderBy("doc_id").collect().toSeq == before.toSeq)
+  }
+
+  test("readMergedSchema unions evolving file schemas; old files null-fill") {
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir + "/batch=1")
+    Seq((2L, "b", 9L)).toDF("id", "v1", "v2").write.parquet(dir + "/batch=2")
+    val got = graft.sources.TableLayout.readMergedSchema(spark, dir)
+      .select($"id", $"v1", $"v2").orderBy("id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", Some(9L))))
+  }
+
   test("bucketed tables equi-join with zero exchanges") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
