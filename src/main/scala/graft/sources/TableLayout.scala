@@ -31,9 +31,16 @@ object TableLayout {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val df = spark.read.parquet(path)
-    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = (((totalBytes + targetBytes - 1) / targetBytes)
-      .max(BigInt(1))).toInt
+    // size by ACTUAL on-disk bytes, not optimizer stats — the plan
+    // estimate reflects decompressed in-memory width (often several ×
+    // the parquet footprint) and would oversplit the output
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = df.inputFiles
+      .map(f => fs0.getFileStatus(new org.apache.hadoop.fs.Path(
+        new java.net.URI(f))).getLen)
+      .sum
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     df.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
     // swap: overwrite source from the materialized compacted copy
