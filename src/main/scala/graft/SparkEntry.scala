@@ -574,6 +574,30 @@ object SparkEntry {
     """md5(trim(regexp_replace(regexp_replace(lower(text),
       |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))""".stripMargin
 
+  /** Shared quality/language CTEs (`c` + `scored`, emitting doc_id,
+    * source, lang, gl = guessed language, quality) — mirrors
+    * TextAnalysis.languageId/qualityScore and is reused by the
+    * q_lang_quality, q_curation, and q_top_docs_per_lang oracles so
+    * the three can't drift apart. */
+  private def qualityScoredCte: String =
+    s"""c AS (
+       |  SELECT doc_id, source, lang, text,
+       |    ${TextAnalysis.StopwordLists.map { case (l, ws) =>
+              s"${stopCountSql(ws)} AS c_$l" }.mkString(",\n    ")},
+       |    CAST(len($toksSql) AS DOUBLE) AS tok,
+       |    CAST(len(list_distinct($toksSql)) AS DOUBLE) AS uniq,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |      AS punct
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, source, lang,
+       |    $langCaseSql AS gl,
+       |    0.25 * least(1.0, tok / 50.0)
+       |      + 0.25 * (uniq / (tok + 1.0))
+       |      + 0.25 * (1.0 - least(1.0, punct * 5.0 / (tok + 1.0)))
+       |      + 0.25 * least(1.0, c_en * 5.0 / (tok + 1.0)) AS quality
+       |  FROM c)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -644,22 +668,9 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_lang_quality" ->
-      s"""WITH c AS (
-         |  SELECT doc_id, lang, text,
-         |    ${TextAnalysis.StopwordLists.map { case (l, ws) =>
-                 s"${stopCountSql(ws)} AS c_$l" }.mkString(",\n    ")},
-         |    CAST(len($toksSql) AS DOUBLE) AS tok,
-         |    CAST(len(list_distinct($toksSql)) AS DOUBLE) AS uniq,
-         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-         |      AS punct
-         |  FROM documents)
-         |SELECT doc_id, lang,
-         |  $langCaseSql AS guessed_lang,
-         |  0.25 * least(1.0, tok / 50.0)
-         |    + 0.25 * (uniq / (tok + 1.0))
-         |    + 0.25 * (1.0 - least(1.0, punct * 5.0 / (tok + 1.0)))
-         |    + 0.25 * least(1.0, c_en * 5.0 / (tok + 1.0)) AS quality
-         |FROM c ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityScoredCte
+         |SELECT doc_id, lang, gl AS guessed_lang, quality
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q_cosine_topk" ->
       s"""WITH $quantCte,
@@ -781,22 +792,7 @@ object SparkEntry {
         |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
 
     "q_top_docs_per_lang" ->
-      s"""WITH c AS (
-         |  SELECT doc_id, lang, text,
-         |    ${TextAnalysis.StopwordLists.map { case (l, ws) =>
-                  s"${stopCountSql(ws)} AS c_$l" }.mkString(",\n    ")},
-         |    CAST(len($toksSql) AS DOUBLE) AS tok,
-         |    CAST(len(list_distinct($toksSql)) AS DOUBLE) AS uniq,
-         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-         |      AS punct
-         |  FROM documents),
-         |scored AS (
-         |  SELECT doc_id, lang,
-         |    0.25 * least(1.0, tok / 50.0)
-         |      + 0.25 * (uniq / (tok + 1.0))
-         |      + 0.25 * (1.0 - least(1.0, punct * 5.0 / (tok + 1.0)))
-         |      + 0.25 * least(1.0, c_en * 5.0 / (tok + 1.0)) AS quality
-         |  FROM c),
+      s"""WITH $qualityScoredCte,
          |r AS (SELECT lang, doc_id, quality,
          |        row_number() OVER (PARTITION BY lang
          |                           ORDER BY quality DESC, doc_id) AS rank
@@ -890,23 +886,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_curation" ->
-      s"""WITH c AS (
-         |  SELECT doc_id, source, lang, text,
-         |    ${TextAnalysis.StopwordLists.map { case (l, ws) =>
-                  s"${stopCountSql(ws)} AS c_$l" }.mkString(",\n    ")},
-         |    CAST(len($toksSql) AS DOUBLE) AS tok,
-         |    CAST(len(list_distinct($toksSql)) AS DOUBLE) AS uniq,
-         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-         |      AS punct
-         |  FROM documents),
-         |scored AS (
-         |  SELECT doc_id, source, lang,
-         |    $langCaseSql AS gl,
-         |    0.25 * least(1.0, tok / 50.0)
-         |      + 0.25 * (uniq / (tok + 1.0))
-         |      + 0.25 * (1.0 - least(1.0, punct * 5.0 / (tok + 1.0)))
-         |      + 0.25 * least(1.0, c_en * 5.0 / (tok + 1.0)) AS q
-         |  FROM c),
+      s"""WITH $qualityScoredCte,
          |f AS (SELECT doc_id, $fingerprintSql AS fp FROM documents),
          |canon AS (
          |  SELECT doc_id,
@@ -915,7 +895,7 @@ object SparkEntry {
          |SELECT source, count(*) AS n_kept,
          |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM scored JOIN canon USING (doc_id)
-         |WHERE is_c AND gl = lang AND q >= 0.5
+         |WHERE is_c AND gl = lang AND quality >= 0.5
          |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_embedding_near_dups" ->

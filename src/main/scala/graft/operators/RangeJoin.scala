@@ -82,7 +82,13 @@ object RangeJoin {
 
   /** Convenience: for each left row, COUNT and decimal-exact SUM of a
     * right value over the strictly-preceding window `(l.ts - windowUs,
-    * l.ts)` — left rows with no matches kept with (0, 0). */
+    * l.ts)` — left rows with no matches kept with (0, 0).
+    *
+    * Contract: left rows must be distinct as full tuples (carry a
+    * unique id column if the source can replay). Fully-identical left
+    * rows fall into one group and their counts merge — a synthetic
+    * per-row id can't fix that deterministically (generated ids change
+    * under task retry, corrupting exactly-once aggregation). */
   def precedingWindowStats(left: DataFrame, right: DataFrame,
                            keyCols: Seq[String], lTs: String, rTs: String,
                            windowUs: Long, valueCol: String): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row}
+import org.apache.spark.sql.DataFrame
 
 /** Physical table layout for scale: hive-style partitioned parquet
   * directories (reads prune whole directories via `PartitionFilters`)
@@ -22,32 +22,46 @@ object TableLayout {
                        partCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 
-  /** Rewrite a parquet directory into ~`targetBytes`-sized files — the
-    * small-file compaction every long-running ingest needs (a 100 TB
+  /** Rewrite a FLAT parquet directory into ~`targetBytes`-sized files —
+    * the small-file compaction every long-running ingest needs (a 100 TB
     * table accreting 1000 micro-batches/day of KB-sized files destroys
     * scan parallelism bookkeeping and NameNode/listing time; compacting
     * to ~128 MB restores one-task-per-file scans). Coalesce (not
-    * repartition): no shuffle — existing partitions are concatenated. */
+    * repartition): no shuffle — existing partitions are concatenated.
+    *
+    * Hive-partitioned directories are REJECTED (compacting them flat
+    * would silently destroy directory pruning — compact each leaf
+    * directory instead). Schemas that evolved across files are unioned
+    * (`mergeSchema`), so no column is dropped by footer sampling.
+    *
+    * Durability: parquet directories are not transactional — the final
+    * source overwrite has a crash window, during which the full
+    * compacted copy survives at `<path>__compact_tmp` for manual
+    * recovery. Use a table format with atomic commit where that window
+    * is unacceptable. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    val df = spark.read.parquet(path)
-    // size by ACTUAL on-disk bytes, not optimizer stats — the plan
-    // estimate reflects decompressed in-memory width (often several ×
-    // the parquet footprint) and would oversplit the output
-    val fs0 = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = df.inputFiles
-      .map(f => fs0.getFileStatus(new org.apache.hadoop.fs.Path(
-        new java.net.URI(f))).getLen)
-      .sum
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!df.inputFiles.exists(f =>
+        new org.apache.hadoop.fs.Path(new java.net.URI(f))
+          .getParent.getName.contains("=")),
+      s"$path is hive-partitioned; compact each leaf directory instead " +
+        "(a flat rewrite would silently drop the partition layout)")
+    // size by ACTUAL on-disk bytes via one recursive listing, not
+    // optimizer stats (decompressed width, oversplits) and not
+    // per-file getFileStatus RPCs (serial driver round-trips)
+    val totalBytes = fs.getContentSummary(hadoopPath).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val tmp = path.stripSuffix("/") + "__compact_tmp"
     df.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
     // swap: overwrite source from the materialized compacted copy
-    // (reading tmp, not the original lineage, makes the overwrite safe)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    // (reading tmp, not the original lineage, makes the overwrite
+    // safe); re-coalesce — the tmp scan re-splits by maxPartitionBytes,
+    // which would otherwise silently cap output files at ~128 MB
+    spark.read.parquet(tmp).coalesce(nFiles)
+      .write.mode("overwrite").parquet(path)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 

@@ -176,9 +176,12 @@ object EventStream extends Serializable {
         col("event_id"))
     val v = wm(views)
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("value"))
+    // STRICT bounds on both ends (v_ts ∈ (p_ts - window, p_ts)) —
+    // identical to RangeJoin.precedingWindowStats' (-windowUs, 0)
+    // interval, so the two faces agree at the window boundary
     p.join(v, col("p_user") === col("v_user") &&
         col("v_ts") < col("p_ts") &&
-        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowDur"))
+        col("v_ts") > col("p_ts") - expr(s"INTERVAL $windowDur"))
       .select(col("event_id"), col("p_user").as("user_id"),
         col("p_ts"), col("v_ts"), col("value"))
   }

@@ -119,7 +119,8 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         Event(2, ts(89), 1L, "view", 2.0),   // 1min before 100: in
         Event(3, ts(90), 1L, "view", 3.0),   // simultaneous: out (strict)
         Event(4, ts(30), 2L, "view", 4.0),   // 31min before 102: in
-        Event(5, ts(120), 9L, "view", 5.0))  // other user
+        Event(5, ts(120), 9L, "view", 5.0),  // other user
+        Event(6, ts(30), 1L, "view", 6.0))   // EXACTLY 1h before 100: out
       pMem.addData(purchases: _*)
       vMem.addData(views: _*)
       q.processAllAvailable()
@@ -135,13 +136,13 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         .select($"event_id", $"user_id", $"v_ts", $"value")
         .as[(Long, Long, Timestamp, Double)].collect().toSet
       assert(batch == streamed)
-      // and the binned batch range join agrees (inclusive-lower bound
-      // -1h == v_ts >= p_ts - INTERVAL 1 hour)
+      // and the binned batch range join agrees (both faces use the
+      // strictly-open interval (p_ts - 1h, p_ts))
       val binned = graft.operators.RangeJoin.rangeJoin(
           purchases.toDF().select($"user_id", $"ts", $"event_id"),
           views.toDF().select($"user_id", $"ts", $"value"),
           Seq("user_id"), "ts", "ts",
-          lowerUs = -3600L * 1000000, upperUs = 0, rValueCols = Seq("value"))
+          lowerUs = -3600L * 1000000 + 1, upperUs = 0, rValueCols = Seq("value"))
         .select($"event_id", $"user_id", $"r_ts", $"r_value")
         .as[(Long, Long, Timestamp, Double)].collect().toSet
       assert(binned == streamed)
