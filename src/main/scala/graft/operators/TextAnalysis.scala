@@ -33,17 +33,23 @@ object TextAnalysis {
   /** Word / number / single-symbol tokens — a BPE-ish pre-tokenizer. */
   private val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** NULL text is treated as the empty string throughout this module:
+    * real corpora carry null fields, and letting them propagate turns
+    * `size(split(null))` into -1/null surprises deep inside a funnel.
+    * An all-ops-null-safe contract beats per-caller coalescing. */
+  private def nn(text: Column): Column = coalesce(text, lit(""))
+
   /** Whitespace tokens of the lowercased text. */
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  def tokens(text: Column): Column = split(lower(nn(text)), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Count of BPE-ish tokens (words, numbers, individual symbols). */
   def bpeTokenCount(text: Column): Column =
-    regexp_count(text, lit(BpeTokenPattern))
+    regexp_count(nn(text), lit(BpeTokenPattern))
 
   def punctCount(text: Column): Column =
-    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+    regexp_count(nn(text), lit("[^A-Za-z0-9\\s]"))
 
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text)))
@@ -60,7 +66,7 @@ object TextAnalysis {
     * scan — not a statistical model. */
   def languageId(text: Column): Column = {
     val counts = StopwordLists.map { case (l, ws) => l -> stopwordCount(text, ws) }
-    val zh = regexp_count(text, lit(CjkPattern)) > 0
+    val zh = regexp_count(nn(text), lit(CjkPattern)) > 0
     // lang wins if its count is positive and >= all later langs' counts
     // (earlier langs already had their chance), scanned in list order.
     val base: Column = lit("und")
@@ -91,10 +97,11 @@ object TextAnalysis {
     * modulo case/punct/spacing (exact-dedup key). */
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+      regexp_replace(lower(nn(text)), "[^a-z0-9\\s]", ""), "\\s+", " ")))
 
   /** Polynomial rolling hash (native codegen'd expression). */
-  def rollingHash(text: Column): Column = RollingHashExpr.rolling_hash(text)
+  def rollingHash(text: Column): Column =
+    RollingHashExpr.rolling_hash(nn(text))
 
   /** All per-document statistics in one projection. */
   def withStats(df: DataFrame, textCol: String = "text"): DataFrame = {

@@ -114,6 +114,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((10L, 10L, 1L, true), (20L, 20L, 1L, true)))
   }
 
+  test("property: nearDupClusters == union-find over lshNearDups pairs " +
+       "on random corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    // random docs built from a tiny vocabulary so near-dups are common
+    val corpusGen = for {
+      n <- Gen.choose(2, 15)
+      docs <- Gen.listOfN(n, Gen.choose(5, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(words)).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    (1 to 6).flatMap(i => corpusGen.apply(Gen.Parameters.default,
+        Seed(100L + i))).foreach { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val pairs = Dedup.lshNearDups(df, "doc_id", "text")
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      // driver-side union-find over the same pair set = ground truth
+      val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = docs.map { case (id, _) => id -> find(id) }.toMap
+      val got = Dedup.nearDupClusters(df, "doc_id", "text")
+        .select($"doc_id", $"cluster").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"docs=${docs.size} pairs=${pairs.length}")
+    }
+  }
+
   test("hammingDistance column matches bitCount") {
     val d = Seq((5L, 9L)).toDF("a", "b")
       .select(Dedup.hammingDistance($"a", $"b")).as[Int].head()

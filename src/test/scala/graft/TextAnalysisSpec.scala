@@ -6,6 +6,24 @@ import graft.operators.TextAnalysis
 import graft.functions.RollingHashExpr
 
 class TextAnalysisSpec extends AnyFunSuite with SparkTestBase {
+
+  test("all text ops are null-safe: null text behaves as empty string") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis._
+    val df = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", tokenCount($"text").as("tc"),
+        bpeTokenCount($"text").as("bc"), punctCount($"text").as("pc"),
+        distinctTokenCount($"text").as("dc"), languageId($"text").as("lid"),
+        qualityScore($"text").as("q"), fingerprintMd5($"text").as("fp"),
+        rollingHash($"text").as("rh"))
+      .collect()
+    val Array(nullRow, emptyRow) = got.sortBy(_.getLong(0))
+    // null and "" produce IDENTICAL, non-null outputs
+    assert((1 until nullRow.length).forall(i =>
+      !nullRow.isNullAt(i) && nullRow.get(i) == emptyRow.get(i)))
+    assert(nullRow.getString(5) == "und") // languageId
+    assert(nullRow.getLong(8) == 0L)      // rollingHash("") == 0
+  }
   import spark.implicits._
 
   def one(text: String): org.apache.spark.sql.DataFrame =
