@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver contract itself: entry() smoke (rows > 0 at
+  * sf0.001, exactly the driver's t1 check) and queries/oracleSql key
+  * alignment (an oracle key without a query silently records as "no
+  * spark result" in the driver's correctness gate). */
+class SparkEntrySpec extends AnyFunSuite with SparkTestBase {
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("oracle-less queries are the three documented rows-only ops") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q_pagerank", "q_media_features", "q_sketch_stats"))
+  }
+
+  test("entry() returns rows on sf0.001 (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
