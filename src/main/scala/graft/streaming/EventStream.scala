@@ -186,6 +186,24 @@ object EventStream extends Serializable {
         col("p_ts"), col("v_ts"), col("value"))
   }
 
+  /** Start an exactly-once partitioned parquet sink for a streaming
+    * frame: the file-sink commit log under `checkpointDir` records
+    * committed files per epoch, so restarts neither drop nor duplicate
+    * batches, and `partitionCols` lays the output out for directory
+    * pruning (`sources.TableLayout` semantics) — the standard
+    * streaming-ingest-to-corpus pattern. Caller stops the returned
+    * query (or awaits termination). */
+  def startParquetSink(df: DataFrame, path: String, checkpointDir: String,
+                       partitionCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .start()
+  }
+
   /** Batch sessionization — identical semantics to [[sessionize]]
     * expressed with window functions (gap-break flags → running
     * session number): the oracle-checkable face of the same operator. */
