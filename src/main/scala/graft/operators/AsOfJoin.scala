@@ -31,9 +31,15 @@ object AsOfJoin {
     * @param tsCol  event-time column name (both sides)
     * @param valueCols right-side columns to carry (emitted as
     *                  `asof_<name>`, null when no prior right row)
+    * @param toleranceUs max lookback in µs (pandas merge_asof
+    *                    semantics): a prior row older than
+    *                    `ts - toleranceUs` does NOT match — the row is
+    *                    kept with null asof columns. None = unbounded.
     * @return left rows + matched right ts (`asof_ts`) + carried values */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-           tsCol: String, valueCols: Seq[String]): DataFrame = {
+           tsCol: String, valueCols: Seq[String],
+           toleranceUs: Option[Long] = None): DataFrame = {
+    require(toleranceUs.forall(_ > 0), "tolerance must be positive")
     val leftCols = left.columns
     // tag and align schemas: left rows sort BEFORE right rows at equal
     // ts (side 0 vs 1), so a same-ts right row lands outside the
@@ -65,7 +71,21 @@ object AsOfJoin {
     val carried = valueCols.foldLeft(matched) { (df, c) =>
       df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
     }
-    carried.filter(col("__side") === 0)
+    // tolerance is a post-filter on the matched timestamp, not a window
+    // change: the nearest prior row either qualifies or nothing does
+    // (any earlier row is older still), so null-ing is exact
+    val bounded = toleranceUs match {
+      case None => carried
+      case Some(tol) =>
+        val ok = col("asof_ts").isNotNull &&
+          unix_micros(col("__ts")) - unix_micros(col("asof_ts")) <= tol
+        valueCols.foldLeft(
+          carried.withColumn("asof_ts",
+            when(ok, col("asof_ts")))) { (df, c) =>
+          df.withColumn(s"asof_$c", when(ok, col(s"asof_$c")))
+        }
+    }
+    bounded.filter(col("__side") === 0)
       .select(keyCols.map(col) ++ Seq(col("__ts").as(tsCol), col("asof_ts")) ++
         valueCols.map(c => col(s"asof_$c")) ++
         leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol).map(col): _*)

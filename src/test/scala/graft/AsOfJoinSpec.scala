@@ -30,6 +30,21 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       (2L, ts(5).getTime, None, None, 50.0)))
   }
 
+  test("tolerance nulls matches older than the lookback bound") {
+    val purchases = Seq((1L, ts(10), 100.0), (1L, ts(60), 200.0))
+      .toDF("user_id", "ts", "amount")
+    val views = Seq((1L, ts(9), "near"), (1L, ts(20), "far"))
+      .toDF("user_id", "ts", "page")
+    val got = AsOfJoin.asof(purchases, views, Seq("user_id"), "ts",
+        Seq("page"), toleranceUs = Some(5L * 60 * 1000000)) // 5 min
+      .select($"ts", $"asof_ts", $"asof_page")
+      .as[(Timestamp, Option[Timestamp], Option[String])].collect()
+      .map(r => (r._1.getTime, r._2.map(_.getTime), r._3)).toSet
+    assert(got == Set(
+      (ts(10).getTime, Some(ts(9).getTime), Some("near")), // 1min: in
+      (ts(60).getTime, None, None)))  // nearest prior is 40min old: out
+  }
+
   test("matches DuckDB-style semantics on real events (purchase ← prior view)") {
     val events = graft.streaming.EventStream.eventsTable(spark, "/root/testdata/sf0.001")
     val purchases = events.filter($"event_type" === "purchase")
