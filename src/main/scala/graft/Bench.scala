@@ -17,8 +17,13 @@ object Bench {
     catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+      // noop write, not count(): count() lets Catalyst prune every
+      // unreferenced projection/window, so projection-heavy queries
+      // would time as little more than a row-count scan. The noop sink
+      // consumes each output row whole — all columns are computed.
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators persist intermediates; drop them so queries are

@@ -929,8 +929,9 @@ object SparkEntry {
         |             THEN 1 ELSE 0 END AS brk
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, ts, value,
-        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                       ROWS UNBOUNDED PRECEDING) AS session_no
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS session_no
         |      FROM x)
         |SELECT user_id, session_no,
         |       min(ts) AS session_start, max(ts) AS session_end,

@@ -59,35 +59,36 @@ object AsOfJoin {
         leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    // carried-value columns join the ordering as a final tiebreak so
-    // right rows tied on ts yield a DETERMINISTIC last() payload
-    // (max by value order) instead of shuffle-order roulette
+    // ONE carried payload per right row: a single last(ignoreNulls)
+    // window picks the matched right row whole, so asof_ts and every
+    // asof_<c> come from THAT row (independent per-column last()
+    // windows would pull a null value column from an older right row —
+    // possibly outside tolerance — mixing fields across rows). The
+    // struct also joins the ordering as a final tiebreak so right rows
+    // tied on ts yield a deterministic payload instead of
+    // shuffle-order roulette.
+    val payload = when(col("__side") === 1,
+      struct(col("__asof_ts").as("__pts") +:
+        valueCols.map(c => col(s"__v_$c").as(c)): _*))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts") +: col("__side") +:
-        valueCols.map(c => col(s"__v_$c")): _*)
+      .orderBy(col("__ts"), col("__side"), payload)
       .rowsBetween(Window.unboundedPreceding, -1)
     val matched = lTagged.unionByName(rTagged)
-      .withColumn("asof_ts", last(col("__asof_ts"), ignoreNulls = true).over(w))
-    val carried = valueCols.foldLeft(matched) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
+      .withColumn("__m", last(payload, ignoreNulls = true).over(w))
     // tolerance is a post-filter on the matched timestamp, not a window
     // change: the nearest prior row either qualifies or nothing does
     // (any earlier row is older still), so null-ing is exact
     val bounded = toleranceUs match {
-      case None => carried
+      case None => matched
       case Some(tol) =>
-        val ok = col("asof_ts").isNotNull &&
-          unix_micros(col("__ts")) - unix_micros(col("asof_ts")) <= tol
-        valueCols.foldLeft(
-          carried.withColumn("asof_ts",
-            when(ok, col("asof_ts")))) { (df, c) =>
-          df.withColumn(s"asof_$c", when(ok, col(s"asof_$c")))
-        }
+        val ok = col("__m").isNotNull &&
+          unix_micros(col("__ts")) - unix_micros(col("__m.__pts")) <= tol
+        matched.withColumn("__m", when(ok, col("__m")))
     }
     bounded.filter(col("__side") === 0)
-      .select(keyCols.map(col) ++ Seq(col("__ts").as(tsCol), col("asof_ts")) ++
-        valueCols.map(c => col(s"asof_$c")) ++
+      .select(keyCols.map(col) ++ Seq(col("__ts").as(tsCol),
+        col("__m.__pts").as("asof_ts")) ++
+        valueCols.map(c => col(s"__m.$c").as(s"asof_$c")) ++
         leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol).map(col): _*)
   }
 }

@@ -36,9 +36,12 @@ object SkewOps {
     // values must meet in the same bucket to dedup) — and it spreads
     // the hot key's state whenever the key has many distinct values,
     // which is exactly when its distinct-set state is heavy.
-    val salt = pmod(xxhash64(col(valueCol)), lit(saltBuckets))
-    df.select(col(keyCol).as("key"),
-        col(valueCol).cast("decimal(30,6)").as("v"), salt.as("salt"))
+    // Hash the POST-CAST value: distinct runs over the decimal, so two
+    // raw values that round to the same decimal must land in one bucket
+    // (salting the raw value would double-count them).
+    val v = col(valueCol).cast("decimal(30,6)")
+    val salt = pmod(xxhash64(v), lit(saltBuckets))
+    df.select(col(keyCol).as("key"), v.as("v"), salt.as("salt"))
       .groupBy(col("key"), col("salt"))
       .agg(count_distinct(col("v")).as("pd"), sum(col("v")).as("ps"),
         count(lit(1)).as("pc"))

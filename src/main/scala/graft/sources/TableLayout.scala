@@ -41,9 +41,19 @@ object TableLayout {
     * is unacceptable. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    val df = spark.read.option("mergeSchema", "true").parquet(path)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // streaming file-sink output is owned by its _spark_metadata commit
+    // log: log-aware readers trust the log, not the directory listing,
+    // and a restarted query rebuilds the log from its checkpoint — an
+    // overwrite here would desync both and silently lose every
+    // pre-compaction file from log-aware reads. Checked BEFORE the
+    // read: the read itself would already go through the log.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(hadoopPath, "_spark_metadata")),
+      s"$path is a streaming file-sink output (_spark_metadata present); " +
+        "compacting would desync the sink's commit log — stop the query " +
+        "and rewrite to a NEW path instead")
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
     require(!df.inputFiles.exists(f =>
         new org.apache.hadoop.fs.Path(new java.net.URI(f))
           .getParent.getName.contains("=")),

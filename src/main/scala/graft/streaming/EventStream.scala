@@ -88,9 +88,12 @@ object EventStream extends Serializable {
     * KeyValueGroupedDataset state-store surface. Gap math runs on
     * exact microseconds (state stores µs), so the session boundaries
     * and emitted timestamps equal [[sessionizeBatch]]'s bit-for-bit
-    * (for events the watermark admits — cross-batch events more than
-    * `watermarkDelay` out of order are dropped as late, the inherent
-    * streaming/batch divergence every watermarked op has). */
+    * for events the watermark admits, with two inherent append-mode
+    * caveats: (a) events more than `watermarkDelay` out of order are
+    * dropped as late (every watermarked op diverges there); (b) an
+    * admitted late event can extend the OPEN session backward (state
+    * start updates), but cannot merge into or reopen a session already
+    * emitted — it becomes its own past session instead. */
   def sessionize(events: Dataset[Event], gapMs: Long,
                  watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
@@ -113,12 +116,21 @@ object EventStream extends Serializable {
         sorted.foreach { e =>
           val t = micros(e.ts)
           cur match {
-            case Some(s) if t - s.last <= gapUs =>
-              cur = Some(SessionState(s.start, math.max(s.last, t),
-                s.n + 1, s.total + e.value))
-            case Some(s) =>
+            // within the gap of the open session on EITHER side: a
+            // cross-batch out-of-order event with t < s.start extends
+            // the session backward (s.start updates), matching the
+            // batch window-function semantics
+            case Some(s) if t - s.last <= gapUs && s.start - t <= gapUs =>
+              cur = Some(SessionState(math.min(s.start, t),
+                math.max(s.last, t), s.n + 1, s.total + e.value))
+            case Some(s) if t - s.last > gapUs =>
               closed += close(user, s)
               cur = Some(SessionState(t, t, 1, e.value))
+            // t < s.start - gapUs: an admitted-but-late event wholly
+            // before the open session — its own session in the past,
+            // already gap-closed by construction
+            case Some(_) =>
+              closed += Session(user, tsOfMicros(t), tsOfMicros(t), 1, e.value)
             case None =>
               cur = Some(SessionState(t, t, 1, e.value))
           }

@@ -30,6 +30,31 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       (2L, ts(5).getTime, None, None, 50.0)))
   }
 
+  test("null value on the MATCHED row stays null — not pulled from an older row") {
+    val purchases = Seq((1L, ts(10), 100.0)).toDF("user_id", "ts", "amount")
+    val views = Seq((1L, ts(1), Option("old")), (1L, ts(9), None: Option[String]))
+      .toDF("user_id", "ts", "page")
+    val got = AsOfJoin.asof(purchases, views, Seq("user_id"), "ts", Seq("page"))
+      .select($"asof_ts", $"asof_page")
+      .as[(Option[Timestamp], Option[String])].collect().toSeq
+    // the matched row is ts(9); its null page must NOT fall back to
+    // ts(1)'s "old" (all asof_* fields come from one row)
+    assert(got == Seq((Some(ts(9)), None)))
+  }
+
+  test("null value on the matched row within tolerance: ts kept, value null") {
+    val purchases = Seq((1L, ts(10), 100.0)).toDF("user_id", "ts", "amount")
+    // older non-null row is OUTSIDE the 5-min tolerance; matched row
+    // (inside) carries null — mixing fields would fake a match
+    val views = Seq((1L, ts(1), Option("stale")), (1L, ts(8), None: Option[String]))
+      .toDF("user_id", "ts", "page")
+    val got = AsOfJoin.asof(purchases, views, Seq("user_id"), "ts", Seq("page"),
+        toleranceUs = Some(5L * 60 * 1000000))
+      .select($"asof_ts", $"asof_page")
+      .as[(Option[Timestamp], Option[String])].collect().toSeq
+    assert(got == Seq((Some(ts(8)), None)))
+  }
+
   test("tolerance nulls matches older than the lookback bound") {
     val purchases = Seq((1L, ts(10), 100.0), (1L, ts(60), 200.0))
       .toDF("user_id", "ts", "amount")

@@ -81,6 +81,72 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize: admitted cross-batch out-of-order event extends the " +
+       "open session BACKWARD (batch-parity session_start)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val gapMs = 30L * 60000
+    val q = EventStream.sessionize(mem.toDS(), gapMs, "30 minutes")
+      .writeStream.format("memory").queryName("sess_ooo").outputMode("append")
+      .start()
+    try {
+      // batch 1: session opens at ts(60); watermark → ts(30)
+      mem.addData(Event(1, ts(60), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: t=ts(55) is admitted (> watermark) and within the gap
+      // BEFORE the session start → start must move back to ts(55)
+      mem.addData(Event(2, ts(55), 1L, "view", 2.0))
+      q.processAllAvailable()
+      // flush via far-future events for another user
+      mem.addData(Event(99, ts(10000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(20000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_ooo").as[EventStream.Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start.getTime, s.session_end.getTime,
+          s.n_events, s.total_value)).toSet
+      assert(got == Set((ts(55).getTime, ts(60).getTime, 2L, 3.0)))
+      // identical to the batch face over the same admitted events
+      val batch = EventStream.sessionizeBatch(
+          Seq(Event(1, ts(60), 1L, "view", 1.0),
+            Event(2, ts(55), 1L, "view", 2.0)).toDF(), gapMs)
+        .select($"session_start", $"session_end", $"n_events", $"total_value")
+        .as[(Timestamp, Timestamp, Long, Double)].collect()
+        .map(r => (r._1.getTime, r._2.getTime, r._3, r._4)).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
+  test("sessionize: admitted late event wholly before the open session " +
+       "becomes its own past session") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val gapMs = 2L * 60000 // 2-min gap, 60-min watermark: late != gap-near
+    val q = EventStream.sessionize(mem.toDS(), gapMs, "60 minutes")
+      .writeStream.format("memory").queryName("sess_past").outputMode("append")
+      .start()
+    try {
+      mem.addData(Event(1, ts(60), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // ts(50): admitted (watermark = ts(0)), but 10 min before the open
+      // session with a 2-min gap → emitted as its own singleton session
+      mem.addData(Event(2, ts(50), 1L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(10000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(20000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_past").as[EventStream.Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start.getTime, s.session_end.getTime,
+          s.n_events, s.total_value)).toSet
+      assert(got == Set(
+        (ts(50).getTime, ts(50).getTime, 1L, 2.0),
+        (ts(60).getTime, ts(60).getTime, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops in-watermark duplicates, keeps distinct keys") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -50,6 +50,20 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(after.orderBy("doc_id").collect().toSeq == before.toSeq)
   }
 
+  test("compact refuses streaming file-sink output (_spark_metadata)") {
+    val dir = Files.createTempDirectory("graft_sinkdir").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    // a file sink's commit log marks the directory as log-owned
+    Files.createDirectory(java.nio.file.Paths.get(dir, "_spark_metadata"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.TableLayout.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
+    // and nothing was rewritten (the refusal pre-empts even the read,
+    // which would itself be routed through the commit log)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
   test("readMergedSchema unions evolving file schemas; old files null-fill") {
     val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
     Seq((1L, "a")).toDF("id", "v1").write.parquet(dir + "/batch=1")
