@@ -15,26 +15,38 @@ object Bench {
     // measured query isn't charged for it
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write, not count(): count() lets Catalyst prune every
-      // unreferenced projection/window, so projection-heavy queries
-      // would time as little more than a row-count scan. The noop sink
-      // consumes each output row whole — all columns are computed.
-      val ok = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-      } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist intermediates; drop them so queries are
-      // isolated and cached data doesn't pile into GC pressure.
-      // clearCache() misses localCheckpoint blocks (RDD storage, not
-      // the SQL cache) — the iterative ops' returned results are
-      // checkpoint-backed, so release those too.
+    val runsPerQuery =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // release per-query leftovers: operators persist intermediates, and
+    // clearCache() misses localCheckpoint blocks (RDD storage, not the
+    // SQL cache) — the iterative ops' results are checkpoint-backed.
+    // BLOCKING unpersist: async removal would run concurrently with
+    // (and distort) the next timed query.
+    def release(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      // min of N runs: steady-state throughput, insulated from one-off
+      // JIT/GC/page-cache hiccups (OS cache of the parquet inputs stays
+      // warm between runs; per-query state is released each time)
+      val times = (1 to runsPerQuery).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop write, not count(): count() lets Catalyst prune every
+        // unreferenced projection/window, so projection-heavy queries
+        // would time as little more than a row-count scan. The noop
+        // sink consumes each output row whole — all columns compute.
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        release()
+        System.err.println(f"[bench] $name run $dt%.2f")
+        if (ok) Some(dt) else None
+      }
       // -1 marks a failed query — a regression must not read as a speedup
-      name -> (if (ok) dt else -1.0)
+      name -> (if (times.size == runsPerQuery) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

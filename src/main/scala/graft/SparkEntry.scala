@@ -178,6 +178,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup pairs (banded Hamming-ball search — exact by
+    // pigeonhole, never all-pairs).
+    "q_simhash_near_dups" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Brute-force cosine top-k (quantized, oracle-exact) — the ANN
     // correctness baseline.
     "q_cosine_topk" -> ((s, dir) => {
@@ -527,6 +534,22 @@ object SparkEntry {
        |  FROM hs)""".stripMargin
   }
 
+  /** SimHash fingerprint CTEs (`t` + `hs` + `sim`, emitting doc_id,
+    * sh) — mirrors Dedup.simhash / SimHashExpr; shared by the
+    * q_simhash and q_simhash_near_dups oracles. */
+  private def simhashCte: String = {
+    val bits = (0 until SimHashExpr.NumBits).map { b =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
+    }.mkString("\n  + ")
+    s"""t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |      FROM documents),
+       |hs AS (SELECT doc_id, list_transform(toks, s -> ${rhSql("s")}) AS hs FROM t),
+       |sim AS (SELECT doc_id,
+       |  $bits AS sh
+       |FROM hs)""".stripMargin
+  }
+
   /** Full LSH candidate+verify pipeline CTEs (shingles → signatures →
     * bands → candidate pairs → exact-Jaccard `scored`), shared by the
     * near-dup pair and cluster oracles. */
@@ -639,17 +662,36 @@ object SparkEntry {
          |       doc_id = cluster AS is_canonical
          |FROM asg ORDER BY doc_id""".stripMargin,
 
-    "q_simhash" -> {
-      val bits = (0 until SimHashExpr.NumBits).map { b =>
-        s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> $b) & 1) = 1 " +
-          s"THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"
-      }.mkString("\n  + ")
-      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-         |           FROM documents),
-         |hs AS (SELECT doc_id, list_transform(toks, s -> ${rhSql("s")}) AS hs FROM t)
-         |SELECT doc_id,
-         |  $bits AS simhash
-         |FROM hs ORDER BY doc_id""".stripMargin
+    "q_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, sh AS simhash FROM sim ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_near_dups" -> {
+      // band bounds generated from the same constants as
+      // Dedup.simhashNearDups — Scala and SQL can't drift
+      val nBits = SimHashExpr.NumBits
+      val maxHamming = 3
+      val nb = maxHamming + 1
+      val bounds = (0 to nb).map(i => i * nBits / nb)
+      val arms = (0 until nb).map { j =>
+        val off = bounds(j)
+        val mask = (1L << (bounds(j + 1) - bounds(j))) - 1
+        s"SELECT doc_id, $j AS band, (sh >> $off) & $mask AS v FROM sim"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $simhashCte,
+         |bands AS (
+         |  $arms),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |       CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN sim sa ON sa.doc_id = c.doc_a
+         |JOIN sim sb ON sb.doc_id = c.doc_b
+         |WHERE bit_count(xor(sa.sh, sb.sh)) <= $maxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "q_text_stats" ->

@@ -182,6 +182,50 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }
 
+  /** SimHash near-duplicate pairs: documents whose fingerprints differ
+    * in at most `maxHamming` of the [[SimHashExpr.NumBits]] bits.
+    *
+    * Banded like [[lshNearDups]] but EXACT, not probabilistic: the
+    * fingerprint is split into `maxHamming + 1` contiguous bit bands,
+    * and by pigeonhole any pair within the Hamming budget matches at
+    * least one band verbatim — so bucket-joining each band finds every
+    * qualifying pair, and the bit_count verify drops false candidates.
+    * One explode + one equi-self-join + one verify join; never
+    * all-pairs (the standard web-dedup SimHash sharding).
+    *
+    * @return (doc_a, doc_b, hamming), doc_a < doc_b, one row per pair */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val nBits = SimHashExpr.NumBits
+    require(maxHamming >= 0 && maxHamming < nBits)
+    val nb = maxHamming + 1
+    val bounds = (0 to nb).map(i => i * nBits / nb)
+    val base = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+      .persist()
+    val bandCols = (0 until nb).map { j =>
+      val off = bounds(j)
+      val width = bounds(j + 1) - bounds(j)
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("sh"), off)
+          .bitwiseAND(lit((1L << width) - 1)).as("v"))
+    }
+    val bands = base
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.v").as("v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("hamming",
+        hammingDistance(col("sh_a"), col("sh_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Cluster-level near-dup resolution: the end-to-end "dedup the
     * corpus" operator. [[lshNearDups]] mines verified pairs, connected
     * components groups transitively-linked documents (A≈B, B≈C ⇒ one

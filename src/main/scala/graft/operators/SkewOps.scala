@@ -49,4 +49,43 @@ object SkewOps {
       .agg(sum(col("pd")).as("n_distinct"), sum(col("pc")).as("n"),
         sum(col("ps")).cast("double").as("total"))
   }
+
+  /** Salted equi-join for extreme single-key skew: the left (fact)
+    * side gets a deterministic salt in [0, saltBuckets) hashed from
+    * its whole row, the right side is replicated once per salt value,
+    * and the join key becomes (key..., salt) — a hot key's rows spread
+    * over `saltBuckets` reducers instead of one straggler task.
+    * Output rows (including duplicates) are identical to the direct
+    * join; only the physical distribution changes.
+    *
+    * When to reach for it: AQE's skew-join handling already splits
+    * skewed SORT-MERGE/shuffle-hash partitions at runtime, and a
+    * broadcast join sidesteps skew entirely — use this when the right
+    * side is too big to broadcast AND the plan must be fixed up front
+    * (AQE off, or a downstream stage must inherit the salted
+    * distribution, e.g. a holistic per-key aggregate fed by the join).
+    * Replication costs |right| × saltBuckets — keep the dimension side
+    * right and the bucket count modest.
+    *
+    * (The reference has no joins at all — SURVEY.md §2.2; this is a
+    * beyond-parity scale primitive.)
+    *
+    * @param joinType `inner` or `left_outer` — the left side is never
+    *        replicated (one salt per row), so left-outer null-extension
+    *        is exact; right/full outer would see each unmatched right
+    *        row `saltBuckets` times and are rejected. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                 saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(saltBuckets > 0)
+    require(joinType == "inner" || joinType == "left_outer",
+      s"unsupported join type $joinType (right side is replicated, so " +
+        "only inner/left_outer are well-defined)")
+    // hash of the WHOLE left row: deterministic (no rand()), and rows
+    // of a hot key spread as long as the rows themselves differ
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets)))
+    val r = right.withColumn("__salt",
+      explode(typedLit((0L until saltBuckets.toLong).toArray)))
+    l.join(r, keyCols :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -95,6 +95,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(sh(1L) == expected)
   }
 
+  test("simhashNearDups == brute-force Hamming ball (banding is exact)") {
+    // corpus with exact dups, a near-dup, and unrelated content
+    val corpus = docs.union(Seq(
+      (5L, "yet another wholly unrelated document concerning distributed joins"),
+      (6L, docA2)).toDF("doc_id", "text"))
+    val maxH = 3
+    val got = Dedup.simhashNearDups(corpus, "doc_id", "text", maxH)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over all pairs of fingerprints
+    val sh = corpus.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= maxH
+    } yield (a, b, h.toLong)).toSet
+    assert(got == brute)
+    // sanity: the exact dups are in, the unrelated doc is not paired
+    // with the docA family
+    assert(got.contains((1L, 4L, 0L)))
+    assert(!got.exists { case (a, b, _) =>
+      Set(a, b).contains(3L) && Set(a, b).intersect(Set(1L, 2L, 4L, 6L)).nonEmpty })
+  }
+
   test("nearDupClusters groups transitive pairs, keeps singletons, min-id canonical") {
     // 1≈2 (edit), 1=4 (exact) ⇒ {1,2,4} one transitive cluster even if
     // 2–4 alone wouldn't pair; 3 is a singleton

@@ -24,6 +24,30 @@ class SkewOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == direct)
   }
 
+  test("saltedJoin == plain join (rows AND multiplicities), inner + left_outer") {
+    // skewed fact: one hot key, plus dup rows to exercise multiplicity
+    val fact = ((1 to 500).map(i => ("hot", i)) ++
+        Seq(("cold", 1), ("cold", 1), ("orphan", 7))).toDF("k", "n")
+    val dim = Seq(("hot", "H"), ("hot", "H2"), ("cold", "C"), ("unused", "U"))
+      .toDF("k", "label")
+    for (jt <- Seq("inner", "left_outer")) {
+      val got = SkewOps.saltedJoin(fact, dim, Seq("k"), saltBuckets = 8, jt)
+        .select($"k", $"n", $"label")
+        .as[(String, Int, Option[String])].collect().toSeq.sorted
+      val direct = fact.join(dim, Seq("k"), jt)
+        .select($"k", $"n", $"label")
+        .as[(String, Int, Option[String])].collect().toSeq.sorted
+      assert(got == direct, s"joinType=$jt")
+    }
+  }
+
+  test("saltedJoin rejects right-replicating join types") {
+    val df = Seq(("a", 1)).toDF("k", "n")
+    intercept[IllegalArgumentException] {
+      SkewOps.saltedJoin(df, df, Seq("k"), 4, "full_outer")
+    }
+  }
+
   test("raw values that collide after the decimal cast count as ONE distinct") {
     // 1.0000001 and 1.0000002 both round to decimal(30,6) 1.000000 —
     // salting by the RAW value would split them across buckets and
