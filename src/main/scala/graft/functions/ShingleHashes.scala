@@ -83,6 +83,54 @@ object ShingleHashesExpr {
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
 }
 
+/** `token_hashes(text)` — the rolling hash of EVERY whitespace token
+  * of the lowercased text (NOT deduplicated — multiplicity carries
+  * signal for SimHash voting), in one native pass.
+  *
+  * Semantically identical to
+  * `transform(split(lower(text), "\\s+"), rolling_hash)` (which the
+  * DuckDB oracle mirrors definitionally), but one generated-code call
+  * instead of an INTERPRETED lambda per token — the HOF `transform`
+  * does not participate in codegen and was measured at ~9s for 5000
+  * documents' simhash at sf0.1; this expression brings the same
+  * computation under one second. Tokenization parity with
+  * [[ShingleHashesExpr]]: UTF8String lowercase + `split("\\s+", -1)`.
+  */
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHashesExpr.compute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenHashesExpr.compute($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenHashesExpr {
+
+  /** Referenced from generated code — keep public and static-shaped. */
+  def compute(text: String): ArrayData = {
+    val toks = UTF8String.fromString(text).toLowerCase.toString.split("\\s+", -1)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = RollingHashExpr.hash(toks(i),
+        RollingHashExpr.DefaultBase, RollingHashExpr.DefaultMod)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def token_hashes(text: Column): Column =
+    ColumnBridge.column(TokenHashesExpr(ColumnBridge.expression(text)))
+}
+
 /** `minhash_sig(hashes)` — the k-component MinHash signature of an
   * `array<long>` in one native pass (k affine permutations
   * `(a_i*h + b_i) mod P`, tracking all k minima simultaneously),

@@ -31,7 +31,15 @@ object ConnectedComponents {
     *              merges components, just over more rounds undirected).
     * @return DataFrame(id LONG, comp LONG) — comp = min vertex id of
     *         the component. */
-  def run(edges: DataFrame, maxIterations: Int = 100): DataFrame = {
+  def run(edges: DataFrame, maxIterations: Int = 100,
+          keepAqe: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    GraphOps.withLoopAqeDisabled(spark, keepAqe) {
+      runLoop(edges, maxIterations)
+    }
+  }
+
+  private def runLoop(edges: DataFrame, maxIterations: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 

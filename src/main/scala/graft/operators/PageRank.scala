@@ -33,12 +33,20 @@ object PageRank {
   /** @param edges DIRECTED edge table (`src`, `dst`)
     * @return DataFrame(id LONG, rank DOUBLE) over all vertices */
   def run(edges: DataFrame, iterations: Int = 10,
-          damping: Double = 0.85): DataFrame = {
+          damping: Double = 0.85, keepAqe: Boolean = false): DataFrame = {
     require(iterations > 0)
     // damping outside [0,1) breaks the mass-≤-1 invariant that makes
     // the fixed-point Long sum overflow-free
     require(damping >= 0.0 && damping < 1.0,
       s"damping must be in [0, 1), got $damping")
+    val spark = edges.sparkSession
+    GraphOps.withLoopAqeDisabled(spark, keepAqe) {
+      runLoop(edges, iterations, damping)
+    }
+  }
+
+  private def runLoop(edges: DataFrame, iterations: Int,
+                      damping: Double): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 

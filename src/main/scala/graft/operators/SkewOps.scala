@@ -80,12 +80,32 @@ object SkewOps {
     require(joinType == "inner" || joinType == "left_outer",
       s"unsupported join type $joinType (right side is replicated, so " +
         "only inner/left_outer are well-defined)")
-    // hash of the WHOLE left row: deterministic (no rand()), and rows
-    // of a hot key spread as long as the rows themselves differ
-    val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltBuckets)))
-    val r = right.withColumn("__salt",
+    // collision-free salt column: a user column named "__salt" would
+    // otherwise be silently replaced on the left / duplicated on the
+    // right by withColumn
+    val taken = (left.columns ++ right.columns).toSet
+    val saltCol = Iterator.from(0).map(i => s"__salt$i")
+      .find(n => !taken.contains(n)).get
+    // hash of the hashable left columns: deterministic (no rand()), and
+    // rows of a hot key spread as long as the rows themselves differ.
+    // MapType isn't hashable (xxhash64 rejects it at analysis) — skip
+    // such columns; a row of ONLY maps degrades to a single bucket
+    // (plain join) rather than failing.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val hashCols = left.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name))
+    val saltExpr =
+      if (hashCols.isEmpty) lit(0L)
+      else pmod(xxhash64(hashCols.toIndexedSeq: _*), lit(saltBuckets))
+    val l = left.withColumn(saltCol, saltExpr)
+    val r = right.withColumn(saltCol,
       explode(typedLit((0L until saltBuckets.toLong).toArray)))
-    l.join(r, keyCols :+ "__salt", joinType).drop("__salt")
+    l.join(r, keyCols :+ saltCol, joinType).drop(saltCol)
   }
 }

@@ -93,7 +93,8 @@ object EventStream extends Serializable {
     * dropped as late (every watermarked op diverges there); (b) an
     * admitted late event can extend the OPEN session backward (state
     * start updates), but cannot merge into or reopen a session already
-    * emitted — it becomes its own past session instead. */
+    * emitted — pre-open late events instead form their own past
+    * session(s), gap-grouped among themselves per batch semantics. */
   def sessionize(events: Dataset[Event], gapMs: Long,
                  watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
@@ -113,6 +114,14 @@ object EventStream extends Serializable {
         val sorted = it.toVector.sortBy(e => (micros(e.ts), e.event_id))
         val closed = Vector.newBuilder[Session]
         var cur = state.getOption
+        // session being assembled from admitted late events wholly
+        // BEFORE the open session: consecutive sorted pre-start events
+        // within gapUs of each other form ONE past session (not one
+        // singleton each), matching the batch window-function grouping
+        var past: Option[SessionState] = None
+        def flushPast(): Unit = past.foreach { p =>
+          closed += close(user, p); past = None
+        }
         sorted.foreach { e =>
           val t = micros(e.ts)
           cur match {
@@ -121,20 +130,41 @@ object EventStream extends Serializable {
             // the session backward (s.start updates), matching the
             // batch window-function semantics
             case Some(s) if t - s.last <= gapUs && s.start - t <= gapUs =>
-              cur = Some(SessionState(math.min(s.start, t),
-                math.max(s.last, t), s.n + 1, s.total + e.value))
+              cur = past match {
+                // this event also chains off the pending past session:
+                // past + event + open collapse into one session (batch
+                // parity — the gap chain is unbroken through the event)
+                case Some(p) if t - p.last <= gapUs =>
+                  past = None
+                  Some(SessionState(math.min(p.start, math.min(s.start, t)),
+                    math.max(s.last, t), p.n + s.n + 1,
+                    p.total + s.total + e.value))
+                case _ =>
+                  flushPast()
+                  Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.total + e.value))
+              }
             case Some(s) if t - s.last > gapUs =>
+              flushPast()
               closed += close(user, s)
               cur = Some(SessionState(t, t, 1, e.value))
             // t < s.start - gapUs: an admitted-but-late event wholly
-            // before the open session — its own session in the past,
-            // already gap-closed by construction
+            // before the open session — grows the past session while
+            // the gap chain holds, else flushes it and starts anew
             case Some(_) =>
-              closed += Session(user, tsOfMicros(t), tsOfMicros(t), 1, e.value)
+              past match {
+                case Some(p) if t - p.last <= gapUs =>
+                  past = Some(SessionState(p.start, t, p.n + 1,
+                    p.total + e.value))
+                case _ =>
+                  flushPast()
+                  past = Some(SessionState(t, t, 1, e.value))
+              }
             case None =>
               cur = Some(SessionState(t, t, 1, e.value))
           }
         }
+        flushPast()
         cur.foreach { s =>
           state.update(s)
           // timeout API is ms-granular: round UP so it never fires

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
-import graft.functions.SimHashExpr
+import graft.functions.{RollingHashExpr, SimHashExpr, TokenHashesExpr}
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -21,6 +21,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Seq[String])].collect().toMap
     assert(sh(1L) == Seq("a b c", "b c d"))
     assert(sh(2L) == Seq("a b"))
+  }
+
+  test("token_hashes == transform(split(lower(text)), rolling_hash) " +
+       "(native pass matches the definitional pipeline the oracle mirrors)") {
+    val tricky = Seq((1L, docA), (2L, "  leading and   multiple   spaces "),
+      (3L, ""), (4L, "MiXeD Case\tTAB\nnewline"), (5L, "solo"))
+      .toDF("doc_id", "text")
+    val got = tricky
+      .select($"doc_id", TokenHashesExpr.token_hashes($"text").as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = tricky
+      .select($"doc_id", transform(split(lower($"text"), "\\s+"),
+        t => RollingHashExpr.rolling_hash(t)).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == want)
+    // multiplicity is preserved (NOT deduplicated — SimHash votes)
+    val multi = Seq((1L, "a b a")).toDF("doc_id", "text")
+      .select(TokenHashesExpr.token_hashes($"text")).as[Seq[Long]].head()
+    assert(multi.length == 3 && multi(0) == multi(2))
   }
 
   test("minhash: identical texts get identical signatures, disjoint texts differ") {

@@ -147,6 +147,80 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize: multiple pre-open late events within gap of each other " +
+       "form ONE past session (batch-parity grouping)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val gapMs = 2L * 60000 // 2-min gap, 60-min watermark
+    val q = EventStream.sessionize(mem.toDS(), gapMs, "60 minutes")
+      .writeStream.format("memory").queryName("sess_past2").outputMode("append")
+      .start()
+    try {
+      mem.addData(Event(1, ts(60), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // one batch of admitted-late events wholly before the open session:
+      // ts(50), ts(51), ts(52) chain within the 2-min gap → ONE session;
+      // ts(40) is gap-separated from them → its own session
+      mem.addData(Event(2, ts(40), 1L, "view", 4.0),
+        Event(3, ts(50), 1L, "view", 2.0),
+        Event(4, ts(51), 1L, "view", 3.0),
+        Event(5, ts(52), 1L, "view", 5.0))
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(10000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(20000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_past2").as[EventStream.Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start.getTime, s.session_end.getTime,
+          s.n_events, s.total_value)).toSet
+      assert(got == Set(
+        (ts(40).getTime, ts(40).getTime, 1L, 4.0),
+        (ts(50).getTime, ts(52).getTime, 3L, 10.0),
+        (ts(60).getTime, ts(60).getTime, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: late events chaining through the gap INTO the open " +
+       "session merge past+event+open into one session") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val gapMs = 2L * 60000
+    val q = EventStream.sessionize(mem.toDS(), gapMs, "60 minutes")
+      .writeStream.format("memory").queryName("sess_bridge").outputMode("append")
+      .start()
+    try {
+      mem.addData(Event(1, ts(60), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // ts(57), ts(58), ts(59): each within 2 min of the next, and ts(59)
+      // is within the gap of the open session's start ts(60) → the whole
+      // chain merges into ONE session [ts(57), ts(60)]
+      mem.addData(Event(2, ts(57), 1L, "view", 2.0),
+        Event(3, ts(58), 1L, "view", 3.0),
+        Event(4, ts(59), 1L, "view", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(10000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(20000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_bridge").as[EventStream.Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start.getTime, s.session_end.getTime,
+          s.n_events, s.total_value)).toSet
+      assert(got == Set((ts(57).getTime, ts(60).getTime, 4L, 10.0)))
+      // batch face over the same admitted events agrees
+      val batch = EventStream.sessionizeBatch(
+          Seq(Event(1, ts(60), 1L, "view", 1.0),
+            Event(2, ts(57), 1L, "view", 2.0),
+            Event(3, ts(58), 1L, "view", 3.0),
+            Event(4, ts(59), 1L, "view", 4.0)).toDF(), gapMs)
+        .select($"session_start", $"session_end", $"n_events", $"total_value")
+        .as[(Timestamp, Timestamp, Long, Double)].collect()
+        .map(r => (r._1.getTime, r._2.getTime, r._3, r._4)).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streamingDedup drops in-watermark duplicates, keeps distinct keys") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]
