@@ -178,6 +178,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact n-gram Jaccard similarity join (prefix filtering — the
+    // PPJoin principle): the deterministic-exact counterpart of the
+    // probabilistic LSH pair mining, same never-all-pairs shape.
+    "q_jaccard_near_dups" -> ((s, dir) => {
+      Dedup.jaccardNearDups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // SimHash fingerprint (native one-pass Catalyst expression).
     "q_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -672,6 +680,20 @@ object SparkEntry {
     "q_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, sh AS simhash FROM sim ORDER BY doc_id""".stripMargin,
+
+    // semantic mirror is the brute-force all-pairs join — prefix
+    // filtering is exact, so the oracle needn't replicate it
+    "q_jaccard_near_dups" ->
+      s"""WITH $shingleCte,
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${rhSql("s")}) AS hs FROM sh),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+         |      AS sim
+         |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, sim FROM p
+         |WHERE sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_simhash_near_dups" -> {
       // band bounds generated from the same constants as

@@ -55,3 +55,66 @@ object DotProductLongExpr {
     ColumnBridge.column(
       DotProductLongExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** `sorted_intersect_size(a, b)` — number of DISTINCT common values of
+  * two ascending-sorted `array<long>` columns, as one merge scan.
+  *
+  * Semantically `size(array_intersect(a, b))` (which the DuckDB oracle
+  * mirrors via `len(list_intersect(...))`), but array_intersect builds
+  * a hash set AND materializes the intersection array per row — on a
+  * candidate-verify join that is |candidates| set builds for a single
+  * integer answer (measured 4.5s for 209k candidate pairs at sf0.1 vs
+  * sub-second for the merge). CONTRACT: both inputs must be sorted
+  * ascending (duplicates allowed — equal runs count once, matching
+  * array_intersect's distinct semantics).
+  */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSizeExpr.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectSizeExpr.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectSizeExpr {
+
+  /** Referenced from generated code — keep public and static-shaped. */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        c += 1
+        // skip duplicate runs so equal values count once (distinct
+        // semantics of array_intersect)
+        val v = x
+        while (i < na && a.getLong(i) == v) i += 1
+        while (j < nb && b.getLong(j) == v) j += 1
+      }
+    }
+    c
+  }
+
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectSizeExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{MinHashSigExpr, ShingleHashesExpr, SimHashExpr,
-  TokenHashesExpr}
+  SortedIntersectSizeExpr, TokenHashesExpr}
 
 /** Deduplication operators for a large-scale training-data pipeline:
   * exact (canonical-fingerprint groupBy), MinHash signatures, LSH-banded
@@ -119,6 +119,71 @@ object Dedup {
     val b = base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     a.join(b, col("doc_a") < col("doc_b"))
       .withColumn("sim", jaccardSim(col("hs_a"), col("hs_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("sim"))
+  }
+
+  /** EXACT n-gram Jaccard near-duplicate pairs via prefix filtering
+    * (the PPJoin principle): with each document's distinct shingle
+    * hashes in a canonical (sorted) order, two sets with
+    * J(A,B) >= t MUST share an element within the first
+    * `|S| - ceil(t*|S|) + 1` elements of each — so exploding only that
+    * prefix and equi-joining on the shingle hash finds every
+    * qualifying pair, and the exact-Jaccard verify drops the rest.
+    *
+    * Complements [[lshNearDups]]: LSH is probabilistic (a band recall
+    * curve), this is exact at the same never-all-pairs shape — one
+    * prefix explode (≈(1-t) of the corpus shingle volume), one
+    * equi-self-join on the prefix token with a max*t<=min length
+    * filter, one verify join. The blowup guard is inherent: a shingle
+    * appears in a candidate pair only through document pairs that
+    * share it IN PREFIX, and prefixes shrink as t grows.
+    *
+    * Persists the (doc_id, sorted hashes) projection for its three
+    * consumers; the persist backs the RETURNED frame — caller
+    * unpersists after materializing (see [[simhashNearDups]]).
+    *
+    * @return (doc_a, doc_b, sim), doc_a < doc_b, sim = exact shingle
+    *         Jaccard >= threshold */
+  def jaccardNearDups(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val base = df.select(col(idCol).as("doc_id"),
+        sort_array(shingleHashes(col(textCol), n)).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .persist()
+    // prefix length |S| - ceil(t*|S|) + 1; the 1e-9 guards float error
+    // in t*|S| UPWARD only (a longer prefix is always safe — candidates
+    // grow, the exact verify keeps the result identical)
+    val plen = (col("sz") -
+      ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+    val prefixes = base.select(col("doc_id"), col("sz"),
+      posexplode(slice(col("hs"), lit(1), plen)))
+      .withColumnRenamed("col", "tok")
+    // overlap needed for J >= t: o >= ceil(t/(1+t) * (|A|+|B|))
+    val alpha = ceil(lit(threshold) / (lit(1.0) + threshold) *
+      (col("x.sz") + col("y.sz")) - lit(1e-9))
+    val cand = prefixes.as("x").join(prefixes.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
+          // length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
+          greatest(col("x.sz"), col("y.sz")) * lit(threshold) <=
+            least(col("x.sz"), col("y.sz")) &&
+          // positional filter (PPJoin): past match position p only
+          // |S|-p elements remain, so the overlap can't reach alpha if
+          // the shared token sits too deep in either sorted set
+          least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos"))
+            >= alpha)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    // verify with a merge-scan intersection (arrays are sorted): same
+    // value as size(array_intersect(...)) without a per-pair hash set
+    val isz = SortedIntersectSizeExpr
+      .sorted_intersect_size(col("hs_a"), col("hs_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("sim", isz.cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - isz))
       .filter(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.RollingHashExpr
+import graft.functions.{RollingHashExpr, StopCountsExpr}
 
 /** Text-analysis operators for a large-scale training-data pipeline:
   * token/char statistics, BPE-ish token counting, quality scoring,
@@ -54,18 +54,29 @@ object TextAnalysis {
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text)))
 
-  /** Tokens of `text` that appear in `words` (with multiplicity). */
-  def stopwordCount(text: Column, words: Seq[String]): Column = {
-    val set = array(words.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(set, t)))
-  }
+  /** Tokens of `text` that appear in `words` (with multiplicity).
+    * One native pass ([[StopCountsExpr]]) — the definitionally-equal
+    * `size(filter(tokens, array_contains(...)))` runs an interpreted
+    * lambda per token. */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    element_at(StopCountsExpr.stop_counts(nn(text), Seq(words)), 1)
+
+  /** All [[StopwordLists]] counts in one pass; identical instances of
+    * this expression collapse to a single evaluation per row via
+    * subexpression elimination, so languageId + qualityScore in one
+    * projection tokenize/test once. */
+  private def allStopCounts(text: Column): Column =
+    StopCountsExpr.stop_counts(nn(text), StopwordLists.map(_._2))
 
   /** Stopword-hit + CJK-presence language guess; 'und' when no
     * marker matches. Deterministic: ties resolve in StopwordLists
     * order. A heuristic n-gram-free language ID suited to a codegen'd
     * scan — not a statistical model. */
   def languageId(text: Column): Column = {
-    val counts = StopwordLists.map { case (l, ws) => l -> stopwordCount(text, ws) }
+    val all = allStopCounts(text)
+    val counts = StopwordLists.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(all, i + 1)
+    }
     val zh = regexp_count(nn(text), lit(CjkPattern)) > 0
     // lang wins if its count is positive and >= all later langs' counts
     // (earlier langs already had their chance), scanned in list order.
@@ -85,7 +96,9 @@ object TextAnalysis {
     val tok = tokenCount(text).cast("double")
     val uniq = distinctTokenCount(text).cast("double")
     val punct = punctCount(text).cast("double")
-    val stop = stopwordCount(text, StopwordLists.head._2).cast("double")
+    // element 1 = StopwordLists.head ("en"); same fused expression as
+    // languageId's, so one projection computes the counts once
+    val stop = element_at(allStopCounts(text), 1).cast("double")
     lit(0.25) * least(lit(1.0), tok / 50.0) +
       lit(0.25) * (uniq / (tok + 1.0)) +
       lit(0.25) * (lit(1.0) - least(lit(1.0), punct * 5.0 / (tok + 1.0))) +

@@ -3,7 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
-import graft.functions.{RollingHashExpr, SimHashExpr, TokenHashesExpr}
+import graft.functions.{RollingHashExpr, SimHashExpr, SortedIntersectSizeExpr,
+  TokenHashesExpr}
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -69,6 +70,40 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(brute))
     assert(brute.subsetOf(lsh), s"LSH missed ${brute -- lsh}")
+  }
+
+  test("sorted_intersect_size == size(array_intersect) incl. duplicate runs") {
+    val cases = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(1L, 1L, 2L, 2L, 3L), Seq(1L, 2L, 2L, 5L)), // dups count once
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(7L), Seq(7L)),
+      (Seq(1L, 5L, 9L), Seq(2L, 6L, 10L))).toDF("a", "b")
+    val got = cases.select(
+        SortedIntersectSizeExpr.sorted_intersect_size($"a", $"b").as("g"),
+        size(array_intersect($"a", $"b")).as("w"))
+      .as[(Int, Int)].collect()
+    assert(got.forall { case (g, w) => g == w },
+      s"mismatch: ${got.mkString(", ")}")
+  }
+
+  test("jaccardNearDups (prefix filter) == allPairsJaccard at several " +
+       "thresholds, values included (exactness, not just recall)") {
+    // varied corpus: exact dups, a near-dup chain, short docs, unrelated
+    val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((5L, "a b"), (6L, "a b"), (7L, "a b c"),
+        (8L, docA + " extra trailing words appended here"),
+        (9L, "totally disjoint vocabulary nine"))).toSeq
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val fast = Dedup.jaccardNearDups(corpus, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val brute = Dedup.allPairsJaccard(corpus, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == brute, s"threshold $t: ${fast.diff(brute)} extra, " +
+        s"${brute.diff(fast)} missed")
+      spark.catalog.clearCache()
+    }
   }
 
   test("lshNearDups maxBucketSize drops degenerate buckets, default keeps them") {
