@@ -91,13 +91,15 @@ object SparkEntry {
     }),
 
     // O11-O14 as a relational aggregate: min, argmin (deterministic
-    // tie-break), ordered max — the reduce semilattice. The argmin
-    // packs (quantity, partkey) into ONE long: lexicographic struct
-    // order == numeric order because quantity is integral and
-    // partkey < 10^12 — a `min(struct(...))` buffer is not UnsafeRow-
-    // mutable and forces the whole chain into SortAggregate (no
-    // codegen, a sort per phase; measured 6x slower at sf0.1), while
-    // the packed long keeps every phase in whole-stage HashAggregate.
+    // tie-break), ordered max — the reduce semilattice. Two encodings
+    // keep every agg buffer a PRIMITIVE so the whole chain stays in
+    // whole-stage HashAggregate (any non-UnsafeRow-mutable buffer —
+    // a struct OR a string — drops the entire aggregation into
+    // SortAggregate: no codegen, a sort per phase; measured 6-10x
+    // slower at sf0.1): the argmin packs (quantity, partkey) into ONE
+    // long (lexicographic == numeric since quantity is integral and
+    // partkey < 10^12), and the darkest-flag max runs on the ascii
+    // code of the single-char flag (order-isomorphic), decoded after.
     "q_semilattice_agg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val packed =
@@ -105,7 +107,7 @@ object SparkEntry {
       li.groupBy(col("l_orderkey").as("okey"))
         .agg(min(col("l_quantity")).cast("double").as("min_qty"),
              (min(packed) % lit(1000000000000L)).as("argmin_part"),
-             max(col("l_returnflag")).as("darkest_flag"),
+             char(max(ascii(col("l_returnflag")))).as("darkest_flag"),
              count_distinct(col("l_partkey")).as("n_parts"))
         .orderBy("okey")
     }),

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Physical-plan regression guard for the engineered plan shapes.
+  *
+  * Each assertion pins a property the 100 TB design depends on — they
+  * catch silent plan regressions (a SortAggregate fallback, a lost
+  * broadcast, a cartesian product, lost column pruning) that
+  * correctness tests can't see. Assertions run on the pre-execution
+  * `sparkPlan` (AQE not yet applied), which is the stable declared
+  * shape; runtime AQE only improves on it.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+
+  private def scansOf(name: String): Seq[FileSourceScanExec] =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+
+  test("q_semilattice_agg stays in HashAggregate (no SortAggregate fallback)") {
+    val p = planOf("q_semilattice_agg")
+    assert(!p.contains("SortAggregate"),
+      "packed-long argmin regressed to a struct-min SortAggregate chain")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q_join_pricing broadcasts the customer dim") {
+    val p = planOf("q_join_pricing")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("similarity/dedup joins never go cartesian") {
+    for (q <- Seq("q_jaccard_near_dups", "q_lsh_near_dups",
+        "q_simhash_near_dups", "q_ann_ivf")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      // BroadcastNestedLoopJoin appears only for the tiny centroid
+      // cross in IVF (bounded by numCentroids) — ban it elsewhere
+      if (q != "q_ann_ivf")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans an NLJ")
+    }
+  }
+
+  test("q1_agg scan prunes to the 5 referenced lineitem columns") {
+    val scans = scansOf("q1_agg")
+    assert(scans.nonEmpty)
+    val cols = scans.head.schema.fieldNames.toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus"),
+      s"scan reads $cols — column pruning lost")
+  }
+
+  test("q_edge_ingest scan prunes to the 2 key columns") {
+    val scans = scansOf("q_edge_ingest")
+    assert(scans.nonEmpty)
+    assert(scans.head.schema.fieldNames.toSet ==
+      Set("l_orderkey", "l_partkey"))
+  }
+
+  test("q_top_docs_per_lang prunes the ranking window (WindowGroupLimit)") {
+    val p = planOf("q_top_docs_per_lang")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=3 filter no longer pushes a per-group limit under the window")
+  }
+
+  test("q_asof_attribution: as-of join is a single window pass, no self-join") {
+    val p = planOf("q_asof_attribution")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "as-of should be union+window, not a join")
+    assert(p.contains("Window"))
+  }
+
+  test("text analysis runs without UDFs or interpreted HOFs in the plan") {
+    for (q <- Seq("q_text_stats", "q_lang_quality")) {
+      val p = planOf(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q contains a UDF node")
+      // the fused native expressions replaced transform()/filter()
+      // lambdas — LambdaFunction in a projection means a regression
+      // back to the interpreted higher-order path
+      assert(!p.contains("lambdafunction"),
+        s"$q projects an interpreted lambda")
+    }
+  }
+}
