@@ -33,11 +33,11 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashesExpr.compute(input.asInstanceOf[UTF8String].toString, n)
+    ShingleHashesExpr.compute(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ShingleHashesExpr.compute($c.toString(), $n)")
+      s"graft.functions.ShingleHashesExpr.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -45,12 +45,15 @@ case class ShingleHashesExpr(child: Expression, n: Int)
 
 object ShingleHashesExpr {
 
-  /** Referenced from generated code — keep public and static-shaped. */
-  def compute(text: String, n: Int): ArrayData = {
+  /** Referenced from generated code — keep public and static-shaped.
+    * Takes UTF8String directly: the codegen call site already holds
+    * one, and a String parameter would force two full copies of every
+    * document per evaluation (toString here, fromString inside). */
+  def compute(text: UTF8String, n: Int): ArrayData = {
     // lowercase via Spark's own UTF8String implementation — bit-exact
     // with the `lower()` the composable pipeline / oracle uses (a Java
     // toLowerCase would diverge on locale-sensitive chars, e.g. tr-TR)
-    val toks = UTF8String.fromString(text).toLowerCase.toString.split("\\s+", -1)
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
     val count = math.max(toks.length - (n - 1), 1)
     // dedup on the shingle string, preserving first-occurrence order
     val seen = new java.util.LinkedHashSet[String](count * 2)
@@ -102,11 +105,11 @@ case class TokenHashesExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "token_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    TokenHashesExpr.compute(input.asInstanceOf[UTF8String].toString)
+    TokenHashesExpr.compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.TokenHashesExpr.compute($c.toString())")
+      s"graft.functions.TokenHashesExpr.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -114,9 +117,10 @@ case class TokenHashesExpr(child: Expression) extends UnaryExpression {
 
 object TokenHashesExpr {
 
-  /** Referenced from generated code — keep public and static-shaped. */
-  def compute(text: String): ArrayData = {
-    val toks = UTF8String.fromString(text).toLowerCase.toString.split("\\s+", -1)
+  /** Referenced from generated code — keep public and static-shaped.
+    * UTF8String parameter: see [[ShingleHashesExpr.compute]]. */
+  def compute(text: UTF8String): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
     val out = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) {

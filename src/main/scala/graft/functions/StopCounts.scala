@@ -36,13 +36,13 @@ case class StopCountsExpr(child: Expression, lists: Seq[Seq[String]])
     StopCountsExpr.buildSets(lists)
 
   override def nullSafeEval(input: Any): Any =
-    StopCountsExpr.compute(input.asInstanceOf[UTF8String].toString, sets)
+    StopCountsExpr.compute(input.asInstanceOf[UTF8String], sets)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("stopSets", sets,
       "java.util.HashSet[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.StopCountsExpr.compute($c.toString(), $ref)")
+      s"graft.functions.StopCountsExpr.compute($c, $ref)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -59,10 +59,12 @@ object StopCountsExpr {
       s
     }.toArray
 
-  /** Referenced from generated code — keep public and static-shaped. */
-  def compute(text: String,
+  /** Referenced from generated code — keep public and static-shaped.
+    * UTF8String parameter: the codegen call site already holds one; a
+    * String parameter would copy the document twice per evaluation. */
+  def compute(text: UTF8String,
               sets: Array[java.util.HashSet[String]]): ArrayData = {
-    val toks = UTF8String.fromString(text).toLowerCase.toString.split("\\s+", -1)
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
     val counts = new Array[Int](sets.length)
     var i = 0
     while (i < toks.length) {

@@ -64,8 +64,8 @@ object Bfs {
     *        expansion join broadcasts the frontier
     * @param withPaths also compute the lexicographically-smallest
     *        shortest path (costs an array column through every shuffle;
-    *        off for distance-only analytics at scale) */
-  /** @param keepAqe leave AQE on inside the round loop (see
+    *        off for distance-only analytics at scale)
+    * @param keepAqe leave AQE on inside the round loop (see
     *        [[GraphOps.withLoopAqeDisabled]] — off by default: each
     *        round is a fixed-shape job and AQE's per-stage scheduling
     *        costs ~20-30% of loop wall-clock) */

@@ -165,8 +165,12 @@ object Dedup {
       (col("x.sz") + col("y.sz")) - lit(1e-9))
     val cand = prefixes.as("x").join(prefixes.as("y"),
         col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
-          // length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|)
-          greatest(col("x.sz"), col("y.sz")) * lit(threshold) <=
+          // length filter: J >= t forces t*max(|A|,|B|) <= min(|A|,|B|);
+          // the 1e-9 guards float error DOWNWARD (t*max can round up
+          // past an integer min it exactly equals — e.g. 0.28*25 =
+          // 7.000000000000001 — and would silently drop a pair whose
+          // exact Jaccard equals the threshold)
+          greatest(col("x.sz"), col("y.sz")) * lit(threshold) - lit(1e-9) <=
             least(col("x.sz"), col("y.sz")) &&
           // positional filter (PPJoin): past match position p only
           // |S|-p elements remain, so the overlap can't reach alpha if

@@ -65,19 +65,51 @@ object GraphOps {
     * exchange was handled up front), and the per-stage overhead is paid
     * once per ROUND, measured ~20-30% of total BFS wall-clock at sf0.1.
     * Callers that want AQE back inside the loop (e.g. genuinely skewed
-    * non-broadcast frontiers) pass keepAqe = true. */
+    * non-broadcast frontiers) pass keepAqe = true.
+    *
+    * Concurrency contract: the flip is SESSION-scoped (AQE is a
+    * session conf read at planning), so UNRELATED queries planned on
+    * the same session during a loop also plan without AQE — run such
+    * workloads on `spark.newSession()` (shared SparkContext and cache,
+    * separate conf). Overlapping graft loops on one session are safe:
+    * a per-session reference count makes the flip reentrant — the
+    * first entry saves the caller's setting, the last exit restores
+    * it — so nested/concurrent loops can't corrupt the restore value. */
   private[operators] def withLoopAqeDisabled[T](
       spark: org.apache.spark.sql.SparkSession, keepAqe: Boolean)(f: => T): T = {
     if (keepAqe) f
     else {
       val key = "spark.sql.adaptive.enabled"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "false")
+      AqeFlip.synchronized {
+        val st = AqeFlip.states.getOrElseUpdate(spark, new AqeFlip.State)
+        if (st.depth == 0) {
+          st.saved = spark.conf.getOption(key)
+          spark.conf.set(key, "false")
+        }
+        st.depth += 1
+      }
       try f
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      finally AqeFlip.synchronized {
+        val st = AqeFlip.states(spark)
+        st.depth -= 1
+        if (st.depth == 0) {
+          st.saved match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+          AqeFlip.states.remove(spark)
+        }
       }
     }
+  }
+
+  private object AqeFlip {
+    final class State {
+      var depth: Int = 0
+      var saved: Option[String] = None
+    }
+    // identity-keyed, tiny (one entry per session with an active loop)
+    val states: scala.collection.mutable.Map[
+      org.apache.spark.sql.SparkSession, State] = scala.collection.mutable.Map.empty
   }
 }

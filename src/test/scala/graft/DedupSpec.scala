@@ -106,6 +106,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("property: jaccardNearDups == allPairsJaccard on random corpora " +
+       "(word soups with shared vocabulary and duplicates)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      nDocs <- Gen.choose(3, 15)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 25)
+        words <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield words.mkString(" "))
+      // inject an exact duplicate so hamming-0/identical-set paths hit
+      dupOf <- Gen.choose(0, nDocs - 1)
+    } yield (docs :+ docs(dupOf)).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // deterministic samples: no scalatestplus bridge in the offline cache
+    (1 to 6).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .foreach { rows =>
+        val df = rows.toDF("doc_id", "text")
+        for (t <- Seq(0.4, 0.7)) {
+          val fast = Dedup.jaccardNearDups(df, "doc_id", "text", 2, t)
+            .as[(Long, Long, Double)].collect().toSet
+          val brute = Dedup.allPairsJaccard(df, "doc_id", "text", 2, t)
+            .as[(Long, Long, Double)].collect().toSet
+          assert(fast == brute,
+            s"t=$t corpus=$rows: ${brute.diff(fast)} missed, ${fast.diff(brute)} extra")
+          spark.catalog.clearCache()
+        }
+      }
+  }
+
   test("lshNearDups maxBucketSize drops degenerate buckets, default keeps them") {
     // 6 identical docs: every band bucket holds all 6
     val clones = (1L to 6L).map(i => (i, docA)).toDF("doc_id", "text")

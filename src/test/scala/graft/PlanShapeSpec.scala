@@ -17,6 +17,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // building the dedup/similarity plans registers their persist()s in
+  // the shared session's CacheManager — clear them so later suites'
+  // plan/scan assertions can't silently hit a cached relation
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    super.afterAll()
+  }
+
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
 
