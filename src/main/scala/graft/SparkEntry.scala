@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, Dedup, GraphOps,
-  Multimodal, PageRank, RangeJoin, Similarity, SkewOps, TextAnalysis}
+  Multimodal, PageRank, RangeJoin, SequencePacking, Similarity, SkewOps,
+  TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.SimHashExpr
 
@@ -475,6 +476,21 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Sequence packing (training-batch construction): docs packed into
+    // 4096-token sequences per language shard via the declarative
+    // prefix-sum face; per-pack stats. The exact-greedy face is
+    // spec-tested (sequential state — not SQL-expressible).
+    "q_pack_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      SequencePacking.packByPrefixSum(d, "lang", "doc_id", "n_tokens", 4096L)
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // Sketch-path aggregates (HLL distinct, GK-quantile): the 100 TB
     // default where q_percentiles/count_distinct are the exact faces.
     // No oracleSql: sketches are implementation-defined — driver
@@ -908,6 +924,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN l_linestatus = 'O'
         |       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_pack_stats" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |       ROWS UNBOUNDED PRECEDING) - n_tokens) // 4096 AS pack_id
+         |  FROM d)
+         |SELECT lang, pack_id, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
 
     "q_percentiles" ->
       """SELECT l_returnflag,
