@@ -209,7 +209,12 @@ object Dedup {
     * unless those are equally degenerate, in which case the content is
     * so duplicated that cluster-level dedup (exact fingerprint, which
     * scales linearly) is the right tool anyway. Default None preserves
-    * exact oracle semantics. */
+    * exact oracle semantics.
+    *
+    * Persists the shingle+signature projection for its three
+    * consumers; the persist backs the RETURNED frame, so the caller
+    * unpersists after materializing (`spark.catalog.clearCache()` or a
+    * `getPersistentRDDs` sweep — Bench/Verify do exactly that). */
   def lshNearDups(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, threshold: Double = 0.5,
                   maxBucketSize: Option[Long] = None): DataFrame = {

@@ -67,6 +67,38 @@ class SequencePackingSpec extends AnyFunSuite with SparkTestBase {
     assert(ps == gr && ps == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("property: packGreedy == serial fold oracle on random shards") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen: Gen[Seq[(Long, String, Long)]] = for {
+      n <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(n, Gen.choose(0L, 400L))
+      shards <- Gen.listOfN(n, Gen.oneOf("s1", "s2", "s3"))
+    } yield toks.zip(shards).zipWithIndex.map { case ((t, sh), i) =>
+      (i.toLong, sh, t)
+    }
+    def serialPack(docs: Seq[(Long, Long)], budget: Long): Map[Long, Long] = {
+      var pack = 0L; var used = 0L; var first = true
+      docs.sortBy(_._1).map { case (id, t) =>
+        if (!first && used + t > budget) { pack += 1; used = 0L }
+        used += t; first = false
+        id -> pack
+      }.toMap
+    }
+    (1 to 5).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .foreach { rows =>
+        val budget = 256L
+        val got = SequencePacking
+          .packGreedy(rows.toDF("doc_id", "shard", "n_tokens"),
+            "shard", "doc_id", "n_tokens", budget)
+          .select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+        val want = rows.groupBy(_._2).values.flatMap { shard =>
+          serialPack(shard.map(r => (r._1, r._3)), budget)
+        }.toMap
+        assert(got == want, s"rows=$rows")
+      }
+  }
+
   test("packByPrefixSum overflow is bounded by one document") {
     val out = SequencePacking
       .packByPrefixSum(df, "shard", "doc_id", "n_tokens", 256L)
