@@ -175,7 +175,15 @@ object EventStream extends Serializable {
       }
     }
 
-    events.withWatermark("ts", watermarkDelay)
+    // reuse an upstream watermark if one exists: Spark 4 forbids
+    // redefining it, and chained stateful ops (streamingDedup |>
+    // sessionize) legitimately share one event-time watermark
+    val hasWatermark = events.queryExecution.analyzed.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
+    }.isDefined
+    val src =
+      if (hasWatermark) events else events.withWatermark("ts", watermarkDelay)
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)

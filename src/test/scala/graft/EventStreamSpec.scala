@@ -221,6 +221,39 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("composition: streamingDedup |> sessionize runs as ONE streaming " +
+       "query; duplicate events don't inflate sessions") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val gapMs = 30L * 60000
+    // exact-dedup on event_id feeding stateful sessionization — the
+    // two stateful operators chain inside a single streaming plan
+    // (dedup state + session state, each watermark-bounded)
+    val deduped = EventStream
+      .streamingDedup(mem.toDF(), "event_id", "ts", "60 minutes")
+      .as[Event]
+    val q = EventStream.sessionize(deduped, gapMs, "60 minutes")
+      .writeStream.format("memory").queryName("dedup_sess")
+      .outputMode("append").start()
+    try {
+      // event 2 arrives twice (an at-least-once source retry) — the
+      // session must count it once
+      mem.addData(Event(1, ts(0), 1L, "view", 1.0),
+        Event(2, ts(10), 1L, "click", 2.0),
+        Event(2, ts(10), 1L, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(10000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(20000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_sess").as[EventStream.Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start.getTime, s.session_end.getTime,
+          s.n_events, s.total_value)).toSet
+      assert(got == Set((ts(0).getTime, ts(10).getTime, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops in-watermark duplicates, keeps distinct keys") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]
