@@ -535,9 +535,11 @@ object SparkEntry {
     }),
 
     // Multimodal plumbing: binary payload -> mapPartitions decode ->
-    // fixed-width features (decode itself is stubbed — see Multimodal
-    // scaladoc). No oracleSql entry: not SQL-expressible, driver
-    // records the rows-only check.
+    // fixed-width features. The decode body is the documented stub,
+    // but a DETERMINISTIC one (byte histogram + rolling checksum), so
+    // the whole path — payload synthesis, partition-streaming decode,
+    // feature projection — is oracle-checked bit-for-bit (the oracle
+    // recomputes the features from the UTF-8 bytes via hex decoding).
     "q_media_features" -> ((s, dir) => {
       val feats = Multimodal.decode(Multimodal.fromDocuments(t(s, dir, "documents")))
       feats.toDF()
@@ -955,6 +957,41 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN l_linestatus = 'O'
         |       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Multimodal.fromDocuments + decodeOneStub: UTF-8 payload
+    // bytes recovered via hex(encode(text)), then the same rolling
+    // checksum mod 1e9+7 and mod-16 byte-histogram fractions. Exact:
+    // checksum/counts are integer, fractions are int/int double
+    // division. list_reduce seeds from the first element, which equals
+    // the Scala loop's (0*31 + b0) first step.
+    "q_media_features" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents),
+         |bytes AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(0, n), i ->
+         |      strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))*16
+         |      + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 17) AS bs
+         |  FROM b),
+         |f AS (
+         |  SELECT doc_id, n,
+         |    CASE WHEN n = 0 THEN 0 ELSE
+         |      list_reduce(bs, (acc, x) -> (acc*31 + x) % 1000000007) END
+         |      AS checksum,
+         |    CAST(len(list_filter(bs, x -> x % 16 = 0)) AS DOUBLE)
+         |      / greatest(n, 1) AS h0,
+         |    CAST(len(list_filter(bs, x -> x % 16 = 1)) AS DOUBLE)
+         |      / greatest(n, 1) AS h1
+         |  FROM bytes)
+         |SELECT doc_id AS media_id,
+         |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |            WHEN doc_id % 3 = 1 THEN 'audio'
+         |            ELSE 'video' END AS media_type,
+         |       CAST(n AS BIGINT) AS n_bytes,
+         |       CAST(checksum AS BIGINT) AS checksum, h0, h1
+         |FROM f ORDER BY media_id""".stripMargin,
 
     "q_pack_stats" ->
       s"""WITH d AS (
