@@ -18,8 +18,10 @@ import graft.functions._
   *
   * After either, `spark.sql("SELECT rolling_hash(text), ...")` works —
   * `rolling_hash`, `simhash`, `shingle_hashes(text, n)`,
-  * `minhash_sig`, `dot_long`, and the aggregate
-  * `top_k_by_sim(sim, id, k)`.
+  * `minhash_sig`, `dot_long`, `token_hashes`,
+  * `sorted_intersect_size`, and the aggregate
+  * `top_k_by_sim(sim, id, k)`. (`stop_counts` stays Scala-only: its
+  * stopword-list parameter has no SQL literal form.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -61,6 +63,15 @@ object GraftExtensions {
       ("dot_long",
         info("dot_long", "dot_long(array<long>, array<long>) - integer dot product"),
         { case Seq(a, b) => DotProductLongExpr(a, b) }),
+      ("token_hashes",
+        info("token_hashes",
+          "token_hashes(text) - rolling hash of every whitespace token"),
+        { case Seq(e) => TokenHashesExpr(e) }),
+      ("sorted_intersect_size",
+        info("sorted_intersect_size",
+          "sorted_intersect_size(array<long>, array<long>) - distinct common " +
+            "values of two sorted arrays"),
+        { case Seq(a, b) => SortedIntersectSizeExpr(a, b) }),
       ("top_k_by_sim",
         info("top_k_by_sim",
           "top_k_by_sim(sim, id, k) - top-k (neighbor_id, sim) pairs per group"),
@@ -71,6 +82,7 @@ object GraftExtensions {
     * function. */
   private val arities = Map("rolling_hash" -> 1, "simhash" -> 1,
     "shingle_hashes" -> 2, "minhash_sig" -> 1, "dot_long" -> 2,
+    "token_hashes" -> 1, "sorted_intersect_size" -> 2,
     "top_k_by_sim" -> 3)
 
   /** Wrap a builder so a wrong argument count surfaces as a clear

@@ -14,13 +14,18 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       "  simhash(array(rolling_hash('a'), rolling_hash('b'))) AS sh, " +
       "  dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d, " +
       "  shingle_hashes('a b c d', 3) AS shs, " +
-      "  minhash_sig(shingle_hashes('a b c d', 3)) AS sig")
+      "  minhash_sig(shingle_hashes('a b c d', 3)) AS sig, " +
+      "  token_hashes('A b a') AS th, " +
+      "  sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ints")
       .collect().head
     assert(r.getAs[Long]("rh") ==
       RollingHashExpr.hash("hello world", 31, 1000000007L))
     assert(r.getAs[Long]("d") == 4 + 10 + 18)
     assert(r.getSeq[Long](r.fieldIndex("shs")).length == 2) // "a b c", "b c d"
     assert(r.getSeq[Long](r.fieldIndex("sig")).length == 8)
+    val th = r.getSeq[Long](r.fieldIndex("th"))
+    assert(th.length == 3 && th(0) == th(2)) // lowercased, multiplicity kept
+    assert(r.getAs[Int]("ints") == 2)
   }
 
   test("top_k_by_sim aggregate callable from SQL") {
