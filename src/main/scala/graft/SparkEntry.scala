@@ -291,14 +291,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
-    // The full corpus-preparation DAG in ONE query — every stage of a
-    // training-data pipeline composed end-to-end: language
+    // The full corpus-preparation pipeline in ONE query — every stage
+    // of a training-data funnel composed end-to-end: language
     // verification, exact dedup (fingerprint canonical), transitive
     // near-dup dedup (LSH -> connected components canonical), quality
-    // floor, deterministic hash split, per-(split, lang) stats. The
-    // judge-facing point: all stages are the library's scale-path
-    // operators and the whole funnel stays one lazy DataFrame DAG —
-    // Catalyst sees (and prunes/pushes through) the entire pipeline.
+    // floor, deterministic hash split, per-(split, lang) stats. All
+    // stages are the library's scale-path operators; the relational
+    // stages compose lazily under one Catalyst plan, while the CC
+    // stage inside nearDupClusters is the engine's iterative fixpoint
+    // and materializes its rounds eagerly when the query is built
+    // (Catalyst has no fixpoint operator — SURVEY.md §4.3).
     "q_corpus_prep" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val scored = d.select(col("doc_id"), col("lang"),

@@ -49,6 +49,8 @@ object SequencePacking {
   def packGreedy(df: DataFrame, shardCol: String, orderCol: String,
                  tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.contains("pack_id") && !df.columns.contains("pack_tokens"),
+      "input already has a pack_id/pack_tokens column")
     val spark = df.sparkSession
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ Seq(
@@ -57,6 +59,16 @@ object SequencePacking {
     val shardIdx = inSchema.fieldIndex(shardCol)
     val orderIdx = inSchema.fieldIndex(orderCol)
     val tokenIdx = inSchema.fieldIndex(tokenCol)
+    // fail fast on order types whose in-task comparison would diverge
+    // from the column's SQL ordering (a String.valueOf fallback would
+    // SILENTLY pack doubles/timestamps in lexicographic order)
+    import org.apache.spark.sql.types.{IntegerType, LongType => LT, StringType}
+    val orderIsNumeric = inSchema(orderIdx).dataType match {
+      case LT | IntegerType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"orderCol $orderCol must be long, int, or string; got $other")
+    }
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val keyEnc = org.apache.spark.sql.Encoders.STRING
     implicit val rowEnc = enc
@@ -67,20 +79,18 @@ object SequencePacking {
         // materialization (a production shard is sized for one task)
         val sorted = rows.toVector.sortBy { r =>
           val v = r.get(orderIdx)
-          v match {
-            case l: java.lang.Long => (l.longValue(), "")
-            case i: java.lang.Integer => (i.longValue(), "")
-            case other => (0L, String.valueOf(other))
-          }
+          if (orderIsNumeric) (v.asInstanceOf[java.lang.Number].longValue(), "")
+          else (0L, v.asInstanceOf[String])
         }
         var packId = 0L
         var used = 0L
         var first = true
         sorted.iterator.map { r =>
           val t = r.get(tokenIdx) match {
-            case l: java.lang.Long => l.longValue()
-            case i: java.lang.Integer => i.longValue()
-            case d: java.lang.Double => d.longValue()
+            // Number covers every JVM numeric Spark materializes
+            // (Long/Integer/Double/BigDecimal/...) — the contract is
+            // "LONG-castable", not a closed type list
+            case n: java.lang.Number => n.longValue()
             case null => 0L
           }
           if (!first && used + t > budget) { packId += 1; used = 0L }
@@ -97,16 +107,22 @@ object SequencePacking {
   def packByPrefixSum(df: DataFrame, shardCol: String, orderCol: String,
                       tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(!df.columns.contains("pack_id"),
+      "input already has a pack_id column")
+    // collision-free temp name: withColumn would silently REPLACE (and
+    // drop would then delete) a same-named user column
+    val cumCol = Iterator.from(0).map(i => s"__cum$i")
+      .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = sum(col(tokenCol).cast("long")).over(w)
     // floor-division via pmod: Long `/` in Spark is DOUBLE division,
     // whose rounding can cross an integer for large sums — this stays
     // integer-exact at any magnitude (and mirrors the oracle's `//`)
-    val excl = col("__cum") - col(tokenCol).cast("long")
-    df.withColumn("__cum", cum)
+    val excl = col(cumCol) - col(tokenCol).cast("long")
+    df.withColumn(cumCol, cum)
       .withColumn("pack_id",
         ((excl - pmod(excl, lit(budget))) / budget).cast("long"))
-      .drop("__cum")
+      .drop(cumCol)
   }
 }

@@ -94,7 +94,12 @@ object EventStream extends Serializable {
     * admitted late event can extend the OPEN session backward (state
     * start updates), but cannot merge into or reopen a session already
     * emitted — pre-open late events instead form their own past
-    * session(s), gap-grouped among themselves per batch semantics. */
+    * session(s), gap-grouped among themselves per batch semantics.
+    *
+    * @param watermarkDelay applied only when the input has no
+    *        watermark on `ts` yet; a chained upstream watermark (e.g.
+    *        from [[streamingDedup]]) is reused as-is and its delay
+    *        governs lateness admission. */
   def sessionize(events: Dataset[Event], gapMs: Long,
                  watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
@@ -175,14 +180,20 @@ object EventStream extends Serializable {
       }
     }
 
-    // reuse an upstream watermark if one exists: Spark 4 forbids
+    // reuse an upstream watermark ON ts if one exists: Spark 4 forbids
     // redefining it, and chained stateful ops (streamingDedup |>
-    // sessionize) legitimately share one event-time watermark
-    val hasWatermark = events.queryExecution.analyzed.collectFirst {
-      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => w
+    // sessionize) legitimately share one event-time watermark. NOTE:
+    // when reused, the UPSTREAM delay governs lateness admission — the
+    // watermarkDelay argument is ignored (documented in the scaladoc).
+    // A watermark on some OTHER column does not count: timeouts must
+    // key off ts, so we still apply ours and let Spark surface the
+    // conflict rather than silently timing out on the wrong column.
+    val hasTsWatermark = events.queryExecution.analyzed.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+          if w.eventTime.name == "ts" => w
     }.isDefined
     val src =
-      if (hasWatermark) events else events.withWatermark("ts", watermarkDelay)
+      if (hasTsWatermark) events else events.withWatermark("ts", watermarkDelay)
     src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,

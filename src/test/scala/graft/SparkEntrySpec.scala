@@ -13,9 +13,12 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestBase {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("oracle-less queries are the three documented rows-only ops") {
+  test("oracle-less queries are the two documented rows-only ops") {
+    // iterative float math / implementation-defined sketches — every
+    // other query (incl. the stubbed-but-deterministic multimodal
+    // decode) is DuckDB-oracle-gated
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_pagerank", "q_media_features", "q_sketch_stats"))
+    assert(rowsOnly == Set("q_pagerank", "q_sketch_stats"))
   }
 
   test("entry() returns rows on sf0.001 (driver t1 smoke)") {
