@@ -20,9 +20,11 @@ import org.apache.spark.storage.StorageLevel
   * `sum(label)` stops changing — one cheap aggregate action per round.
   *
   * Rounds = O(max component diameter). For the adversarial long-path
-  * case the classic fix is large-star/small-star (doubling rounds);
-  * for the bounded-diameter graphs this engine targets, plain
-  * propagation with per-round checkpointing is faster in practice.
+  * case [[runStarContraction]] implements the classic fix —
+  * alternating large-star/small-star contraction, O(log n) rounds —
+  * at ~4 shuffles per round instead of 1; for the bounded-diameter
+  * graphs the bench targets, plain propagation wins, so [[run]] stays
+  * the default and the star variant is the deep-graph scale path.
   */
 object ConnectedComponents {
 
@@ -83,5 +85,95 @@ object ConnectedComponents {
     toRelease.foreach(_.unpersist(false))
     e.unpersist(false)
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"): each round, every vertex hooks its neighbourhood
+    * onto the neighbourhood minimum — large-star for the greater
+    * neighbours over the full adjacency, small-star for the lesser
+    * ones over the (hi → lo) orientation. The edge set converges to
+    * per-component stars centred on the component minimum in
+    * O(log n) rounds regardless of diameter — the scale path for
+    * deep graphs (a 10^6-long chain takes ~20 rounds here vs 10^6
+    * label-propagation rounds), at ~4 shuffles per round vs
+    * [[run]]'s 1.
+    *
+    * Output contract identical to [[run]]: (id, comp) over every
+    * vertex of the input, comp = component minimum. */
+  def runStarContraction(edges: DataFrame, maxIterations: Int = 60,
+                         keepAqe: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    GraphOps.withLoopAqeDisabled(spark, keepAqe) {
+      runStarLoop(edges, maxIterations)
+    }
+  }
+
+  private def runStarLoop(edges0: DataFrame, maxIterations: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+
+    val verts = GraphOps.vertices(edges0)
+    // canonical undirected pair set (hi > lo); self-loops can't affect
+    // components and are dropped
+    var e = edges0.filter($"src" =!= $"dst")
+      .select(greatest($"src", $"dst").as("hi"), least($"src", $"dst").as("lo"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // edge-set fingerprint: (count, hash-sum). The algorithm strictly
+    // decreases a potential until the star fixpoint, so equal
+    // consecutive fingerprints == fixpoint (up to a negligible 64-bit
+    // hash-collision probability in the sum).
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val row = df.agg(count(lit(1)),
+        sum(xxhash64($"hi", $"lo").cast("decimal(38,0)"))).head()
+      (row.getLong(0),
+        if (row.isNullAt(1)) java.math.BigDecimal.ZERO else row.getDecimal(1))
+    }
+
+    var fp = fingerprint(e)
+    var converged = fp._1 == 0L
+    var iter = 0
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    while (!converged && iter < maxIterations) {
+      iter += 1
+      // LARGE-STAR: per u over the FULL neighbourhood, m = min(Γ⁺(u));
+      // each greater neighbour v > u hooks to m
+      val sym = e.select($"hi".as("u"), $"lo".as("v"))
+        .union(e.select($"lo".as("u"), $"hi".as("v")))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      val ls = sym.filter($"v" > $"u")
+        .join(mins, "u")
+        .select(greatest($"v", $"m").as("hi"), least($"v", $"m").as("lo"))
+        .filter($"hi" =!= $"lo")
+        .distinct()
+      // SMALL-STAR: per u over the lesser neighbours (the hi → lo
+      // orientation), m = min; every lesser neighbour and u hook to m
+      val minLo = ls.groupBy($"hi").agg(min($"lo").as("m"))
+      val ss = ls.join(minLo, "hi")
+        .select(greatest($"lo", $"m").as("hi"), least($"lo", $"m").as("lo"))
+        .filter($"hi" =!= $"lo")
+        .union(minLo.select($"hi", $"m".as("lo")).filter($"hi" =!= $"lo"))
+        .distinct()
+        .localCheckpoint(true)
+
+      val newFp = fingerprint(ss)
+      converged = newFp == fp
+      fp = newFp
+      toRelease += e
+      e = ss
+    }
+
+    // at the star fixpoint every edge is (child, componentMin); roots
+    // and isolated vertices map to themselves
+    val childMap = e.select($"hi".as("id"), $"lo".as("comp"))
+    val out = verts.join(childMap, Seq("id"), "left_outer")
+      .select($"id", coalesce($"comp", $"id").as("comp"))
+      .localCheckpoint(true)
+    toRelease.foreach(_.unpersist(false))
+    out
   }
 }

@@ -51,6 +51,36 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("property: star contraction matches union-find AND run on random graphs") {
+    val gen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(2, 40)
+      nEdges <- Gen.choose(1, 2 * n)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield edges
+    (10 to 15).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+      .foreach { edges =>
+        val expected = naiveComponents(edges ++ edges.map(e => (e._2, e._1)))
+        val got = ConnectedComponents.runStarContraction(
+            GraphOps.symmetrize(edges.toDF("src", "dst")))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"edges=$edges")
+      }
+  }
+
+  test("star contraction: long chain converges in O(log n) rounds, not " +
+       "O(diameter) — and self-loop-only vertices survive") {
+    val chain = (0L until 200L).map(i => (i, i + 1)) :+ ((500L, 500L))
+    val got = ConnectedComponents.runStarContraction(
+        GraphOps.symmetrize(chain.toDF("src", "dst")),
+        maxIterations = 20) // far below the 201 rounds propagation needs
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 200L).forall(got(_) == 0L))
+    assert(got(500L) == 500L)
+    assert(got.size == 202)
+  }
+
   test("empty edge table yields empty components (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(ConnectedComponents.run(empty).count() == 0)
