@@ -63,7 +63,12 @@ case class TopKBySim(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer]
+  // declared (double, long) input types with implicit casts: without
+  // them, an int id or float/decimal sim passes analysis and crashes
+  // update()'s unboxing at runtime (bridge trait — AbstractDataType is
+  // private[sql] in Spark 4)
+  with org.apache.spark.sql.graftbridge.DoubleLongInputCast {
 
   require(k > 0, s"top_k_by_sim requires k > 0, got $k")
 

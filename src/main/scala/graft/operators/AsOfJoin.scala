@@ -40,6 +40,13 @@ object AsOfJoin {
            tsCol: String, valueCols: Seq[String],
            toleranceUs: Option[Long] = None): DataFrame = {
     require(toleranceUs.forall(_ > 0), "tolerance must be positive")
+    // loud failure instead of silent clobbering: "__"-prefixed names
+    // are internal here, and asof_* are the outputs
+    require(!(left.columns ++ right.columns).exists(_.startsWith("__")),
+      "input uses reserved __-prefixed column names")
+    val outNames = "asof_ts" +: valueCols.map(c => s"asof_$c")
+    require(!outNames.exists(left.columns.contains),
+      s"output columns $outNames collide with a left column")
     val leftCols = left.columns
     // tag and align schemas: left rows sort BEFORE right rows at equal
     // ts (side 0 vs 1), so a same-ts right row lands outside the
@@ -64,14 +71,28 @@ object AsOfJoin {
     // asof_<c> come from THAT row (independent per-column last()
     // windows would pull a null value column from an older right row —
     // possibly outside tolerance — mixing fields across rows). The
-    // struct also joins the ordering as a final tiebreak so right rows
-    // tied on ts yield a deterministic payload instead of
-    // shuffle-order roulette.
+    // ORDERABLE payload fields also join the ordering as a final
+    // tiebreak so right rows tied on ts yield a deterministic payload
+    // instead of shuffle-order roulette — map-typed value columns are
+    // carried but excluded from the sort key (maps aren't orderable
+    // and would fail analysis; ties identical on every orderable field
+    // may then carry either map — documented residual nondeterminism).
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => orderable(f.dataType))
+      case _ => true
+    }
     val payload = when(col("__side") === 1,
       struct(col("__asof_ts").as("__pts") +:
         valueCols.map(c => col(s"__v_$c").as(c)): _*))
+    val tieBreak = when(col("__side") === 1,
+      struct(col("__asof_ts").as("__pts") +:
+        valueCols.filter(c => orderable(right.schema(c).dataType))
+          .map(c => col(s"__v_$c").as(c)): _*))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), payload)
+      .orderBy(col("__ts"), col("__side"), tieBreak)
       .rowsBetween(Window.unboundedPreceding, -1)
     val matched = lTagged.unionByName(rTagged)
       .withColumn("__m", last(payload, ignoreNulls = true).over(w))

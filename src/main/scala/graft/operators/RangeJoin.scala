@@ -45,12 +45,24 @@ object RangeJoin {
       s"unsupported join type $joinType (left is never replicated, so " +
         "only inner/left_outer are well-defined)")
     require(upperUs > lowerUs, s"empty interval [$lowerUs, $upperUs)")
+    // loud failure instead of silent clobbering / ambiguous output:
+    // "__bin"/"__r_ts" are internal, "r_ts"/"r_<c>" are the outputs
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin")
+        && !right.columns.contains("__r_ts"),
+      "input uses reserved internal column names (__bin/__r_ts)")
+    require(!rValueCols.contains(rTs),
+      s"$rTs is always carried as r_ts — drop it from rValueCols")
+    val outNames = "r_ts" +: rValueCols.map(c => s"r_$c")
+    require(outNames.distinct.size == outNames.size &&
+        !outNames.exists(left.columns.contains),
+      s"output columns $outNames collide with each other or the left side")
     val binUs = upperUs - lowerUs
-    // exact floor-division bin: `/` on long Columns is double division,
-    // whose rounding can mis-bin µs-scale values near bucket edges;
-    // subtracting the pmod first makes the quotient exact
+    // exact floor-division bin: `/` on long Columns is DOUBLE division,
+    // inexact past 2^53 (far-future sentinel timestamps) — subtracting
+    // the pmod makes the dividend an exact multiple, and decimal
+    // division keeps the quotient exact at any timestamp magnitude
     def binOf(us: Column): Column =
-      ((us - pmod(us, lit(binUs))) / binUs).cast("long")
+      ((us - pmod(us, lit(binUs))).cast("decimal(38,0)") / binUs).cast("long")
     // shift right timestamps so the match condition becomes
     // shifted - l ∈ [0, binUs): then floor-bins of width binUs differ
     // by at most 1 and each right row lands in exactly 2 candidate bins
@@ -83,6 +95,13 @@ object RangeJoin {
   /** Convenience: for each left row, COUNT and decimal-exact SUM of a
     * right value over the strictly-preceding window `(l.ts - windowUs,
     * l.ts)` — left rows with no matches kept with (0, 0).
+    *
+    * Value-magnitude contract: values are summed as decimal(18,6)
+    * (money-like magnitudes, mirroring the DuckDB oracle); a single
+    * value beyond 10^12 overflows the cast (null under non-ANSI —
+    * silently excluded from the sum — or an error under ANSI). Widen
+    * the cast on both engine and oracle sides together if a domain
+    * needs more.
     *
     * Contract: left rows must be distinct as full tuples (carry a
     * unique id column if the source can replay). Fully-identical left

@@ -40,9 +40,14 @@ object Similarity {
   /** Quantization scale: 3 decimal digits of each embedding value. */
   val QuantScale = 1000
 
-  /** Integer-quantize an array<float> embedding to array<long>. */
+  /** Integer-quantize an array<float> embedding to array<long>. Null
+    * ELEMENTS quantize to 0 (a missing coordinate contributes nothing
+    * to dot products) — left as null they would NPE or silently read
+    * as 0 depending on the physical array layout, i.e. plan-dependent
+    * results. */
   def quantize(emb: Column): Column =
-    transform(emb, x => round(x.cast("double") * QuantScale).cast("long"))
+    transform(emb, x =>
+      coalesce(round(x.cast("double") * QuantScale).cast("long"), lit(0L)))
 
   /** Exact integer dot product of two array<long> vectors — a native
     * codegen'd expression ([[DotProductLongExpr]]); the equivalent
@@ -132,6 +137,13 @@ object Similarity {
     val base = quantized(df, idCol, embCol).persist()
     val cents = base.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cid"), col("qe").as("cqe"), col("nn").as("cnn"))
+    // fail loudly instead of returning an empty result: id spaces with
+    // no multiples of the stride (all-odd ids, UUID-derived longs)
+    // would otherwise read as 0% recall with no error
+    require(!cents.isEmpty,
+      s"no centroid candidates: no vec_id is divisible by " +
+        s"centroidStride=$centroidStride — pick a stride matching the " +
+        "id space (or remap ids)")
 
     // centroid ranking per vector: broadcast the (tiny) centroid set,
     // then keep each vector's nprobe best centroids with the bounded
