@@ -24,4 +24,14 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestBase {
   test("entry() returns rows on sf0.001 (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("BfsApp CLI parsing: reference flags, long forms, defaults") {
+    assert(BfsApp.parseArgs(Array("-p", "/x/tiny.txt", "-w", "8")) ==
+      Map("path" -> "/x/tiny.txt", "workers" -> "8"))
+    assert(BfsApp.parseArgs(Array("--path", "f", "--workers", "2",
+      "-s", "7", "-r", "out.csv")) ==
+      Map("path" -> "f", "workers" -> "2", "source" -> "7",
+        "results" -> "out.csv"))
+    assert(BfsApp.parseArgs(Array.empty) == Map.empty)
+  }
 }
