@@ -28,11 +28,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
-  /** @param edges DIRECTED edge table (`src`, `dst`); symmetrize for
-    *              undirected semantics (a one-directional edge still
-    *              merges components, just over more rounds undirected).
+  /** @param edges edge table (`src`, `dst`). Labels propagate
+    *              src → dst ONLY, so for undirected components the
+    *              input MUST be symmetrized (`GraphOps.symmetrize`) —
+    *              a one-directional edge can leave the src side
+    *              unlabeled (its smaller dst label never flows back).
     * @return DataFrame(id LONG, comp LONG) — comp = min vertex id of
-    *         the component. */
+    *         the component.
+    * @throws IllegalStateException when maxIterations is exhausted
+    *         before the fixpoint — returning the partial labels would
+    *         silently split real components. */
   def run(edges: DataFrame, maxIterations: Int = 100,
           keepAqe: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
@@ -65,7 +70,6 @@ object ConnectedComponents {
     if (labels.isEmpty) { e.unpersist(false); return labels }
     var converged = false
     var iter = 0
-    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     while (!converged && iter < maxIterations) {
       iter += 1
@@ -79,11 +83,17 @@ object ConnectedComponents {
       val newChecksum = checksumOf(merged)
       converged = newChecksum.compareTo(checksum) == 0
       checksum = newChecksum
-      toRelease += labels
       labels = merged
     }
-    toRelease.foreach(_.unpersist(false))
+    // superseded rounds' localCheckpoint blocks are RDD storage, not
+    // CacheManager entries — unpersist() on the frames would be a
+    // no-op; the ContextCleaner reclaims them as references drop (or a
+    // harness getPersistentRDDs sweep does, as Bench/Verify run)
     e.unpersist(false)
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIterations rounds " +
+        "(component diameter exceeds the cap) — raise maxIterations or " +
+        "use runStarContraction (O(log n) rounds)")
     labels
   }
 
@@ -135,7 +145,6 @@ object ConnectedComponents {
     var fp = fingerprint(e)
     var converged = fp._1 == 0L
     var iter = 0
-    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     while (!converged && iter < maxIterations) {
       iter += 1
@@ -163,17 +172,21 @@ object ConnectedComponents {
       val newFp = fingerprint(ss)
       converged = newFp == fp
       fp = newFp
-      toRelease += e
       e = ss
     }
+    // a non-star edge set would fan the left_outer join out into
+    // DUPLICATE (id, comp) rows — never return partial state
+    if (!converged) throw new IllegalStateException(
+      s"star contraction did not converge in $maxIterations rounds — " +
+        "raise maxIterations (rounds needed are O(log |V|))")
 
     // at the star fixpoint every edge is (child, componentMin); roots
-    // and isolated vertices map to themselves
+    // and isolated vertices map to themselves. Superseded rounds'
+    // localCheckpoint blocks are reclaimed by the ContextCleaner /
+    // harness sweeps (unpersist on checkpointed frames is a no-op).
     val childMap = e.select($"hi".as("id"), $"lo".as("comp"))
-    val out = verts.join(childMap, Seq("id"), "left_outer")
+    verts.join(childMap, Seq("id"), "left_outer")
       .select($"id", coalesce($"comp", $"id").as("comp"))
       .localCheckpoint(true)
-    toRelease.foreach(_.unpersist(false))
-    out
   }
 }

@@ -33,5 +33,13 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestBase {
       Map("path" -> "f", "workers" -> "2", "source" -> "7",
         "results" -> "out.csv"))
     assert(BfsApp.parseArgs(Array.empty) == Map.empty)
+    // strict: stray tokens and dangling flags error rather than
+    // silently shifting the flag/value pairing
+    intercept[IllegalArgumentException] {
+      BfsApp.parseArgs(Array("-p", "g.txt", "stray", "-w", "8"))
+    }
+    intercept[IllegalArgumentException] {
+      BfsApp.parseArgs(Array("-p", "g.txt", "-w"))
+    }
   }
 }
