@@ -336,15 +336,25 @@ object Dedup {
     * output; singletons are their own (size-1) cluster.
     *
     * All three phases are the scale-path formulations: LSH (never
-    * all-pairs), min-label-propagation CC (one shuffle per round), and
-    * a window for cluster sizes (one shuffle on cluster id). */
+    * all-pairs), CC as cheap label propagation with a star-contraction
+    * fallback (near-dup pair graphs are almost always shallow — 1
+    * shuffle/round wins — but a transitive boilerplate chain of 10^5
+    * near-identical pages is exactly the deep-component case where
+    * propagation hits its round cap; propagation now FAILS LOUDLY
+    * there and the O(log n) star path picks it up), and a window for
+    * cluster sizes (one shuffle on cluster id). */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.5,
                       maxBucketSize: Option[Long] = None): DataFrame = {
     val pairs = lshNearDups(df, idCol, textCol, n, threshold, maxBucketSize)
     val edges = GraphOps.symmetrize(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-    val comps = ConnectedComponents.run(edges) // (id, comp) — paired docs only
+    // (id, comp) — paired docs only
+    val comps =
+      try ConnectedComponents.run(edges)
+      catch { case _: IllegalStateException =>
+        ConnectedComponents.runStarContraction(edges)
+      }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
     df.select(col(idCol).as("doc_id"))
       .join(comps, col("doc_id") === col("id"), "left_outer")
