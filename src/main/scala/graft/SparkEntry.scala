@@ -8,7 +8,7 @@ import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, Dedup, GraphOps,
   Multimodal, PageRank, RangeJoin, SequencePacking, Similarity, SkewOps,
   TextAnalysis}
 import graft.streaming.EventStream
-import graft.functions.SimHashExpr
+import graft.functions.{SimHashExpr, TopKBySim}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -391,17 +391,22 @@ object SparkEntry {
         .orderBy("c_mktsegment", "o_orderpriority")
     }),
 
-    // Ranking window: top-3 quality documents per language
-    // (deterministic tie-break on doc_id).
+    // Ranking: top-3 quality documents per language (deterministic
+    // tie-break on doc_id). Bounded TopKBySim aggregate, NOT a
+    // row_number window: the window would shuffle + fully sort every
+    // document inside one task per language (~5 languages = ~5 tasks
+    // for the whole corpus at 100 TB), while the aggregate keeps a
+    // 3-element buffer per key, combines map-side, and exchanges
+    // |langs|·k rows. Same (quality desc, doc_id asc) order contract.
     "q_top_docs_per_lang" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       d.select(col("doc_id"), col("lang"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("lang"))
-            .orderBy(col("quality").desc, col("doc_id"))))
-        .filter(col("rank") <= 3)
-        .select(col("lang"), col("rank"), col("doc_id"), col("quality"))
+        .groupBy(col("lang"))
+        .agg(TopKBySim.top_k_by_sim(col("quality"), col("doc_id"), 3).as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "top")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+          col("top.neighbor_id").as("doc_id"), col("top.sim").as("quality"))
         .orderBy("lang", "rank")
     }),
 
@@ -550,8 +555,54 @@ object SparkEntry {
           element_at(col("histogram"), 1).as("h0"),
           element_at(col("histogram"), 2).as("h1"))
         .orderBy("media_id")
+    }),
+
+    // IVF-bucketed embedding near-dups — the scale path of
+    // q_embedding_near_dups (cluster-local pairs, never all-pairs);
+    // the oracle mirrors the same deterministic centroid assignment,
+    // so this APPROXIMATE operator is still hash-exact.
+    "q_embedding_near_dups_ivf" -> ((s, dir) => {
+      Similarity.cosineNearDupsIvf(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.45)
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // Golden path-carrying BFS on the reference's committed tinyG
+    // dataset (datasets/tinyG.txt, 13 vertices — embedded as fixed
+    // literals so the oracle can enumerate the same edges): dist AND
+    // the lexicographically-smallest shortest path per vertex — the
+    // reference's full map-phase output (BFS_map_reduce.py:31-35),
+    // argmin tie-break exercised (vertex 4 reaches via 0-5-4 and
+    // 0-6-4; min(struct(dist, path)) must pick 0-5-4). Path rendered
+    // as a string: arrays stay out of the driver hash (SURVEY §7.4).
+    "q_bfs_paths_golden" -> ((s, _) => {
+      import s.implicits._
+      val edges = TinyG.toDF("src", "dst")
+      Bfs.run(GraphOps.symmetrize(edges), source = 0L,
+          Bfs.Config(withPaths = true))
+        .select(col("id"), col("dist"), array_join(col("path"), "->").as("path"))
+        .orderBy("id")
+    }),
+
+    // Fixed-2-iteration PageRank twin of q_pagerank: same engine code
+    // (PageRank.run), bounded iterations so the oracle is expressible
+    // as non-recursive SQL — converts the pagerank family from a
+    // rows-only check to a hash-matched one. Exactness: contributions
+    // are fixed-point longs (integer sum is order-free) and every
+    // double op (1.0/n, rank/outdeg*1e15 with truncation, base +
+    // damping*csum/1e15) is replayed in the same IEEE order by the
+    // oracle.
+    "q_pagerank_2iter" -> ((s, dir) => {
+      PageRank.run(copurchaseEdges(s, dir), iterations = 2).orderBy("id")
     })
   )
+
+  /** The reference's committed tinyG dataset (datasets/tinyG.txt),
+    * verbatim: 13 vertices, 15 undirected edges. */
+  private val TinyG: Seq[(Long, Long)] = Seq(
+    (0L, 5L), (4L, 3L), (0L, 1L), (9L, 12L), (6L, 4L), (5L, 4L), (0L, 2L),
+    (11L, 12L), (9L, 10L), (0L, 6L), (9L, 11L), (5L, 3L), (0L, 7L), (7L, 8L),
+    (0L, 9L))
 
   // --- DuckDB mirrors of the TextAnalysis formulas (generated from the
   // same stopword lists so Scala and SQL can't drift) -----------------
@@ -1001,8 +1052,12 @@ object SparkEntry {
          |  FROM documents),
          |p AS (
          |  SELECT doc_id, lang, n_tokens,
-         |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |       ROWS UNBOUNDED PRECEDING) - n_tokens) // 4096 AS pack_id
+         |    -- CAST: DuckDB's window sum over BIGINT is HUGEINT, so the
+         |    -- floor-div result must be pinned back to BIGINT to match the
+         |    -- Spark side's .cast("long") (SequencePacking.packByPrefixSum)
+         |    CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |       ROWS UNBOUNDED PRECEDING) - n_tokens) // 4096 AS BIGINT)
+         |      AS pack_id
          |  FROM d)
          |SELECT lang, pack_id, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
@@ -1119,6 +1174,93 @@ object SparkEntry {
          |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, sim FROM p
          |WHERE sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // same deterministic IVF assignment CTEs as q_ann_ivf's oracle
+    // (centroids = vec_id % 25, nprobe 3), then cluster-local pairs
+    "q_embedding_near_dups_ivf" ->
+      s"""WITH $quantCte,
+         |cents AS (SELECT vec_id AS cid, qe AS cqe, nn AS cnn FROM nv
+         |          WHERE vec_id % 25 = 0),
+         |asg AS (
+         |  SELECT vec_id, cid, qe, nn,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY csim DESC, cid) AS crank
+         |  FROM (SELECT v.vec_id, c.cid, v.qe, v.nn,
+         |          ${cosineQSql("v.qe", "c.cqe", "v.nn", "c.cnn")} AS csim
+         |        FROM nv v CROSS JOIN cents c)),
+         |idx AS (SELECT vec_id AS neighbor_id, cid AS cluster, qe, nn
+         |        FROM asg WHERE crank = 1),
+         |probes AS (SELECT vec_id, cid AS cluster, qe, nn
+         |           FROM asg WHERE crank <= 3),
+         |p AS (
+         |  SELECT least(a.vec_id, b.neighbor_id) AS vec_a,
+         |         greatest(a.vec_id, b.neighbor_id) AS vec_b,
+         |         ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
+         |  FROM probes a JOIN idx b
+         |    ON a.cluster = b.cluster AND a.vec_id <> b.neighbor_id)
+         |SELECT DISTINCT vec_a, vec_b, sim FROM p
+         |WHERE sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+
+    // fixed tinyG edges (mirrors the TinyG literal); all shortest
+    // SIMPLE paths enumerated by a bounded recursive walk, then
+    // min(dist) and the lexicographic-min path per vertex
+    "q_bfs_paths_golden" -> {
+      val valuesSql = TinyG.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+      s"""WITH RECURSIVE raw(src, dst) AS (VALUES $valuesSql),
+         |edges AS (
+         |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM raw
+         |  UNION ALL
+         |  SELECT CAST(dst AS BIGINT), CAST(src AS BIGINT) FROM raw),
+         |walk(id, dist, path) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), [CAST(0 AS BIGINT)]
+         |  UNION ALL
+         |  SELECT e.dst, walk.dist + 1, list_append(walk.path, e.dst)
+         |  FROM walk JOIN edges e ON e.src = walk.id
+         |  WHERE walk.dist < 6 AND NOT list_contains(walk.path, e.dst)),
+         |best AS (SELECT id, min(dist) AS dist FROM walk GROUP BY id),
+         |mp AS (SELECT w.id, b.dist, min(w.path) AS path
+         |       FROM walk w JOIN best b ON b.id = w.id AND w.dist = b.dist
+         |       GROUP BY w.id, b.dist)
+         |SELECT id, dist, array_to_string(path, '->') AS path
+         |FROM mp ORDER BY id""".stripMargin
+    },
+
+    // two unrolled power iterations replaying PageRank.run's math in
+    // the same IEEE order: rank0 = 1.0/n; per-edge contribution
+    // trunc(rank/outdeg*1e15) summed as integers; rank' = (1-d)/n +
+    // d*(csum/1e15). trunc() mirrors Spark's double→long cast (DuckDB
+    // CAST alone rounds-to-nearest). Symmetrized graph → no dangling
+    // vertices, every vertex has outdeg ≥ 1.
+    "q_pagerank_2iter" ->
+      // every numeric literal is spelled as a DOUBLE (1e15, CAST AS
+      // DOUBLE): a bare `1.0` is DECIMAL in DuckDB and would silently
+      // switch the whole chain to decimal arithmetic
+      s"""WITH $copurchaseEdgesSql,
+         |deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),
+         |n AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT id, outdeg,
+         |         CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS rank FROM deg),
+         |c1 AS (SELECT e.dst AS id,
+         |         CAST(trunc(r.rank / r.outdeg * 1e15) AS BIGINT) AS c
+         |       FROM r0 r JOIN edges e ON e.src = r.id),
+         |s1 AS (SELECT id, sum(c) AS csum FROM c1 GROUP BY id),
+         |r1 AS (SELECT d.id, d.outdeg,
+         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |             / (SELECT n FROM n)
+         |           + CAST(0.85 AS DOUBLE)
+         |             * (CAST(coalesce(s.csum, 0) AS DOUBLE) / 1e15) AS rank
+         |       FROM deg d LEFT JOIN s1 s ON s.id = d.id),
+         |c2 AS (SELECT e.dst AS id,
+         |         CAST(trunc(r.rank / r.outdeg * 1e15) AS BIGINT) AS c
+         |       FROM r1 r JOIN edges e ON e.src = r.id),
+         |s2 AS (SELECT id, sum(c) AS csum FROM c2 GROUP BY id),
+         |r2 AS (SELECT d.id,
+         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |             / (SELECT n FROM n)
+         |           + CAST(0.85 AS DOUBLE)
+         |             * (CAST(coalesce(s.csum, 0) AS DOUBLE) / 1e15) AS rank
+         |       FROM deg d LEFT JOIN s2 s ON s.id = d.id)
+         |SELECT id, rank FROM r2 ORDER BY id""".stripMargin,
 
     "q_events_window" ->
       """WITH b AS (

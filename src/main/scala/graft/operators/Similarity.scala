@@ -107,9 +107,9 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * quantized cosine ≥ threshold — the embedding-space face of the
-    * dedup family (Dedup covers the token-space faces). Brute force
-    * here; at corpus scale run it per IVF cluster ([[ivfTopK]]'s
-    * assignment) so candidate pairs stay cluster-local. */
+    * dedup family (Dedup covers the token-space faces). Brute force —
+    * the EXACT baseline; [[cosineNearDupsIvf]] is the cluster-local
+    * scale path that never goes all-pairs. */
   def cosineNearDups(df: DataFrame, idCol: String, embCol: String,
                      threshold: Double): DataFrame = {
     val base = quantized(df, idCol, embCol).persist()
@@ -134,6 +134,24 @@ object Similarity {
     * against brute force). */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String,
               k: Int = 5, centroidStride: Int = 25, nprobe: Int = 3): DataFrame = {
+    val ranked = ivfAssignment(df, idCol, embCol, centroidStride, nprobe)
+    val (index, probes) = ivfIndexAndProbes(ranked)
+    val pairs = probes.join(index, Seq("cluster"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineQ(dotLong(col("qe_a"), col("qe_b")),
+        col("nn_a"), col("nn_b")))
+    explodeRanked(pairs.groupBy(col("vec_id"))
+      .agg(TopKBySim.top_k_by_sim(col("sim"), col("neighbor_id"), k).as("tk")))
+  }
+
+  /** Per-vector IVF centroid assignment: (vec_id, tk = nprobe best
+    * centroids best-first, qe, nn). Centroids are the vectors with
+    * `vec_id % centroidStride == 0` (deterministic "training"); the
+    * ranking is a broadcast cross of the tiny centroid set + the
+    * bounded [[TopKBySim]] aggregate — never a full sort. Shared by
+    * [[ivfTopK]] and [[cosineNearDupsIvf]]. */
+  private def ivfAssignment(df: DataFrame, idCol: String, embCol: String,
+                            centroidStride: Int, nprobe: Int): DataFrame = {
     val base = quantized(df, idCol, embCol).persist()
     val cents = base.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cid"), col("qe").as("cqe"), col("nn").as("cnn"))
@@ -150,16 +168,19 @@ object Similarity {
     // top-k aggregate ((csim desc, cid asc) — the same deterministic
     // order a row_number window would give, without sorting the full
     // n×centroids stream)
-    val ranked = base.crossJoin(broadcast(cents))
+    base.crossJoin(broadcast(cents))
       .withColumn("csim", cosineQ(dotLong(col("qe"), col("cqe")),
         col("nn"), col("cnn")))
       .groupBy(col("vec_id"))
       .agg(TopKBySim.top_k_by_sim(col("csim"), col("cid"), nprobe).as("tk"),
         first(col("qe")).as("qe"), first(col("nn")).as("nn"))
       .persist()
+  }
 
-    // candidates live in their single home cluster (best centroid);
-    // queries probe their nprobe nearest clusters
+  /** (index, probes) faces of an [[ivfAssignment]]: candidates live in
+    * their single home cluster (best centroid); queries probe their
+    * nprobe nearest clusters. */
+  private def ivfIndexAndProbes(ranked: DataFrame): (DataFrame, DataFrame) = {
     val index = ranked
       .select(col("vec_id").as("neighbor_id"),
         col("tk").getItem(0).getField("neighbor_id").as("cluster"),
@@ -169,12 +190,36 @@ object Similarity {
         col("qe").as("qe_a"), col("nn").as("nn_a"))
       .select(col("vec_id"), col("probe.neighbor_id").as("cluster"),
         col("qe_a"), col("nn_a"))
+    (index, probes)
+  }
 
-    val pairs = probes.join(index, Seq("cluster"))
+  /** IVF-bucketed embedding near-dup pairs — the scale path for
+    * [[cosineNearDups]]: pairs are generated CLUSTER-LOCALLY (each
+    * vector indexed under its nearest centroid, probed from its nprobe
+    * nearest), so candidate volume is Σ|cluster|·nprobe-bounded instead
+    * of n²; at a 1000-executor scale each cluster bucket is an
+    * independent partition of the shuffle on `cluster`. Approximate
+    * like every IVF method: a qualifying pair is missed only when
+    * neither vector probes the other's home cluster (near-dups have
+    * near-identical centroid rankings, so recall is high — the spec
+    * measures it against the brute-force face). Multi-probe finds a
+    * pair from both sides; `least/greatest + distinct` restores the
+    * one-row-per-pair (vec_a < vec_b) contract.
+    *
+    * @return (vec_a, vec_b, sim), vec_a < vec_b, sim = quantized cosine
+    *         (bit-exact across engines — same math as the brute face) */
+  def cosineNearDupsIvf(df: DataFrame, idCol: String, embCol: String,
+                        threshold: Double, centroidStride: Int = 25,
+                        nprobe: Int = 3): DataFrame = {
+    val ranked = ivfAssignment(df, idCol, embCol, centroidStride, nprobe)
+    val (index, probes) = ivfIndexAndProbes(ranked)
+    probes.join(index, Seq("cluster"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", cosineQ(dotLong(col("qe_a"), col("qe_b")),
         col("nn_a"), col("nn_b")))
-    explodeRanked(pairs.groupBy(col("vec_id"))
-      .agg(TopKBySim.top_k_by_sim(col("sim"), col("neighbor_id"), k).as("tk")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("vec_id"), col("neighbor_id")).as("vec_a"),
+        greatest(col("vec_id"), col("neighbor_id")).as("vec_b"), col("sim"))
+      .distinct()
   }
 }

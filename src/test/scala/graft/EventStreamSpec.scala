@@ -181,6 +181,47 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize: TWO pre-open late events within gap merge into ONE " +
+       "past session (batch parity, ADVICE r3 medium)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val gapMs = 2L * 60000 // 2-min gap, 60-min watermark
+    val q = EventStream.sessionize(mem.toDS(), gapMs, "60 minutes")
+      .writeStream.format("memory").queryName("sess_two_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(60), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // exactly the reported scenario: two admitted late events, both
+      // wholly before the open session, within gapUs of each other —
+      // they must emit as ONE merged session, not two singletons
+      mem.addData(Event(2, ts(50), 1L, "view", 2.0),
+        Event(3, ts(51), 1L, "view", 3.0))
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(10000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(20000), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_two_late").as[EventStream.Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+          s.n_events, s.total_value)).toSet
+      // batch face over the same admitted events defines the contract
+      val batch = EventStream.sessionizeBatch(
+          Seq(Event(1, ts(60), 1L, "view", 1.0),
+            Event(2, ts(50), 1L, "view", 2.0),
+            Event(3, ts(51), 1L, "view", 3.0)).toDF(), gapMs)
+        .select($"user_id", $"session_start", $"session_end", $"n_events",
+          $"total_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect()
+        .map(r => (r._1, r._2.getTime, r._3.getTime, r._4, r._5)).toSet
+      assert(batch == Set(
+        (1L, ts(50).getTime, ts(51).getTime, 2L, 5.0),
+        (1L, ts(60).getTime, ts(60).getTime, 1L, 1.0)))
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("sessionize: late events chaining through the gap INTO the open " +
        "session merge past+event+open into one session") {
     implicit val sql = spark.sqlContext

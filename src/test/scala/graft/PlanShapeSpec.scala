@@ -74,10 +74,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       Set("l_orderkey", "l_partkey"))
   }
 
-  test("q_top_docs_per_lang prunes the ranking window (WindowGroupLimit)") {
+  test("q_top_docs_per_lang ranks with the bounded aggregate, not a window") {
+    // the physical plan the 100 TB design needs: a partial-aggregated
+    // TypedImperativeAggregate (ObjectHashAggregate) over ~5 language
+    // keys — NOT a row_number window, whose per-language full sort
+    // runs in ONE task per language regardless of cluster size. The
+    // final orderBy sorts |langs|·3 result rows, which is fine — ban
+    // Window/WindowGroupLimit nodes specifically, not sorts.
     val p = planOf("q_top_docs_per_lang")
-    assert(p.contains("WindowGroupLimit"),
-      "rank<=3 filter no longer pushes a per-group limit under the window")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window("),
+      "top-3-per-lang regressed to a full-sort ranking window")
+    assert(p.contains("ObjectHashAggregate"),
+      "bounded top_k_by_sim aggregate missing from the plan")
+  }
+
+  test("q_embedding_near_dups_ivf joins cluster-locally (no cartesian)") {
+    val p = planOf("q_embedding_near_dups_ivf")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the tiny broadcast centroid cross
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
   test("q_asof_attribution: as-of join is a single window pass, no self-join") {

@@ -50,6 +50,64 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     pairs.foreach { case (raw, quant) => assert(math.abs(raw - quant) < 5e-3) }
   }
 
+  test("cosineNearDupsIvf: near-identical twins recovered at high recall; " +
+       "pairs are a subset of brute force with identical sims") {
+    // the regime the operator targets: GENUINE near-dups (sim ≈ 1),
+    // where near-identical vectors rank centroids near-identically and
+    // cluster-local search finds the pair. Deterministic LCG fixture:
+    // 100 base vectors + one perturbed twin each (sim ≥ 0.99).
+    var seed = 42L
+    def nextDouble(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+    }
+    val rows = (0 until 100).flatMap { i =>
+      val base = Array.fill(8)(nextDouble().toFloat)
+      val twin = base.map(x => x + 0.005f * nextDouble().toFloat)
+      Seq((i.toLong, base), (1000L + i, twin))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val thr = 0.99
+    val brute = graft.operators.Similarity
+      .cosineNearDups(emb, "vec_id", "embedding", thr)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val ivf = Similarity
+      .cosineNearDupsIvf(emb, "vec_id", "embedding", thr)
+      .as[(Long, Long, Double)].collect()
+    // no false positives, and any found pair carries the exact
+    // brute-force sim (same quantized math)
+    ivf.foreach { case (a, b, s) =>
+      assert(a < b, s"pair order violated: ($a,$b)")
+      assert(brute.contains((a, b)), s"($a,$b) not a true near-dup")
+      assert(brute((a, b)) == s, s"sim mismatch for ($a,$b)")
+    }
+    // one row per pair (multi-probe both-sides finds must be deduped)
+    assert(ivf.map(p => (p._1, p._2)).distinct.length == ivf.length)
+    assert(brute.size >= 90, s"fixture degenerate: ${brute.size} true pairs")
+    val recall = ivf.length.toDouble / brute.size
+    info(f"IVF twin-recall@thr=$thr = $recall%.3f (${ivf.length}/${brute.size})")
+    assert(recall >= 0.9, f"recall $recall%.3f too low for near-identical pairs")
+  }
+
+  test("cosineNearDupsIvf: recall on weakly-similar real pairs measured " +
+       "(approximate by design)") {
+    // sf0.001's pairs at 0.45 are barely-correlated random vectors —
+    // the worst case for IVF bucketing (centroid rankings uncorrelated).
+    // Document the measured floor rather than gating high.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val thr = 0.45
+    val brute = graft.operators.Similarity
+      .cosineNearDups(emb, "vec_id", "embedding", thr)
+      .as[(Long, Long, Double)].collect().length
+    val ivf = Similarity
+      .cosineNearDupsIvf(emb, "vec_id", "embedding", thr)
+      .as[(Long, Long, Double)].collect().length
+    val recall = if (brute == 0) 1.0 else ivf.toDouble / brute
+    info(f"IVF near-dup recall@thr=$thr on sf0.001 = $recall%.3f ($ivf/$brute)")
+    assert(recall >= 0.3, f"recall $recall%.3f below the ivfTopK floor")
+  }
+
   test("ivfTopK: recall vs brute force on real embeddings is reasonable (3-probe)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)

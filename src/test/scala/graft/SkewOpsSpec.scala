@@ -48,6 +48,38 @@ class SkewOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("saltedJoin survives a user column named __salt (collision guard)") {
+    // a user column with the salt's default name must neither be
+    // clobbered on the left nor duplicated on the right — the guard
+    // picks the first free __saltN name
+    val fact = Seq(("hot", 1, "keepL"), ("cold", 2, "keepL2"))
+      .toDF("k", "n", "__salt0")
+    val dim = Seq(("hot", "H"), ("cold", "C")).toDF("k", "__salt")
+    val got = SkewOps.saltedJoin(fact, dim, Seq("k"), saltBuckets = 4)
+      .select($"k", $"n", $"__salt0", $"__salt")
+      .as[(String, Int, String, String)].collect().toSeq.sorted
+    val direct = fact.join(dim, Seq("k"))
+      .select($"k", $"n", $"__salt0", $"__salt")
+      .as[(String, Int, String, String)].collect().toSeq.sorted
+    assert(got == direct)
+    assert(got.map(_._3).toSet == Set("keepL", "keepL2")) // left col intact
+  }
+
+  test("saltedJoin tolerates unhashable (MapType) left columns") {
+    // xxhash64 rejects MapType at analysis — the salt must skip map
+    // columns instead of failing; rows still join correctly
+    val fact = Seq(("hot", 1), ("hot", 2), ("cold", 3)).toDF("k", "n")
+      .withColumn("props", map(lit("a"), $"n"))
+    val dim = Seq(("hot", "H"), ("cold", "C")).toDF("k", "label")
+    val got = SkewOps.saltedJoin(fact, dim, Seq("k"), saltBuckets = 4)
+      .select($"k", $"n", $"label")
+      .as[(String, Int, String)].collect().toSeq.sorted
+    val direct = fact.join(dim, Seq("k"))
+      .select($"k", $"n", $"label")
+      .as[(String, Int, String)].collect().toSeq.sorted
+    assert(got == direct)
+  }
+
   test("raw values that collide after the decimal cast count as ONE distinct") {
     // 1.0000001 and 1.0000002 both round to decimal(30,6) 1.000000 —
     // salting by the RAW value would split them across buckets and

@@ -18,11 +18,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
-    # normalize dtypes for compare
+    return df.reset_index(drop=True)
+
+def kinds(df: pd.DataFrame):
+    """Canonical dtype class per column: width-insensitive (int32==int64)
+    but kind-sensitive (int != float != object), mirroring the driver's
+    value-hash, which distinguishes e.g. a DuckDB HUGEINT window-sum
+    (object/float) from Spark's BIGINT."""
+    return [df[c].dtype.kind for c in df.columns]
+
+def destring(df: pd.DataFrame) -> pd.DataFrame:
+    # value-compare normalization, applied only AFTER kinds() matched
+    df = df.copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.reset_index(drop=True)
+    return df
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -51,9 +62,14 @@ def main():
         if len(spark_df) != len(duck_df):
             failures.append((name, f"rows: spark={len(spark_df)} duck={len(duck_df)}"))
             continue
+        if kinds(spark_df) != kinds(duck_df):
+            failures.append((name, "dtype kinds: spark="
+                             f"{list(zip(spark_df.columns, kinds(spark_df)))} "
+                             f"duck={list(zip(duck_df.columns, kinds(duck_df)))}"))
+            continue
         try:
-            pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False,
-                                          check_exact=True)
+            pd.testing.assert_frame_equal(destring(spark_df), destring(duck_df),
+                                          check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(spark_df)} rows)")
         except AssertionError as e:
             failures.append((name, str(e)[:500]))
