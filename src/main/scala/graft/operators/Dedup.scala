@@ -31,7 +31,7 @@ import graft.functions.{MinHashSigExpr, ShingleHashesExpr, SimHashExpr,
   * (`BFS_map_reduce.py:18-22`) → `array_distinct` here. These operators
   * are the pipeline extensions the brief requires.
   */
-object Dedup {
+object Dedup extends CachePinning {
 
   /** Modulus shared with [[RollingHashExpr.DefaultMod]]. */
   val P: Long = 1000000007L
@@ -141,17 +141,16 @@ object Dedup {
     *
     * Persists the (doc_id, sorted hashes) projection for its three
     * consumers; the persist backs the RETURNED frame — caller
-    * unpersists after materializing (see [[simhashNearDups]]).
+    * releases after materializing ([[CachePinning.releaseCaches]]).
     *
     * @return (doc_a, doc_b, sim), doc_a < doc_b, sim = exact shingle
     *         Jaccard >= threshold */
   def jaccardNearDups(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    val base = df.select(col(idCol).as("doc_id"),
+    val base = pin(df.select(col(idCol).as("doc_id"),
         sort_array(shingleHashes(col(textCol), n)).as("hs"))
-      .withColumn("sz", size(col("hs")))
-      .persist()
+      .withColumn("sz", size(col("hs"))))
     // prefix length |S| - ceil(t*|S|) + 1; the 1e-9 guards float error
     // in t*|S| UPWARD only (a longer prefix is always safe — candidates
     // grow, the exact verify keeps the result identical)
@@ -213,8 +212,8 @@ object Dedup {
     *
     * Persists the shingle+signature projection for its three
     * consumers; the persist backs the RETURNED frame, so the caller
-    * unpersists after materializing (`spark.catalog.clearCache()` or a
-    * `getPersistentRDDs` sweep — Bench/Verify do exactly that). */
+    * releases it after materializing ([[CachePinning.releaseCaches]],
+    * or the session-wide sweep Bench/Verify do). */
   def lshNearDups(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, threshold: Double = 0.5,
                   maxBucketSize: Option[Long] = None): DataFrame = {
@@ -222,10 +221,9 @@ object Dedup {
     // feeds three consumers (band explode, both sides of the verify
     // join) and is by far the dominant per-row cost. Without the
     // persist each consumer re-hashes every document from the source.
-    val base = df.select(col(idCol).as("doc_id"),
+    val base = pin(df.select(col(idCol).as("doc_id"),
         shingleHashes(col(textCol), n).as("hs"))
-      .withColumn("sig", minhashFromHashes(col("hs")))
-      .persist()
+      .withColumn("sig", minhashFromHashes(col("hs"))))
 
     val bandCols = (0 until numBands).map { j =>
       struct(lit(j).as("band"),
@@ -280,8 +278,8 @@ object Dedup {
     *
     * Persists the (doc_id, fingerprint) projection for its multiple
     * consumers; the persist backs the RETURNED frame, so the caller
-    * unpersists after materializing (`spark.catalog.clearCache()` or a
-    * `getPersistentRDDs` sweep — Bench/Verify do exactly that).
+    * releases it after materializing ([[CachePinning.releaseCaches]],
+    * or the session-wide sweep Bench/Verify do).
     *
     * @return (doc_a, doc_b, hamming), doc_a < doc_b, one row per pair */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
@@ -290,9 +288,8 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < nBits)
     val nb = maxHamming + 1
     val bounds = (0 to nb).map(i => i * nBits / nb)
-    val base = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
-      .persist()
-    val sigs = base.select(col("sh")).distinct().persist()
+    val base = pin(df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh")))
+    val sigs = pin(base.select(col("sh")).distinct())
     val bandCols = (0 until nb).map { j =>
       val off = bounds(j)
       val width = bounds(j + 1) - bounds(j)

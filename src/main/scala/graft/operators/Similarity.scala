@@ -31,11 +31,12 @@ import graft.functions.{DotProductLongExpr, TopKBySim}
   *
   * Caching note: each operator persists its quantized projection for
   * the duration of the returned query (it feeds multiple join sides).
-  * Long-lived applications issuing many calls should release caches
-  * between queries (`spark.catalog.clearCache()` — the Bench/Verify
-  * harnesses do) or accept LRU eviction.
+  * Long-lived applications issuing many calls should release those
+  * pins per query via [[CachePinning.releaseCaches]] after
+  * materializing the result (the Bench/Verify harnesses sweep the
+  * whole session cache instead).
   */
-object Similarity {
+object Similarity extends CachePinning {
 
   /** Quantization scale: 3 decimal digits of each embedding value. */
   val QuantScale = 1000
@@ -94,7 +95,7 @@ object Similarity {
     * map-side instead of shuffling + sorting every candidate pair. */
   def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
                      k: Int = 5): DataFrame = {
-    val base = quantized(df, idCol, embCol).persist()
+    val base = pin(quantized(df, idCol, embCol))
     val a = base.select(col("vec_id"), col("qe").as("qe_a"), col("nn").as("nn_a"))
     val b = base.select(col("vec_id").as("neighbor_id"), col("qe").as("qe_b"),
       col("nn").as("nn_b"))
@@ -112,7 +113,7 @@ object Similarity {
     * scale path that never goes all-pairs. */
   def cosineNearDups(df: DataFrame, idCol: String, embCol: String,
                      threshold: Double): DataFrame = {
-    val base = quantized(df, idCol, embCol).persist()
+    val base = pin(quantized(df, idCol, embCol))
     val a = base.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
       col("nn").as("nn_a"))
     val b = base.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
@@ -152,7 +153,7 @@ object Similarity {
     * [[ivfTopK]] and [[cosineNearDupsIvf]]. */
   private def ivfAssignment(df: DataFrame, idCol: String, embCol: String,
                             centroidStride: Int, nprobe: Int): DataFrame = {
-    val base = quantized(df, idCol, embCol).persist()
+    val base = pin(quantized(df, idCol, embCol))
     val cents = base.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cid"), col("qe").as("cqe"), col("nn").as("cnn"))
     // fail loudly instead of returning an empty result: id spaces with
@@ -168,13 +169,12 @@ object Similarity {
     // top-k aggregate ((csim desc, cid asc) — the same deterministic
     // order a row_number window would give, without sorting the full
     // n×centroids stream)
-    base.crossJoin(broadcast(cents))
+    pin(base.crossJoin(broadcast(cents))
       .withColumn("csim", cosineQ(dotLong(col("qe"), col("cqe")),
         col("nn"), col("cnn")))
       .groupBy(col("vec_id"))
       .agg(TopKBySim.top_k_by_sim(col("csim"), col("cid"), nprobe).as("tk"),
-        first(col("qe")).as("qe"), first(col("nn")).as("nn"))
-      .persist()
+        first(col("qe")).as("qe"), first(col("nn")).as("nn")))
   }
 
   /** (index, probes) faces of an [[ivfAssignment]]: candidates live in

@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Physical-plan regression guard for the engineered plan shapes.
   *
@@ -81,10 +82,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // runs in ONE task per language regardless of cluster size. The
     // final orderBy sorts |langs|·3 result rows, which is fine — ban
     // Window/WindowGroupLimit nodes specifically, not sorts.
-    val p = planOf("q_top_docs_per_lang")
-    assert(!p.contains("WindowGroupLimit") && !p.contains("Window("),
-      "top-3-per-lang regressed to a full-sort ranking window")
-    assert(p.contains("ObjectHashAggregate"),
+    val plan = SparkEntry.queries("q_top_docs_per_lang")(spark, dir)
+      .queryExecution.sparkPlan
+    val windowNodes = plan.collect {
+      case w: WindowExec => w
+      case w: WindowGroupLimitExec => w
+    }
+    assert(windowNodes.isEmpty,
+      s"top-3-per-lang regressed to a ranking window: $windowNodes")
+    assert(plan.toString.contains("ObjectHashAggregate"),
       "bounded top_k_by_sim aggregate missing from the plan")
   }
 

@@ -33,6 +33,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(top(3L).head == 2L)
   }
 
+  test("releaseCaches unpersists exactly the operator's pinned frames") {
+    spark.catalog.clearCache()
+    val out = Similarity.cosineNearDups(vecs, "vec_id", "embedding", 0.9)
+    out.count() // materialize — the pinned quantized projection is now cached
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "expected the quantized projection to be cached after materializing")
+    Similarity.releaseCaches(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseCaches left cached entries behind")
+  }
+
   test("quantized sim tracks raw double cosine within quantization error") {
     val a = vecs.select($"vec_id", $"embedding")
     val pairs = a.as("x").crossJoin(a.as("y"))
