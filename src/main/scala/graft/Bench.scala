@@ -21,8 +21,13 @@ object Bench {
     // clearCache() misses localCheckpoint blocks (RDD storage, not the
     // SQL cache) — the iterative ops' results are checkpoint-backed.
     // BLOCKING unpersist: async removal would run concurrently with
-    // (and distort) the next timed query.
+    // (and distort) the next timed query. The per-operator
+    // releaseCaches() calls also drain the CachePinning queues, so the
+    // driver doesn't accumulate plan references across 46+ queries.
     def release(): Unit = {
+      graft.operators.Dedup.releaseCaches(blocking = true)
+      graft.operators.Similarity.releaseCaches(blocking = true)
+      graft.operators.CorpusOps.releaseCaches(blocking = true)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }

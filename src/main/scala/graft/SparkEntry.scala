@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, Dedup, GraphOps,
-  Multimodal, PageRank, RangeJoin, SequencePacking, Similarity, SkewOps,
-  TextAnalysis}
+import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, CorpusOps, Dedup,
+  GraphOps, Multimodal, PageRank, RangeJoin, SequencePacking, Similarity,
+  SkewOps, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.{SimHashExpr, TopKBySim}
 
@@ -594,8 +594,86 @@ object SparkEntry {
     // oracle.
     "q_pagerank_2iter" -> ((s, dir) => {
       PageRank.run(copurchaseEdges(s, dir), iterations = 2).orderBy("id")
+    }),
+
+    // Benchmark decontamination: training docs sharing any token
+    // 4-gram (compared by rolling hash) with the held-out eval slice
+    // (doc_id % 20 == 0). The eval-gram table broadcasts, so the
+    // corpus-side gram stream never shuffles before the per-doc count.
+    "q_decontaminate" -> ((s, dir) => {
+      CorpusOps.decontaminate(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition statistics: bigram multiplicities and
+    // duplicate-token mass per document — the repetition-filter inputs
+    // (docs with <2 tokens have no bigrams and are omitted).
+    "q_repetition_stats" -> ((s, dir) => {
+      CorpusOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic hash-stratified sampling: per-language keep rates
+    // on a portable rolling hash of the id — reproducible across
+    // engines and stable under corpus growth (pure per-row filter).
+    "q_stratified_sample" -> ((s, dir) => {
+      CorpusOps.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          SampleRates.toMap, SampleDefaultPct)
+        .select(col("doc_id"), col("lang"), col("sampled"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus document frequency (the IDF input): per-token doc counts
+    // and exact corpus fraction, one distinct-token explode + hash agg.
+    "q_doc_frequency" -> ((s, dir) => {
+      CorpusOps.docFrequency(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("token")
+    }),
+
+    // corpus_prep extended with the CorpusOps stages — the full
+    // Gopher-style funnel end-to-end: language verification, exact +
+    // transitive near-dup dedup, eval-slice exclusion + benchmark
+    // decontamination, repetition filter, quality floor, deterministic
+    // hash split, per-(split, lang) stats.
+    "q_corpus_prep_v2" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("doc_id"), col("lang"),
+        TextAnalysis.languageId(col("text")).as("gl"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val ecanon = Dedup.exactDedup(d, "doc_id", "text")
+        .select(col("doc_id"), col("is_canonical").as("is_ec"))
+      val ncanon = Dedup.nearDupClusters(d, "doc_id", "text")
+        .select(col("doc_id"), col("is_canonical").as("is_nc"))
+      val contaminated = CorpusOps.decontaminate(d, "doc_id", "text")
+        .select(col("doc_id"))
+      // left join + coalesce: repetitionStats omits <2-token docs,
+      // which are by definition not repetitive
+      val rep = CorpusOps.repetitionStats(d, "doc_id", "text")
+        .select(col("doc_id"), col("repetitive"))
+      val bucket = pmod(TextAnalysis.rollingHash(col("doc_id").cast("string")),
+        lit(10))
+      scored.join(ecanon, "doc_id").join(ncanon, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .join(rep, Seq("doc_id"), "left")
+        .filter(col("is_ec") && col("is_nc") &&
+          pmod(col("doc_id"), lit(CorpusOps.EvalMod)) =!= 0 &&
+          !coalesce(col("repetitive"), lit(false)) &&
+          col("gl") === col("lang") && col("quality") >= 0.5)
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("split", "lang")
     })
   )
+
+  /** Per-language keep percentages for q_stratified_sample (unlisted
+    * langs use [[SampleDefaultPct]]); the oracle CASE is generated
+    * from the same pairs so Scala and SQL can't drift. */
+  private val SampleRates: Seq[(String, Int)] = Seq("en" -> 50, "zh" -> 100)
+  private val SampleDefaultPct = 20
 
   /** The reference's committed tinyG dataset (datasets/tinyG.txt),
     * verbatim: 13 vertices, 15 undirected edges. */
@@ -739,6 +817,72 @@ object SparkEntry {
        |      + 0.25 * (1.0 - least(1.0, punct * 5.0 / (tok + 1.0)))
        |      + 0.25 * least(1.0, c_en * 5.0 / (tok + 1.0)) AS quality
        |  FROM c)""".stripMargin
+
+  // --- DuckDB mirrors of the CorpusOps formulas, generated from the
+  // same constants (DecontamGramSize, EvalMod, TopBigramFracThreshold,
+  // SampleRates) so Scala and SQL can't drift -------------------------
+
+  /** Decontamination CTEs (csh: distinct n-gram hashes per doc; cg:
+    * exploded grams; ceg: eval-set gram hashes; cont: contaminated
+    * train docs with shared-gram counts) — mirrors
+    * CorpusOps.decontaminate (n-gram size and eval modulus interpolate
+    * from the same constants). */
+  private def decontamCte: String = {
+    val n1 = CorpusOps.DecontamGramSize - 1
+    s"""csh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(toks)-$n1, 1)+1),
+       |      i -> array_to_string(list_slice(toks, i, i+$n1), ' '))),
+       |    s -> ${rhSql("s")})) AS ghs
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |        FROM documents)),
+       |cg AS (SELECT doc_id, unnest(ghs) AS gram FROM csh),
+       |ceg AS (SELECT DISTINCT gram FROM cg
+       |        WHERE doc_id % ${CorpusOps.EvalMod} = 0),
+       |cont AS (
+       |  SELECT cg.doc_id AS doc_id, count(*) AS n_shared_grams
+       |  FROM cg JOIN ceg USING (gram)
+       |  WHERE cg.doc_id % ${CorpusOps.EvalMod} <> 0
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  /** Repetition-stats CTEs (rt: tokens; rb: base stats + bigrams WITH
+    * multiplicity; rc: per-(doc, bigram) counts; rpd: per-doc bigram
+    * aggregates; rep: the full stat row) — mirrors
+    * CorpusOps.repetitionStats, including the <2-token omission. */
+  private def repetitionCte: String =
+    s"""rt AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |       FROM documents),
+       |rb AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |         list_transform(range(1, len(toks)),
+       |           i -> array_to_string(list_slice(toks, i, i+1), ' ')) AS bigrams
+       |       FROM rt WHERE len(toks) >= 2),
+       |rc AS (SELECT doc_id, bg, count(*) AS n
+       |       FROM (SELECT doc_id, unnest(bigrams) AS bg FROM rb)
+       |       GROUP BY doc_id, bg),
+       |rpd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       |          CAST(max(n) AS BIGINT) AS top_bigram_n
+       |        FROM rc GROUP BY doc_id),
+       |rep AS (
+       |  SELECT rb.doc_id, n_tokens, n_distinct_tokens,
+       |    CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens
+       |      AS dup_token_frac,
+       |    n_bigrams, top_bigram_n,
+       |    CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
+       |    CAST(top_bigram_n AS DOUBLE) / n_bigrams
+       |      > CAST(${CorpusOps.TopBigramFracThreshold} AS DOUBLE)
+       |      AS repetitive
+       |  FROM rb JOIN rpd USING (doc_id))""".stripMargin
+
+  /** Keep-percentage CASE for q_stratified_sample — generated from the
+    * same [[SampleRates]] pairs the Spark query passes. */
+  private def sampleCaseSql: String = {
+    val arms = SampleRates.map { case (l, p) => s"WHEN lang = '$l' THEN $p" }
+      .mkString(" ")
+    s"CASE $arms ELSE $SampleDefaultPct END"
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1334,6 +1478,80 @@ object SparkEntry {
         |         AS revenue,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $decontamCte
+         |SELECT doc_id, n_shared_grams FROM cont ORDER BY doc_id""".stripMargin,
+
+    "q_repetition_stats" ->
+      s"""WITH $repetitionCte
+         |SELECT doc_id, n_tokens, n_distinct_tokens, dup_token_frac,
+         |       n_bigrams, top_bigram_n, top_bigram_frac, repetitive
+         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang,
+         |  ${rhSql("CAST(doc_id AS VARCHAR)")} % 100 < ($sampleCaseSql)
+         |    AS sampled
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_frequency" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest(list_distinct($toksSql)) AS token
+         |  FROM documents),
+         |df AS (SELECT token, count(*) AS doc_freq FROM dt
+         |       WHERE len(token) > 0 GROUP BY token),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT token, doc_freq, n_docs,
+         |       CAST(doc_freq AS DOUBLE) / n_docs AS df_frac
+         |FROM df, nd ORDER BY token""".stripMargin,
+
+    // v1's composed funnel + the CorpusOps stages, assembled from the
+    // SAME shared fragments as the stage-level oracles (decontamCte,
+    // repetitionCte) — composed and per-stage forms can't drift
+    "q_corpus_prep_v2" ->
+      s"""WITH RECURSIVE ${qualityScoredCte.replace("scored AS (", "qscored AS (")},
+         |f AS (SELECT doc_id, $fingerprintSql AS fp FROM documents),
+         |ecanon AS (
+         |  SELECT doc_id,
+         |         doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_ec
+         |  FROM f),
+         |$lshPipelineSql,
+         |pedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM scored WHERE sim >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM scored WHERE sim >= 0.5),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM pedges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN pedges e ON e.src = reach.r),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |asg AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |$decontamCte,
+         |$repetitionCte,
+         |toks AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |         FROM documents),
+         |kept AS (
+         |  SELECT q.doc_id, q.lang, t.n_tokens,
+         |    ${rhSql("CAST(q.doc_id AS VARCHAR)")} % 10 AS b
+         |  FROM qscored q
+         |  JOIN ecanon e ON e.doc_id = q.doc_id
+         |  JOIN asg a ON a.doc_id = q.doc_id
+         |  JOIN toks t ON t.doc_id = q.doc_id
+         |  LEFT JOIN cont ct ON ct.doc_id = q.doc_id
+         |  LEFT JOIN rep r ON r.doc_id = q.doc_id
+         |  WHERE e.is_ec AND a.doc_id = a.cluster
+         |    AND q.doc_id % ${CorpusOps.EvalMod} <> 0
+         |    AND ct.doc_id IS NULL
+         |    AND NOT coalesce(r.repetitive, false)
+         |    AND q.gl = q.lang AND q.quality >= 0.5)
+         |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       lang, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -23,7 +23,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators persist; isolate queries (incl. localCheckpoint
-      // blocks, which clearCache does not release)
+      // blocks, which clearCache does not release). releaseCaches also
+      // drains the CachePinning queues (driver-side plan references).
+      graft.operators.Dedup.releaseCaches()
+      graft.operators.Similarity.releaseCaches()
+      graft.operators.CorpusOps.releaseCaches()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -17,9 +17,21 @@ import org.apache.spark.sql.DataFrame
   * materializing a query's result: it unpersists exactly the frames
   * that object pinned since the last release, nothing else.
   *
-  * Thread-safe: pins land in a concurrent queue; concurrent release
-  * and pin interleave safely (a frame pinned during a release is
-  * either drained now or released next time).
+  * Thread-safe mechanically (pins land in a concurrent queue;
+  * concurrent release and pin interleave without corruption), but the
+  * release SEMANTICS assume serialized query issuance per operator
+  * object: pins live on the singleton (Dedup, Similarity, CorpusOps),
+  * so thread A's post-materialization release also drains pins backing
+  * thread B's not-yet-materialized query — B silently reverts to full
+  * recomputation (correct, but re-pays the per-row cost the persist
+  * exists to avoid). Applications issuing these operators concurrently
+  * should materialize results before the next call, or skip
+  * releaseCaches and rely on storage-level LRU eviction.
+  *
+  * Callers that never invoke releaseCaches leak strong DataFrame
+  * references into the queue (block storage still frees via LRU or
+  * `clearCache()`, but the plan objects stay driver-resident) — the
+  * graft harnesses (Bench, Verify) drain it after every query.
   */
 private[graft] trait CachePinning {
 

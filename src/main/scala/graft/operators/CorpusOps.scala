@@ -30,13 +30,18 @@ import graft.operators.{Dedup, TextAnalysis}
   *    vocabulary (distinct tokens) is orders of magnitude smaller than
   *    the corpus, so the post-agg side is small.
   */
-object CorpusOps {
+object CorpusOps extends CachePinning {
 
   /** Token n-gram size used for decontamination overlap. 4 balances
     * false positives (shared short phrases) against misses; standard
     * pipelines use 8-13 on natural text — the synthetic corpus's small
     * vocabulary needs the shorter gram to exercise both outcomes. */
   val DecontamGramSize = 4
+
+  /** Default eval-set membership modulus for [[decontaminate]]:
+    * `id % EvalMod == 0` marks a doc as held-out. Named so the DuckDB
+    * oracle SQL is generated from the same constant. */
+  val EvalMod = 20
 
   /** Flag training documents that share any token `n`-gram with a
     * held-out evaluation set (benchmark decontamination).
@@ -45,19 +50,25 @@ object CorpusOps {
     * (in a real pipeline it would be the benchmark corpus read from
     * its own table; the membership predicate is orthogonal to the
     * overlap machinery). Grams are compared by their rolling hash
-    * ([[Dedup.shingleHashes]] — DISTINCT n-gram hashes per doc, one
-    * native pass); the oracle computes the identical hash, so engine
-    * and oracle agree bit-for-bit even on the (astronomically rare)
-    * collision.
+    * ([[Dedup.shingleHashes]], one native pass, then `array_distinct`
+    * on the HASHES — shingleHashes dedups on the shingle STRING, so a
+    * within-doc hash collision would otherwise double-count a gram);
+    * the oracle computes the identical hash set, so engine and oracle
+    * agree bit-for-bit even on the (astronomically rare) collision.
     *
     * Returns one row per CONTAMINATED training doc:
     * `(id, n_shared_grams)` where n_shared_grams counts the distinct
-    * n-grams of the doc that appear anywhere in the eval set.
+    * n-gram hashes of the doc that appear anywhere in the eval set.
     */
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = DecontamGramSize, evalMod: Int = 20): DataFrame = {
-    val grams = df.select(col(idCol),
-      explode(Dedup.shingleHashes(col(textCol), n)).as("gram"))
+                    n: Int = DecontamGramSize, evalMod: Int = EvalMod): DataFrame = {
+    // one shingling pass shared by the eval and train consumers —
+    // ShingleHashesExpr is the dominant per-row cost, so the projection
+    // is pinned rather than recomputed per join side (release via
+    // CorpusOps.releaseCaches() after materializing the result)
+    val grams = pin(df.select(col(idCol),
+      explode(array_distinct(Dedup.shingleHashes(col(textCol), n)))
+        .as("gram")))
     val isEval = pmod(col(idCol), lit(evalMod)) === 0
     val evalGrams = grams.filter(isEval).select("gram").distinct()
     // eval grams ≪ corpus grams: broadcast, so the corpus side streams
@@ -65,7 +76,8 @@ object CorpusOps {
     grams.filter(!isEval)
       .join(broadcast(evalGrams), "gram")
       .groupBy(idCol)
-      // per-doc gram hashes are already distinct (shingleHashes dedups)
+      // per-doc grams are distinct by construction (array_distinct
+      // above), so count(*) == distinct shared-gram count
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 

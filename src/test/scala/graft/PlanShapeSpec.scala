@@ -108,6 +108,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Window"))
   }
 
+  test("q_decontaminate broadcasts the eval-gram probe") {
+    // the 100 TB claim (CorpusOps scale notes): the corpus-side gram
+    // stream must probe a BROADCAST eval table — a shuffled join here
+    // would exchange every gram of the training corpus
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval-gram probe lost its broadcast — corpus grams would shuffle")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_repetition_stats aggregates in HashAggregate, no window, no NLJ") {
+    val plan = SparkEntry.queries("q_repetition_stats")(spark, dir)
+      .queryExecution.sparkPlan
+    val windowNodes = plan.collect { case w: WindowExec => w }
+    assert(windowNodes.isEmpty, "repetition stats regressed to a window")
+    val p = plan.toString
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("stratifiedSample is a pure per-row filter — zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.functions.col
+    // the operator itself (before any presentational orderBy) must not
+    // shuffle: the sample is a pure function of each row
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.CorpusOps
+      .stratifiedSample(d, "doc_id", "lang", Map("en" -> 50), 20)
+      .select(col("doc_id"), col("sampled"))
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      s"stratifiedSample plans an exchange: $exchanges")
+  }
+
   test("text analysis runs without UDFs or interpreted HOFs in the plan") {
     for (q <- Seq("q_text_stats", "q_lang_quality")) {
       val p = planOf(q)
