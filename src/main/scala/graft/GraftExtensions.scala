@@ -19,9 +19,9 @@ import graft.functions._
   * After either, `spark.sql("SELECT rolling_hash(text), ...")` works —
   * `rolling_hash`, `simhash`, `shingle_hashes(text, n)`,
   * `minhash_sig`, `dot_long`, `token_hashes`,
-  * `sorted_intersect_size`, and the aggregate
-  * `top_k_by_sim(sim, id, k)`. (`stop_counts` stays Scala-only: its
-  * stopword-list parameter has no SQL literal form.)
+  * `sorted_intersect_size`, `top_ngram_count(text, n)`, and the
+  * aggregate `top_k_by_sim(sim, id, k)`. (`stop_counts` stays
+  * Scala-only: its stopword-list parameter has no SQL literal form.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -75,7 +75,12 @@ object GraftExtensions {
       ("top_k_by_sim",
         info("top_k_by_sim",
           "top_k_by_sim(sim, id, k) - top-k (neighbor_id, sim) pairs per group"),
-        { case Seq(s, id, k) => TopKBySim(s, id, intLit(k, "k")) }))
+        { case Seq(s, id, k) => TopKBySim(s, id, intLit(k, "k")) }),
+      ("top_ngram_count",
+        info("top_ngram_count",
+          "top_ngram_count(text, n) - multiplicity of the most frequent " +
+            "word n-gram (by rolling hash)"),
+        { case Seq(t, n) => TopNgramCountExpr(t, intLit(n, "ngram size n")) }))
 
   /** Wrap a builder so a wrong argument count surfaces as a clear
     * error instead of a raw scala.MatchError from the partial
@@ -83,7 +88,7 @@ object GraftExtensions {
   private val arities = Map("rolling_hash" -> 1, "simhash" -> 1,
     "shingle_hashes" -> 2, "minhash_sig" -> 1, "dot_long" -> 2,
     "token_hashes" -> 1, "sorted_intersect_size" -> 2,
-    "top_k_by_sim" -> 3)
+    "top_k_by_sim" -> 3, "top_ngram_count" -> 2)
 
   /** Wrap a builder so a wrong argument count surfaces as a clear
     * error instead of a raw scala.MatchError from the partial

@@ -634,33 +634,15 @@ object SparkEntry {
     // Gopher-style funnel end-to-end: language verification, exact +
     // transitive near-dup dedup, eval-slice exclusion + benchmark
     // decontamination, repetition filter, quality floor, deterministic
-    // hash split, per-(split, lang) stats.
+    // hash split, per-(split, lang) stats. The funnel itself lives in
+    // CorpusOps.corpusPrepKept, which computes every text-derived
+    // input in ONE pinned projection shared by all five stages.
     "q_corpus_prep_v2" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val scored = d.select(col("doc_id"), col("lang"),
-        TextAnalysis.languageId(col("text")).as("gl"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-      val ecanon = Dedup.exactDedup(d, "doc_id", "text")
-        .select(col("doc_id"), col("is_canonical").as("is_ec"))
-      val ncanon = Dedup.nearDupClusters(d, "doc_id", "text")
-        .select(col("doc_id"), col("is_canonical").as("is_nc"))
-      val contaminated = CorpusOps.decontaminate(d, "doc_id", "text")
-        .select(col("doc_id"))
-      // left join + coalesce: repetitionStats omits <2-token docs,
-      // which are by definition not repetitive
-      val rep = CorpusOps.repetitionStats(d, "doc_id", "text")
-        .select(col("doc_id"), col("repetitive"))
+      val kept = CorpusOps.corpusPrepKept(t(s, dir, "documents"),
+        "doc_id", "text", "lang")
       val bucket = pmod(TextAnalysis.rollingHash(col("doc_id").cast("string")),
         lit(10))
-      scored.join(ecanon, "doc_id").join(ncanon, "doc_id")
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .join(rep, Seq("doc_id"), "left")
-        .filter(col("is_ec") && col("is_nc") &&
-          pmod(col("doc_id"), lit(CorpusOps.EvalMod)) =!= 0 &&
-          !coalesce(col("repetitive"), lit(false)) &&
-          col("gl") === col("lang") && col("quality") >= 0.5)
-        .withColumn("split",
+      kept.withColumn("split",
           when(bucket < 8, "train").when(bucket === 8, "val")
             .otherwise("test"))
         .groupBy(col("split"), col("lang"))
@@ -848,9 +830,11 @@ object SparkEntry {
   }
 
   /** Repetition-stats CTEs (rt: tokens; rb: base stats + bigrams WITH
-    * multiplicity; rc: per-(doc, bigram) counts; rpd: per-doc bigram
-    * aggregates; rep: the full stat row) — mirrors
-    * CorpusOps.repetitionStats, including the <2-token omission. */
+    * multiplicity; rc: per-(doc, bigram-HASH) counts — the engine
+    * counts multiplicity per rolling hash (TopNgramCountExpr), so the
+    * oracle groups the same hashes; rpd: per-doc bigram aggregates;
+    * rep: the full stat row) — mirrors CorpusOps.repetitionStats,
+    * including the <2-token omission. */
   private def repetitionCte: String =
     s"""rt AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
        |       FROM documents),
@@ -860,7 +844,8 @@ object SparkEntry {
        |           i -> array_to_string(list_slice(toks, i, i+1), ' ')) AS bigrams
        |       FROM rt WHERE len(toks) >= 2),
        |rc AS (SELECT doc_id, bg, count(*) AS n
-       |       FROM (SELECT doc_id, unnest(bigrams) AS bg FROM rb)
+       |       FROM (SELECT doc_id, unnest(list_transform(bigrams,
+       |                    s -> ${rhSql("s")})) AS bg FROM rb)
        |       GROUP BY doc_id, bg),
        |rpd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
        |          CAST(max(n) AS BIGINT) AS top_bigram_n

@@ -135,6 +135,84 @@ object TokenHashesExpr {
     ColumnBridge.column(TokenHashesExpr(ColumnBridge.expression(text)))
 }
 
+/** `top_ngram_count(text, n)` — the multiplicity of the MOST FREQUENT
+  * word n-gram of the lowercased text (n-grams compared by their
+  * rolling hash), in one native pass. The Gopher-style repetition
+  * filter's core statistic (top-bigram fraction = this / (tokens-n+1)).
+  *
+  * Computing this relationally costs two cluster-wide exchanges for a
+  * document-LOCAL number: explode every n-gram of the corpus, groupBy
+  * (doc, gram), groupBy (doc) — at 100 TB that ships the entire token
+  * stream through two shuffles. This expression keeps it a per-row
+  * projection: hash each n-gram (same [[RollingHashExpr]] as the
+  * shingle/dedup family, so the DuckDB oracle mirrors it by counting
+  * `rh(gram)` groups), sort the per-document hash array, and take the
+  * longest equal run — zero exchanges at any scale.
+  *
+  * Parity contract with the oracle (and [[ShingleHashesExpr]]):
+  * UTF8String lowercase, `split("\\s+", -1)` tokens, space-joined
+  * n-grams WITH multiplicity (no dedup). Multiplicity is counted per
+  * HASH — an (astronomically rare) within-document collision merges
+  * two gram groups on BOTH the engine and oracle side identically.
+  * Texts with fewer than n tokens have no complete n-gram and yield 0.
+  */
+case class TopNgramCountExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_ngram_count"
+
+  override def nullSafeEval(input: Any): Any =
+    TopNgramCountExpr.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TopNgramCountExpr.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TopNgramCountExpr {
+
+  /** Referenced from generated code — keep public and static-shaped. */
+  def compute(text: UTF8String, n: Int): Long = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val m = toks.length - (n - 1)
+    if (m <= 0) return 0L
+    val hs = new Array[Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      hs(i) = RollingHashExpr.hash(sb.toString,
+        RollingHashExpr.DefaultBase, RollingHashExpr.DefaultMod)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var best = 1L
+    var run = 1L
+    var k = 1
+    while (k < m) {
+      if (hs(k) == hs(k - 1)) {
+        run += 1
+        if (run > best) best = run
+      } else run = 1L
+      k += 1
+    }
+    best
+  }
+
+  def top_ngram_count(text: Column, n: Int): Column =
+    ColumnBridge.column(TopNgramCountExpr(ColumnBridge.expression(text), n))
+}
+
 /** `minhash_sig(hashes)` — the k-component MinHash signature of an
   * `array<long>` in one native pass (k affine permutations
   * `(a_i*h + b_i) mod P`, tracking all k minima simultaneously),

@@ -55,4 +55,15 @@ private[graft] trait CachePinning {
       d = pins.poll()
     }
   }
+
+  /** Pins registered and not yet released — test/diagnostic surface
+    * (CachePinningSpec asserts the harness drain leaves this at 0).
+    *
+    * On the queue's strong references: they are NOT the retention
+    * root — Spark's CacheManager itself holds every persisted plan
+    * strongly until unpersist, so a WeakReference queue would not free
+    * anything; it would only lose the handle needed to unpersist after
+    * a GC, making the leak permanent. Strong refs + an explicit drain
+    * is the correct shape. */
+  private[graft] def pinnedCount: Int = pins.size()
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.TopNgramCountExpr
 import graft.operators.{Dedup, TextAnalysis}
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
@@ -21,9 +22,10 @@ import graft.operators.{Dedup, TextAnalysis}
   *    corpus (benchmarks are MBs, corpora are TBs) — it is broadcast,
   *    so the corpus-side gram stream never shuffles; the only exchange
   *    is the final per-doc count aggregation (map-side combined).
-  *  - repetitionStats: explode + two-level hash aggregation; both
-  *    shuffles are on (doc_id[, bigram]) with partial aggregation, so
-  *    reducers see combiner output, not raw grams.
+  *  - repetitionStats: every statistic is document-local, so the whole
+  *    operator is one per-row projection (native one-pass top-bigram
+  *    multiplicity, [[graft.functions.TopNgramCountExpr]]) — zero
+  *    shuffles at any scale.
   *  - stratifiedSample: a pure per-row filter on a portable hash — no
   *    shuffle, no sampling state, reproducible across runs/engines.
   *  - docFrequency: explode distinct tokens + one hash aggregation;
@@ -61,14 +63,26 @@ object CorpusOps extends CachePinning {
     * n-gram hashes of the doc that appear anywhere in the eval set.
     */
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = DecontamGramSize, evalMod: Int = EvalMod): DataFrame = {
-    // one shingling pass shared by the eval and train consumers —
-    // ShingleHashesExpr is the dominant per-row cost, so the projection
-    // is pinned rather than recomputed per join side (release via
-    // CorpusOps.releaseCaches() after materializing the result)
-    val grams = pin(df.select(col(idCol),
-      explode(array_distinct(Dedup.shingleHashes(col(textCol), n)))
-        .as("gram")))
+                    n: Int = DecontamGramSize, evalMod: Int = EvalMod): DataFrame =
+    decontaminateFromGrams(df.select(col(idCol),
+      array_distinct(Dedup.shingleHashes(col(textCol), n)).as("grams")),
+      idCol, evalMod)
+
+  /** [[decontaminate]] over a PRECOMPUTED `grams` column (the distinct
+    * n-gram hashes per doc, as `array<long>`) — the entry point for
+    * pipelines that already paid the shingling pass (corpus-prep v2
+    * pins one shared projection feeding every stage).
+    *
+    * Deliberately unpersisted here: the eval/train consumers are
+    * disjoint filters of the same scan, and Catalyst pushes each
+    * filter below the Generate — every doc is shingled exactly once
+    * per consumer's own scan, and the post-explode gram stream (one
+    * row per corpus TOKEN — TB-scale at 100 TB) never materializes.
+    * Callers who want the pre-explode projection shared hand in a
+    * persisted `base` themselves. */
+  def decontaminateFromGrams(base: DataFrame, idCol: String,
+                             evalMod: Int = EvalMod): DataFrame = {
+    val grams = base.select(col(idCol), explode(col("grams")).as("gram"))
     val isEval = pmod(col(idCol), lit(evalMod)) === 0
     val evalGrams = grams.filter(isEval).select("gram").distinct()
     // eval grams ≪ corpus grams: broadcast, so the corpus side streams
@@ -76,8 +90,9 @@ object CorpusOps extends CachePinning {
     grams.filter(!isEval)
       .join(broadcast(evalGrams), "gram")
       .groupBy(idCol)
-      // per-doc grams are distinct by construction (array_distinct
-      // above), so count(*) == distinct shared-gram count
+      // per-doc grams are distinct by construction (array_distinct in
+      // the callers' projections), so count(*) == distinct shared-gram
+      // count
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
@@ -94,26 +109,39 @@ object CorpusOps extends CachePinning {
     * fractions are integer-derived double divisions (bit-exact across
     * engines); `repetitive` = top_bigram_frac > [[TopBigramFracThreshold]].
     *
+    * Every statistic is document-local, so the whole operator is ONE
+    * per-row projection + filter — zero exchanges at any scale:
+    *  - `n_bigrams` is definitional (`n_tokens - 1` for docs with ≥ 2
+    *    tokens — bigrams carry multiplicity);
+    *  - `top_bigram_n` is one native pass ([[TopNgramCountExpr]]:
+    *    hash each bigram, sort, longest equal run). The earlier
+    *    relational form (explode → groupBy(id, bigram) → groupBy(id))
+    *    shipped the corpus's entire bigram stream through two shuffles
+    *    to compute these per-row numbers — a scale-killer at 100 TB.
+    *    Bigrams are counted by rolling hash (like the whole dedup
+    *    family); the oracle counts the same hashes, so a within-doc
+    *    collision merges the same groups on both sides.
+    *
     * Docs with fewer than 2 tokens have no bigrams and are omitted
     * (the synthetic corpus floor is 10 tokens; a production caller
     * would left-join this onto the base table).
     */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    // bigrams WITH multiplicity — Dedup.shingles dedups, so build the
-    // slide directly; guard size>=2 (sequence(1,0) would step backward)
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    val base = df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-      bigrams.as("bigrams"))
-    val perBigram = base.select(col(idCol), explode(col("bigrams")).as("bg"))
-      .groupBy(idCol, "bg").agg(count(lit(1)).as("n"))
-    val perDoc = perBigram.groupBy(idCol)
-      .agg(sum("n").as("n_bigrams"), max("n").as("top_bigram_n"))
-    base.drop("bigrams").join(perDoc, idCol)
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    repetitionStatsFromCols(df.select(
+      col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextAnalysis.distinctTokenCount(col(textCol)).cast("long")
+        .as("n_distinct_tokens"),
+      TopNgramCountExpr.top_ngram_count(
+        coalesce(col(textCol), lit("")), 2).as("top_bigram_n")), idCol)
+
+  /** [[repetitionStats]] body over PRECOMPUTED per-row columns
+    * (`n_tokens`, `n_distinct_tokens`, `top_bigram_n`) — lets a
+    * multi-stage pipeline that already paid the tokenize pass (e.g.
+    * corpus-prep v2's shared projection) derive the stats for free. */
+  def repetitionStatsFromCols(base: DataFrame, idCol: String): DataFrame =
+    base.filter(col("n_tokens") >= 2)
+      .withColumn("n_bigrams", col("n_tokens") - 1)
       .withColumn("dup_token_frac",
         (col("n_tokens") - col("n_distinct_tokens")).cast("double") /
           col("n_tokens"))
@@ -124,6 +152,70 @@ object CorpusOps extends CachePinning {
       .select(col(idCol), col("n_tokens"), col("n_distinct_tokens"),
         col("dup_token_frac"), col("n_bigrams"), col("top_bigram_n"),
         col("top_bigram_frac"), col("repetitive"))
+
+  /** The full corpus-prep funnel (the q_corpus_prep_v2 engine): language
+    * verification, exact + transitive near-dup dedup, eval-slice
+    * exclusion + benchmark decontamination, repetition filter, quality
+    * floor — returning `(id, lang, n_tokens)` of the KEPT documents
+    * (callers add their split/stat presentation).
+    *
+    * Every text-derived input — language guess, quality, token counts,
+    * fingerprint, 3-gram LSH shingles, [[DecontamGramSize]]-gram
+    * decontamination shingles, top-bigram multiplicity — is computed in
+    * ONE pinned projection feeding all five stages. The stages consume
+    * it through their precomputed-column entry points
+    * ([[Dedup.exactDedupFromFingerprints]],
+    * [[Dedup.nearDupClustersFromHashes]], [[decontaminateFromGrams]],
+    * [[repetitionStatsFromCols]]); the earlier composition re-read the
+    * parquet and re-tokenized the corpus once PER STAGE (~5 full text
+    * passes — measured 10.2s vs v1's 2.5s at sf0.1). At 100 TB the
+    * shared projection is the difference between one corpus scan and
+    * five.
+    *
+    * Pins the shared projection ([[CachePinning]]); callers release via
+    * [[releaseCaches]] after materializing (Bench/Verify drain it per
+    * query).
+    */
+  def corpusPrepKept(df: DataFrame, idCol: String, textCol: String,
+                     langCol: String, minQuality: Double = 0.5,
+                     evalMod: Int = EvalMod): DataFrame = {
+    val txt = col(textCol)
+    val shared = pin(df.select(col(idCol), col(langCol),
+      TextAnalysis.languageId(txt).as("gl"),
+      TextAnalysis.qualityScore(txt).as("quality"),
+      TextAnalysis.tokenCount(txt).cast("long").as("n_tokens"),
+      TextAnalysis.distinctTokenCount(txt).cast("long")
+        .as("n_distinct_tokens"),
+      TextAnalysis.fingerprintMd5(txt).as("fingerprint"),
+      Dedup.shingleHashes(txt, 3).as("hs3"),
+      array_distinct(Dedup.shingleHashes(txt, DecontamGramSize)).as("grams"),
+      TopNgramCountExpr.top_ngram_count(coalesce(txt, lit("")), 2)
+        .as("top_bigram_n")))
+    val ecanon = Dedup.exactDedupFromFingerprints(
+        shared.select(col(idCol), col("fingerprint")), idCol)
+      .select(col(idCol), col("is_canonical").as("is_ec"))
+    val ncanon = Dedup.nearDupClustersFromHashes(
+        shared.select(col(idCol).as("doc_id"), col("hs3").as("hs")))
+      .select(col("doc_id").as(idCol), col("is_canonical").as("is_nc"))
+    val contaminated = decontaminateFromGrams(
+        shared.select(col(idCol), col("grams")), idCol, evalMod)
+      .select(col(idCol))
+    // left join + coalesce: repetitionStats omits <2-token docs, which
+    // are by definition not repetitive
+    val rep = repetitionStatsFromCols(
+        shared.select(col(idCol), col("n_tokens"),
+          col("n_distinct_tokens"), col("top_bigram_n")), idCol)
+      .select(col(idCol), col("repetitive"))
+    shared.select(col(idCol), col(langCol), col("gl"), col("quality"),
+        col("n_tokens"))
+      .join(ecanon, idCol).join(ncanon, idCol)
+      .join(contaminated, Seq(idCol), "left_anti")
+      .join(rep, Seq(idCol), "left")
+      .filter(col("is_ec") && col("is_nc") &&
+        pmod(col(idCol), lit(evalMod)) =!= 0 &&
+        !coalesce(col("repetitive"), lit(false)) &&
+        col("gl") === col(langCol) && col("quality") >= minQuality)
+      .select(col(idCol), col(langCol), col("n_tokens"))
   }
 
   /** Deterministic hash-based stratified sampling: keep a row iff

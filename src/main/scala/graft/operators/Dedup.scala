@@ -90,10 +90,16 @@ object Dedup extends CachePinning {
     * insensitive md5, [[TextAnalysis.fingerprintMd5]]). Marks each row
     * with its group's canonical (min) id — one shuffle on the
     * fingerprint, no skew at scale (128-bit key). */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDedupFromFingerprints(df.select(col(idCol),
+      TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint")), idCol)
+
+  /** [[exactDedup]] over a PRECOMPUTED `fingerprint` column — for
+    * pipelines whose shared text projection already pays the
+    * fingerprint pass (corpus-prep v2). */
+  def exactDedupFromFingerprints(base: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy("fingerprint")
-    df.select(col(idCol),
-        TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
+    base.select(col(idCol), col("fingerprint"))
       .withColumn("canonical_id", min(col(idCol)).over(w))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col(idCol) === col("canonical_id"))
@@ -216,13 +222,21 @@ object Dedup extends CachePinning {
     * or the session-wide sweep Bench/Verify do). */
   def lshNearDups(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, threshold: Double = 0.5,
-                  maxBucketSize: Option[Long] = None): DataFrame = {
+                  maxBucketSize: Option[Long] = None): DataFrame =
+    lshNearDupsFromHashes(df.select(col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), n).as("hs")), threshold, maxBucketSize)
+
+  /** [[lshNearDups]] over a PRECOMPUTED `(doc_id, hs)` frame (`hs` =
+    * the document's distinct shingle hashes as `array<long>`) — for
+    * pipelines whose shared text projection already pays the shingling
+    * pass (corpus-prep v2). */
+  def lshNearDupsFromHashes(hsBase: DataFrame, threshold: Double = 0.5,
+                            maxBucketSize: Option[Long] = None): DataFrame = {
     // Shingle + signature projection evaluated ONCE and cached: it
     // feeds three consumers (band explode, both sides of the verify
     // join) and is by far the dominant per-row cost. Without the
     // persist each consumer re-hashes every document from the source.
-    val base = pin(df.select(col(idCol).as("doc_id"),
-        shingleHashes(col(textCol), n).as("hs"))
+    val base = pin(hsBase.select(col("doc_id"), col("hs"))
       .withColumn("sig", minhashFromHashes(col("hs"))))
 
     val bandCols = (0 until numBands).map { j =>
@@ -342,8 +356,15 @@ object Dedup extends CachePinning {
     * cluster sizes (one shuffle on cluster id). */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.5,
-                      maxBucketSize: Option[Long] = None): DataFrame = {
-    val pairs = lshNearDups(df, idCol, textCol, n, threshold, maxBucketSize)
+                      maxBucketSize: Option[Long] = None): DataFrame =
+    nearDupClustersFromHashes(df.select(col(idCol).as("doc_id"),
+      shingleHashes(col(textCol), n).as("hs")), threshold, maxBucketSize)
+
+  /** [[nearDupClusters]] over a PRECOMPUTED `(doc_id, hs)` frame — see
+    * [[lshNearDupsFromHashes]]. */
+  def nearDupClustersFromHashes(hsBase: DataFrame, threshold: Double = 0.5,
+                                maxBucketSize: Option[Long] = None): DataFrame = {
+    val pairs = lshNearDupsFromHashes(hsBase, threshold, maxBucketSize)
     val edges = GraphOps.symmetrize(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     // (id, comp) — paired docs only
@@ -353,7 +374,7 @@ object Dedup extends CachePinning {
         ConnectedComponents.runStarContraction(edges)
       }
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
-    df.select(col(idCol).as("doc_id"))
+    hsBase.select(col("doc_id"))
       .join(comps, col("doc_id") === col("id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("cluster"))

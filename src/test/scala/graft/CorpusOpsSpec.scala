@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.TopNgramCountExpr
+import graft.operators.{CorpusOps, Dedup}
+
+/** Semantics of the CorpusOps operators that the driver oracle can't
+  * fully exercise (the native top-ngram expression's edge cases) plus
+  * the CachePinning release contract the Bench/Verify harnesses rely
+  * on. */
+class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def topBigram(s: String): Long =
+    TopNgramCountExpr.compute(UTF8String.fromString(s), 2)
+
+  test("top_ngram_count: multiplicity of the most frequent bigram") {
+    // "a b" x2, "b a" x2 -> 2
+    assert(topBigram("a b a b a") == 2L)
+    // "x x" x3
+    assert(topBigram("x x x x") == 3L)
+    // all bigrams distinct -> 1
+    assert(topBigram("one two three four") == 1L)
+    // case-insensitive (lowercased before hashing)
+    assert(topBigram("A b a B a") == 2L)
+    // fewer than n tokens: no complete n-gram
+    assert(topBigram("solo") == 0L)
+    assert(topBigram("") == 0L)
+    // trigram mode
+    assert(TopNgramCountExpr.compute(
+      UTF8String.fromString("a b c a b c a b c"), 3) == 3L)
+  }
+
+  test("repetitionStats: per-row values, zero-shuffle formulation") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam"),   // 3 bigrams, all "spam spam"
+      (2L, "the quick brown fox"),   // 3 distinct bigrams
+      (3L, "solo"),                  // <2 tokens: omitted
+      (4L, "a b a b")                // "a b" x2, "b a" x1
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionStats(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_distinct_tokens", "n_bigrams",
+        "top_bigram_n", "repetitive")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 3L, 3L, true),    // top frac 1.0 > 0.12
+      (2L, 4L, 4L, 3L, 1L, true),    // 1/3 = 0.33 > 0.12 (short doc)
+      (4L, 4L, 2L, 3L, 2L, true)))   // 2/3 > 0.12
+  }
+
+  test("repetitionStats matches the relational formulation on real docs") {
+    // independent oracle: the explode -> groupBy(id, bigram-hash) ->
+    // groupBy(id) shape the per-row expression replaced
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = split(lower(col("text")), "\\s+")
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val relational = d.filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .select(col("doc_id"),
+        graft.functions.RollingHashExpr.rolling_hash(col("bg")).as("bh"))
+      .groupBy("doc_id", "bh").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max("n").as("top_bigram_n"),
+        sum("n").as("n_bigrams"))
+    val perRow = CorpusOps.repetitionStats(d, "doc_id", "text")
+      .select("doc_id", "top_bigram_n", "n_bigrams")
+    assert(perRow.except(relational).isEmpty &&
+      relational.except(perRow).isEmpty)
+  }
+
+  test("decontaminate: sequential calls with a release between are identical") {
+    // guards the Bench/Verify drain path: materialize, release, rerun —
+    // results must match and no pinned frames may linger
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val r1 = CorpusOps.decontaminate(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    CorpusOps.releaseCaches(blocking = true)
+    assert(CorpusOps.pinnedCount == 0)
+    val r2 = CorpusOps.decontaminate(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    CorpusOps.releaseCaches(blocking = true)
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.nonEmpty, "sf0.001 corpus should have contaminated docs")
+    assert(CorpusOps.pinnedCount == 0)
+  }
+
+  test("corpusPrepKept pins its shared projection and drains on release") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val before = CorpusOps.pinnedCount
+    val kept = CorpusOps.corpusPrepKept(d, "doc_id", "text", "lang")
+    assert(CorpusOps.pinnedCount > before,
+      "shared text projection was not pinned")
+    val n = kept.count()
+    assert(n > 0, "funnel kept no documents at sf0.001")
+    CorpusOps.releaseCaches(blocking = true)
+    Dedup.releaseCaches(blocking = true)
+    assert(CorpusOps.pinnedCount == 0 && Dedup.pinnedCount == 0)
+  }
+}

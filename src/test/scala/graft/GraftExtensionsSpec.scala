@@ -16,7 +16,8 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       "  shingle_hashes('a b c d', 3) AS shs, " +
       "  minhash_sig(shingle_hashes('a b c d', 3)) AS sig, " +
       "  token_hashes('A b a') AS th, " +
-      "  sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ints")
+      "  sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ints, " +
+      "  top_ngram_count('a b a b a', 2) AS tn")
       .collect().head
     assert(r.getAs[Long]("rh") ==
       RollingHashExpr.hash("hello world", 31, 1000000007L))
@@ -26,6 +27,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     val th = r.getSeq[Long](r.fieldIndex("th"))
     assert(th.length == 3 && th(0) == th(2)) // lowercased, multiplicity kept
     assert(r.getAs[Int]("ints") == 2)
+    assert(r.getAs[Long]("tn") == 2L) // "a b" x2, "b a" x2
   }
 
   test("top_k_by_sim aggregate callable from SQL") {

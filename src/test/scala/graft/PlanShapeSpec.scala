@@ -20,8 +20,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
 
   // building the dedup/similarity plans registers their persist()s in
   // the shared session's CacheManager — clear them so later suites'
-  // plan/scan assertions can't silently hit a cached relation
+  // plan/scan assertions can't silently hit a cached relation. The
+  // per-operator releaseCaches drain the CachePinning queues populated
+  // at plan-construction time; without it a later same-JVM
+  // releaseCaches would re-unpersist this suite's stale frames.
   override def afterAll(): Unit = {
+    graft.operators.Dedup.releaseCaches()
+    graft.operators.Similarity.releaseCaches()
+    graft.operators.CorpusOps.releaseCaches()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     super.afterAll()
@@ -118,15 +124,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("q_repetition_stats aggregates in HashAggregate, no window, no NLJ") {
-    val plan = SparkEntry.queries("q_repetition_stats")(spark, dir)
+  test("repetitionStats is a pure per-row projection — zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // every statistic is document-local; the operator (before the
+    // query's presentational orderBy) must not shuffle — the earlier
+    // relational form exchanged the corpus's entire bigram stream twice
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.CorpusOps
+      .repetitionStats(d, "doc_id", "text")
       .queryExecution.sparkPlan
-    val windowNodes = plan.collect { case w: WindowExec => w }
-    assert(windowNodes.isEmpty, "repetition stats regressed to a window")
-    val p = plan.toString
-    assert(p.contains("HashAggregate"))
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"))
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty,
+      s"repetitionStats plans an exchange: $exchanges")
   }
 
   test("stratifiedSample is a pure per-row filter — zero exchanges") {
