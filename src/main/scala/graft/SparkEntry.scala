@@ -630,6 +630,15 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // Top-3 TF-IDF terms per document (keyword extraction): one
+    // tokenize stream feeds both the tf and document-frequency
+    // aggregations; ratio idf keeps the oracle bit-exact (ln is
+    // monotone, so the ranking is the classical one).
+    "q_tfidf_top_terms" -> ((s, dir) => {
+      CorpusOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "rank")
+    }),
+
     // corpus_prep extended with the CorpusOps stages — the full
     // Gopher-style funnel end-to-end: language verification, exact +
     // transitive near-dup dedup, eval-slice exclusion + benchmark
@@ -1491,6 +1500,34 @@ object SparkEntry {
          |SELECT token, doc_freq, n_docs,
          |       CAST(doc_freq AS DOUBLE) / n_docs AS df_frac
          |FROM df, nd ORDER BY token""".stripMargin,
+
+    // mirrors CorpusOps.tfidfTopTerms: tf with multiplicity, doc_freq
+    // as a row count over the tf relation, ratio idf in the same IEEE
+    // order (tf/n_tokens double division, n_docs/doc_freq double
+    // division, one multiply)
+    "q_tfidf_top_terms" ->
+      s"""WITH tt AS (
+         |  SELECT doc_id, token FROM (
+         |    SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         |  WHERE len(token) > 0),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tt
+         |       GROUP BY doc_id, token),
+         |dfq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT f.doc_id, f.token, f.tf, d.doc_freq,
+         |    (CAST(f.tf AS DOUBLE)
+         |       / CAST(CAST(sum(f.tf) OVER (PARTITION BY f.doc_id) AS BIGINT)
+         |              AS DOUBLE))
+         |    * (CAST((SELECT n_docs FROM nd) AS DOUBLE)
+         |       / CAST(d.doc_freq AS DOUBLE)) AS score
+         |  FROM tf f JOIN dfq d USING (token)),
+         |r AS (SELECT doc_id, token, tf, doc_freq, score,
+         |        row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY score DESC, token) AS rank
+         |      FROM sc)
+         |SELECT doc_id, rank, token, tf, doc_freq, score FROM r
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // v1's composed funnel + the CorpusOps stages, assembled from the
     // SAME shared fragments as the stage-level oracles (decontamCte,

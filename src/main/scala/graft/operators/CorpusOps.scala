@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopNgramCountExpr
@@ -262,5 +263,56 @@ object CorpusOps extends CachePinning {
     toks.groupBy("token").agg(count(lit(1)).as("doc_freq"))
       .crossJoin(broadcast(total))
       .withColumn("df_frac", col("doc_freq").cast("double") / col("n_docs"))
+  }
+
+  /** Top-k TF-IDF terms per document — the standard keyword/topic
+    * extraction and relevance-weighting primitive over a corpus.
+    *
+    * `score = (tf / n_tokens) * (n_docs / doc_freq)` — the classical
+    * tf·idf with a RATIO idf instead of `ln(n_docs/doc_freq)`: the
+    * ranking is identical (ln is monotone) and the two double
+    * divisions + multiply replay bit-exactly in any IEEE engine,
+    * keeping the DuckDB oracle hash-exact (`ln` is libm-dependent).
+    *
+    * Shape at 100 TB:
+    *  - ONE tokenize stream feeds both aggregations: per-(doc, token)
+    *    counts, and document frequency as a count of those rows per
+    *    token (a doc contributes each distinct token once by
+    *    construction). Both exchanges key on high-cardinality columns.
+    *  - the tf↔df join is a shuffle equi-join on `token` — both sides
+    *    vocabulary/corpus-scale, neither broadcastable; the single-row
+    *    doc count broadcasts.
+    *  - per-doc n_tokens and the top-k rank are windows PARTITIONED BY
+    *    the document id: key cardinality = |corpus|, per-partition
+    *    size = one document's vocabulary — this is the windowing shape
+    *    that scales (contrast q_top_docs_per_lang, where ~5 language
+    *    keys demand the bounded aggregate instead).
+    *
+    * Ties rank deterministically (score desc, then token) — (doc,
+    * token) is unique after the tf aggregation.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k > 0)
+    val tf = df.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // doc_freq without a second corpus scan: tf has exactly one row
+    // per (doc, token)
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    val wDoc = Window.partitionBy(idCol)
+    val wRank = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token").crossJoin(broadcast(total))
+      .withColumn("n_tokens", sum(col("tf")).over(wDoc))
+      .withColumn("score",
+        (col("tf").cast("double") / col("n_tokens").cast("double")) *
+          (col("n_docs").cast("double") / col("doc_freq").cast("double")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"),
+        col("doc_freq"), col("score"))
   }
 }

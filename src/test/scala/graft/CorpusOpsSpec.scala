@@ -74,6 +74,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       relational.except(perRow).isEmpty)
   }
 
+  test("tfidfTopTerms: hand-computed scores and deterministic ranking") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry")
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "token", "tf", "doc_freq", "score")
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    // n_docs=2; doc_freq: apple 1, banana 2, cherry 1
+    assert(out == Seq(
+      (1L, 1, "apple", 2L, 1L, (2.0 / 3.0) * (2.0 / 1.0)),
+      (1L, 2, "banana", 1L, 2L, (1.0 / 3.0) * (2.0 / 2.0)),
+      (2L, 1, "cherry", 1L, 1L, (1.0 / 2.0) * (2.0 / 1.0)),
+      (2L, 2, "banana", 1L, 2L, (1.0 / 2.0) * (2.0 / 2.0))))
+  }
+
   test("decontaminate: sequential calls with a release between are identical") {
     // guards the Bench/Verify drain path: materialize, release, rerun —
     // results must match and no pinned frames may linger

@@ -138,6 +138,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"repetitionStats plans an exchange: $exchanges")
   }
 
+  test("q_corpus_prep_v2 reads the corpus once — all stages scan the shared projection") {
+    // the funnel's five text-derived stages must consume the ONE pinned
+    // projection (InMemoryTableScan), not re-scan documents.parquet —
+    // at 100 TB each re-scan is a full corpus read + re-tokenize
+    val plan = SparkEntry.queries("q_corpus_prep_v2")(spark, dir)
+      .queryExecution.sparkPlan
+    val fileScans = plan.collect { case s: FileSourceScanExec => s }
+    assert(fileScans.isEmpty,
+      s"corpus-prep v2 re-scans parquet: ${fileScans.map(_.tableIdentifier)}")
+    assert(plan.toString.contains("InMemoryTableScan"),
+      "shared text projection is not cached")
+  }
+
   test("stratifiedSample is a pure per-row filter — zero exchanges") {
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.functions.col
