@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, CorpusOps, Dedup,
-  GraphOps, Multimodal, PageRank, RangeJoin, SequencePacking, Similarity,
-  SkewOps, TextAnalysis}
+  GraphOps, Multimodal, PageRank, RangeJoin, Redaction, SequencePacking,
+  Similarity, SkewOps, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.{SimHashExpr, TopKBySim}
 
@@ -657,8 +657,58 @@ object SparkEntry {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy("split", "lang")
+    }),
+
+    // C4/RefinedWeb-style boilerplate-span removal: spans repeating
+    // across >= 3 distinct docs are chrome/footer boilerplate; per-doc
+    // survival stats. Span doc-frequency is the only corpus-wide
+    // exchange; the frequent tail broadcasts back.
+    "q_boilerplate_spans" -> ((s, dir) => {
+      CorpusOps.boilerplateSpans(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Domain-mixture resampling (DoReMi/Pile-style): derive per-lang
+    // keep rates from target weights + a corpus budget, then sample by
+    // portable hash. Integer-exact rate arithmetic; the corpus itself
+    // never shuffles (tiny count agg + broadcast rates + per-row
+    // filter).
+    "q_lang_mix" -> ((s, dir) => {
+      CorpusOps.mixtureSample(t(s, dir, "documents"), "doc_id", "lang",
+          MixWeights.toMap, MixBudgetPct)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("target_docs")).as("target_docs"),
+          max(col("keep_bp")).as("keep_bp"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
+    // PII redaction: the synthetic corpus has no PII, so a
+    // deterministic overlay plants id-derived emails/phones (zero, one,
+    // and many matches per row), then the scrub runs as a pure
+    // codegen'd projection. The oracle builds the identical overlay and
+    // replays the same two-stage redaction.
+    "q_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Redaction.redactPii(
+          d.select(col("doc_id"),
+            Redaction.piiOverlay(col("text"), col("doc_id")).as("text")),
+          "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          length(col("redacted")).cast("long").as("red_len"),
+          md5(col("redacted")).as("red_md5"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Mixture weights + corpus budget for q_lang_mix — zh's target
+    * exceeds its stratum size, exercising the keep_bp cap. The oracle
+    * CASE is generated from the same pairs so Scala and SQL can't
+    * drift. */
+  private val MixWeights: Seq[(String, Int)] =
+    Seq("en" -> 4, "zh" -> 3, "de" -> 1, "es" -> 1, "fr" -> 1)
+  private val MixBudgetPct = 60
 
   /** Per-language keep percentages for q_stratified_sample (unlisted
     * langs use [[SampleDefaultPct]]); the oracle CASE is generated
@@ -877,6 +927,26 @@ object SparkEntry {
       .mkString(" ")
     s"CASE $arms ELSE $SampleDefaultPct END"
   }
+
+  /** Mixture-weight CASE for q_lang_mix — generated from the same
+    * [[MixWeights]] pairs the Spark query passes (absent strata weigh
+    * 0, mirroring CorpusOps.mixtureSample). */
+  private def mixCaseSql: String = {
+    val arms = MixWeights.map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+      .mkString(" ")
+    s"CASE $arms ELSE 0 END"
+  }
+
+  /** The deterministic PII overlay of q_pii_redact in DuckDB — built
+    * from the same id-derived pieces as [[Redaction.piiOverlay]]. */
+  private def piiOverlaySql: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'" +
+      " || CASE WHEN doc_id % 3 <> 0 THEN ' call 555-'" +
+      " || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-'" +
+      " || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')" +
+      " ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 0 THEN ' cc admin'" +
+      " || CAST(doc_id AS VARCHAR) || '@corp.example.org' ELSE '' END"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1574,6 +1644,80 @@ object SparkEntry {
          |            ELSE 'test' END AS split,
          |       lang, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_boilerplate_spans" -> {
+      val k = CorpusOps.BoilerplateSpanTokens
+      val nSpans = s"greatest(CAST(ceil(len(toks) / $k.0) AS BIGINT), 1)"
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sp0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range($nSpans),
+         |      i -> array_to_string(list_slice(toks, i*$k + 1, i*$k + $k), ' ')))
+         |      AS span,
+         |    unnest(list_transform(range($nSpans),
+         |      i -> least(len(toks) - i*$k, $k))) AS span_len
+         |  FROM tk),
+         |sp AS (SELECT doc_id, span_len, ${rhSql("span")} AS span_hash
+         |       FROM sp0),
+         |fr AS (
+         |  SELECT span_hash FROM (
+         |    SELECT span_hash, count(DISTINCT doc_id) AS span_df
+         |    FROM sp GROUP BY span_hash)
+         |  WHERE span_df >= ${CorpusOps.BoilerplateMinDocs})
+         |SELECT sp.doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN fr.span_hash IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_boiler_spans,
+         |  CAST(sum(span_len) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN fr.span_hash IS NULL THEN span_len ELSE 0 END)
+         |    AS BIGINT) AS n_tokens_kept
+         |FROM sp LEFT JOIN fr ON sp.span_hash = fr.span_hash
+         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin
+    },
+
+    "q_lang_mix" -> {
+      val wSum = MixWeights.map(_._2).sum
+      s"""WITH c AS (SELECT lang, count(*) AS stratum_docs
+         |           FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(stratum_docs) AS BIGINT) AS n_total FROM c),
+         |r AS (
+         |  SELECT lang, stratum_docs,
+         |    (n_total * $MixBudgetPct * ($mixCaseSql)) // (100 * $wSum)
+         |      AS target_docs
+         |  FROM c, tot),
+         |r2 AS (
+         |  SELECT lang, stratum_docs, target_docs,
+         |    least(10000, (10000 * target_docs) // stratum_docs) AS keep_bp
+         |  FROM r)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(max(r2.target_docs) AS BIGINT) AS target_docs,
+         |  CAST(max(r2.keep_bp) AS BIGINT) AS keep_bp,
+         |  CAST(sum(CASE WHEN ${rhSql("CAST(doc_id AS VARCHAR)")} % 10000
+         |                     < r2.keep_bp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sampled
+         |FROM documents d JOIN r2 ON d.lang = r2.lang
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    },
+
+    "q_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $piiOverlaySql AS text2 FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text2, '${Redaction.EmailPattern}'))
+         |      AS BIGINT) AS n_emails,
+         |    regexp_replace(text2, '${Redaction.EmailPattern}',
+         |      '${Redaction.EmailToken}', 'g') AS t1
+         |  FROM p),
+         |f AS (
+         |  SELECT doc_id, n_emails,
+         |    CAST(len(regexp_extract_all(t1, '${Redaction.PhonePattern}'))
+         |      AS BIGINT) AS n_phones,
+         |    regexp_replace(t1, '${Redaction.PhonePattern}',
+         |      '${Redaction.PhoneToken}', 'g') AS redacted
+         |  FROM e)
+         |SELECT doc_id, n_emails, n_phones,
+         |  CAST(length(redacted) AS BIGINT) AS red_len,
+         |  md5(redacted) AS red_md5
+         |FROM f ORDER BY doc_id""".stripMargin
   )
 }

@@ -219,6 +219,127 @@ object CorpusOps extends CachePinning {
       .select(col(idCol), col(langCol), col("n_tokens"))
   }
 
+  /** Non-overlapping span width (in tokens) for [[boilerplateSpans]].
+    * C4/RefinedWeb strip repeated three-SENTENCE spans; the synthetic
+    * corpus has no sentence boundaries, so spans are fixed token
+    * windows. Named so the DuckDB oracle is generated from the same
+    * constant. */
+  val BoilerplateSpanTokens = 5
+
+  /** Distinct-document threshold above which a span counts as
+    * boilerplate. ≥ 3 rather than ≥ 2 so the corpus's planted near-dup
+    * PAIRS don't turn every shared span into "boilerplate". */
+  val BoilerplateMinDocs = 3
+
+  /** C4/RefinedWeb-style boilerplate-span removal: chunk each document
+    * into non-overlapping `spanTokens`-token spans, find spans that
+    * occur in ≥ `minDocs` DISTINCT documents (navigation chrome, cookie
+    * banners, license footers — content that repeats across unrelated
+    * pages), and report per document how much text survives stripping
+    * them.
+    *
+    * Returns `(id, n_spans, n_boiler_spans, n_tokens, n_tokens_kept)` —
+    * one row per doc; callers that want the stripped text reassemble it
+    * from the kept spans (the stats are what the curation funnel
+    * consumes).
+    *
+    * Spans are compared by rolling hash of the span string (the dedup
+    * family's convention — [[TextAnalysis.rollingHash]]); the oracle
+    * hashes identically, so a collision merges the same groups on both
+    * sides.
+    *
+    * Shape at 100 TB:
+    *  - the span stream is corpus-sized, but its only exchange is the
+    *    doc-frequency aggregation (map-side combined, keyed on the
+    *    high-cardinality span hash);
+    *  - boilerplate is by definition the FREQUENT tail — orders of
+    *    magnitude smaller than the span vocabulary — so the
+    *    mark-removed join broadcasts; the span stream itself never
+    *    joins shuffle-to-shuffle;
+    *  - the final per-doc rollup is one hash aggregation on the doc id.
+    */
+  def boilerplateSpans(df: DataFrame, idCol: String, textCol: String,
+                       spanTokens: Int = BoilerplateSpanTokens,
+                       minDocs: Int = BoilerplateMinDocs): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
+    require(minDocs >= 2, s"minDocs below 2 marks unique text boilerplate: $minDocs")
+    val k = spanTokens
+    val toks = col("toks")
+    // greatest(..., 1): an empty token array still yields one (empty)
+    // span, keeping the arithmetic total-token invariant definitional
+    val nSpans = greatest(ceil(size(toks).cast("double") / k).cast("int"), lit(1))
+    val spans = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(toks).as("n_toks"),
+        explode(transform(sequence(lit(0), nSpans - 1), i => struct(
+          least(size(toks) - i * k, lit(k)).as("span_len"),
+          TextAnalysis.rollingHash(
+            array_join(slice(toks, i * k + 1, lit(k)), " ")).as("span_hash"))))
+          .as("sp"))
+      .select(col(idCol), col("sp.span_len"), col("sp.span_hash"))
+    val frequent = spans.groupBy("span_hash")
+      .agg(count_distinct(col(idCol)).as("span_df"))
+      .filter(col("span_df") >= minDocs)
+      .select(col("span_hash"), lit(true).as("is_boiler"))
+    spans.join(broadcast(frequent), Seq("span_hash"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler_spans"),
+        sum(col("span_len")).as("n_tokens"),
+        sum(when(col("is_boiler"), 0L).otherwise(col("span_len")))
+          .as("n_tokens_kept"))
+  }
+
+  /** Domain/language mixture resampling (the DoReMi/Pile-style "hit a
+    * target composition" primitive): given relative `weights` per
+    * stratum and a corpus-wide `budgetPct`, derive per-stratum keep
+    * rates and sample deterministically by portable hash.
+    *
+    * `target(g) = (N * budgetPct * w(g)) div (100 * Σw)` documents per
+    * stratum, capped at the stratum's actual size via
+    * `keep_bp(g) = min(10000, (10000 * target(g)) div count(g))` basis
+    * points; a row is kept iff `rolling_hash(id) % 10000 < keep_bp`.
+    * All-integer arithmetic (`div`, not `/`) — at 100 TB the
+    * intermediate products exceed 2^53 and a double division would
+    * round; integer division replays bit-exactly in any engine.
+    *
+    * Strata absent from `weights` get weight 0 (dropped — mixing means
+    * choosing what's IN the mix). Like [[stratifiedSample]] the sample
+    * is a pure per-row hash function — reproducible across engines and
+    * stable under reordering — but the RATES are derived from corpus
+    * statistics at runtime, not pinned by the caller.
+    *
+    * Shape at 100 TB: one tiny per-stratum count aggregation, rates
+    * derived on the handful of stratum rows and broadcast back, then a
+    * pure per-row filter — the corpus never shuffles.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+                    weights: Map[String, Int], budgetPct: Int): DataFrame = {
+    require(budgetPct >= 0 && budgetPct <= 100,
+      s"budgetPct must be in [0,100]: $budgetPct")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      "weights must be non-empty and non-negative")
+    val wSum = weights.values.sum
+    require(wSum > 0, "at least one stratum weight must be positive")
+    val wCol = weights.toSeq.sortBy(_._1).foldLeft(lit(0)) {
+      case (els, (s, w)) => when(col(strataCol) === s, lit(w)).otherwise(els)
+    }
+    val counts = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("stratum_docs"))
+      .withColumn("w", wCol)
+    val total = counts.agg(sum(col("stratum_docs")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("target_docs",
+        expr(s"(n_total * $budgetPct * w) div (100 * $wSum)"))
+      .withColumn("keep_bp",
+        least(lit(10000L), expr("(10000 * target_docs) div stratum_docs")))
+      .select(col(strataCol), col("stratum_docs"), col("target_docs"),
+        col("keep_bp"))
+    df.join(broadcast(rates), strataCol)
+      .withColumn("sampled",
+        pmod(TextAnalysis.rollingHash(col(idCol).cast("string")),
+          lit(10000)) < col("keep_bp"))
+  }
+
   /** Deterministic hash-based stratified sampling: keep a row iff
     * `rolling_hash(id) % 100 < pct(stratum)`. Reproducible across
     * runs, engines, and cluster sizes (no RNG, no sampling state —

@@ -120,4 +120,71 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     Dedup.releaseCaches(blocking = true)
     assert(CorpusOps.pinnedCount == 0 && Dedup.pinnedCount == 0)
   }
+
+  test("boilerplateSpans: span chunking, doc-frequency threshold, kept mass") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e f g"),            // spans: "a b c d e", "f g"
+      (2L, "a b c d e x"),              // spans: "a b c d e", "x"
+      (3L, "a b c d e"),                // span:  "a b c d e"
+      (4L, "q r s t u v w x y z")       // two unique spans
+    ).toDF("doc_id", "text")
+    // "a b c d e" occurs in 3 distinct docs -> boilerplate at minDocs=3
+    val out = CorpusOps.boilerplateSpans(d, "doc_id", "text",
+        spanTokens = 5, minDocs = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_boiler_spans", "n_tokens",
+        "n_tokens_kept")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 7L, 2L),
+      (2L, 2L, 1L, 6L, 1L),
+      (3L, 1L, 1L, 5L, 0L),
+      (4L, 2L, 0L, 10L, 10L)))
+  }
+
+  test("boilerplateSpans: within-doc repetition is not boilerplate") {
+    import spark.implicits._
+    // the same span 3x in ONE doc: doc-frequency 1, stays kept
+    val d = Seq((1L, "a b c d e a b c d e a b c d e"),
+                (2L, "z z z z z")).toDF("doc_id", "text")
+    val out = CorpusOps.boilerplateSpans(d, "doc_id", "text", 5, 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_boiler_spans", "n_tokens_kept")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 0L, 15L), (2L, 0L, 5L)))
+  }
+
+  test("mixtureSample: integer-exact rates, cap, and zero-weight strata") {
+    import spark.implicits._
+    import graft.functions.RollingHashExpr
+    // strata: a = 10 docs, b = 5 docs, c = 2 docs (absent from weights)
+    val rows = (0L to 9L).map(i => (i, "a")) ++
+      (10L to 14L).map(i => (i, "b")) ++ (15L to 16L).map(i => (i, "c"))
+    val d = rows.toDF("id", "lang")
+    // n_total=17, W=2, budget 50%: target = (17*50*1) div 200 = 4 each;
+    // keep_bp: a -> 40000 div 10 = 4000, b -> 40000 div 5 = 8000, c -> 0
+    val out = CorpusOps.mixtureSample(d, "id", "lang",
+        Map("a" -> 1, "b" -> 1), budgetPct = 50)
+      .select("id", "lang", "target_docs", "keep_bp", "sampled")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    val byLang = out.groupBy(_._2)
+    assert(byLang("a").forall(r => r._3 == 4L && r._4 == 4000L))
+    assert(byLang("b").forall(r => r._3 == 4L && r._4 == 8000L))
+    assert(byLang("c").forall(r => r._3 == 0L && r._4 == 0L && !r._5))
+    // sampled iff the portable hash of the id string clears the rate —
+    // recomputed here with the static function, not the Column path
+    out.foreach { case (id, _, _, bp, sampled) =>
+      val h = RollingHashExpr.hash(id.toString,
+        RollingHashExpr.DefaultBase, RollingHashExpr.DefaultMod) % 10000
+      assert(sampled == (h < bp), s"id=$id h=$h bp=$bp")
+    }
+    // budget 100% with a single weighted stratum: target 17 > |a|=10,
+    // keep_bp capped at 10000 -> ALL of a sampled
+    val capped = CorpusOps.mixtureSample(d, "id", "lang",
+        Map("a" -> 1), budgetPct = 100)
+      .filter(col("lang") === "a").select("keep_bp", "sampled")
+      .as[(Long, Boolean)].collect()
+    assert(capped.forall(r => r._1 == 10000L && r._2))
+  }
 }

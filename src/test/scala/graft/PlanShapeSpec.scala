@@ -178,4 +178,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
         s"$q projects an interpreted lambda")
     }
   }
+
+  test("q_boilerplate_spans broadcasts the frequent-span set") {
+    // the 100 TB claim (CorpusOps scale notes): the corpus-sized span
+    // stream probes a BROADCAST table of frequent spans — a shuffled
+    // join would exchange every span of the corpus a second time
+    val p = planOf("q_boilerplate_spans")
+    assert(p.contains("BroadcastHashJoin"),
+      "frequent-span mark join lost its broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_lang_mix: rates broadcast back; the corpus never shuffles") {
+    // two corpus scans (count pass + sample pass) are inherent to
+    // deriving rates from corpus statistics; what must NOT happen is
+    // a shuffle of the corpus itself — the per-stratum rate table is
+    // a handful of rows and must broadcast
+    val p = planOf("q_lang_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "rate join lost its broadcast — the corpus would shuffle")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("redactPii is a pure per-row projection — zero exchanges, no UDFs") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.Redaction.redactPii(d, "text")
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty, s"redactPii plans an exchange: $exchanges")
+    assert(!plan.toString.contains("ScalaUDF"))
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Redaction
+
+/** Semantics of the PII scrub the driver oracle exercises only on the
+  * synthetic overlay: real-shaped corner cases (phone inside an email's
+  * local part, digit runs longer than a phone, nulls, multiplicity). */
+class RedactionSpec extends AnyFunSuite with SparkTestBase {
+
+  private def run(texts: (Long, String)*): Seq[(Long, Long, Long, String)] = {
+    import spark.implicits._
+    Redaction.redactPii(texts.toDF("id", "text"), "text")
+      .orderBy("id")
+      .select("id", "n_emails", "n_phones", "redacted")
+      .as[(Long, Long, Long, String)].collect().toSeq
+  }
+
+  test("counts and replaces emails and phones") {
+    val Seq((_, e, p, red)) =
+      run(1L -> "mail bob@x.com or call 555-123-4567 today")
+    assert(e == 1L && p == 1L)
+    assert(red == "mail <EMAIL> or call <PHONE> today")
+  }
+
+  test("phone-shaped local part counts as one email, zero phones") {
+    val Seq((_, e, p, red)) = run(1L -> "reach 555-123-4567@x.com now")
+    assert(e == 1L && p == 0L)
+    assert(red == "reach <EMAIL> now")
+  }
+
+  test("digit runs without word boundaries are not phones") {
+    // no position inside the run is a word boundary, so \b\d{3}- never
+    // anchors
+    val Seq((_, e, p, red)) = run(1L -> "id 12345-678-90123 is fine")
+    assert(e == 0L && p == 0L)
+    assert(red == "id 12345-678-90123 is fine")
+  }
+
+  test("multiple matches per row; null text scrubs to empty") {
+    val out = run(1L -> "a@b.co then c@d.co and 555-000-1111 555-222-3333",
+                  2L -> null)
+    assert(out(0) == (1L, 2L, 2L,
+      "<EMAIL> then <EMAIL> and <PHONE> <PHONE>"))
+    assert(out(1) == (2L, 0L, 0L, ""))
+  }
+
+  test("overlay plants zero/one/many matches deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = (0L to 30L).map(i => (i, "base text")).toDF("doc_id", "text")
+    val got = Redaction.redactPii(
+        d.select(col("doc_id"),
+          Redaction.piiOverlay(col("text"), col("doc_id")).as("text")),
+        "text")
+      .select("doc_id", "n_emails", "n_phones")
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, e, p) => i -> ((e, p)) }.toMap
+    val expected = (0L to 30L).map { i =>
+      i -> ((1L + (if (i % 5 == 0) 1L else 0L),
+             if (i % 3 != 0) 1L else 0L))
+    }.toMap
+    assert(got == expected)
+  }
+}
