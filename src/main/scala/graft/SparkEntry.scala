@@ -725,7 +725,11 @@ object SparkEntry {
 
   // --- DuckDB mirrors of the TextAnalysis formulas (generated from the
   // same stopword lists so Scala and SQL can't drift) -----------------
-  private val toksSql = "string_split_regex(lower(text), '\\s+')"
+  // coalesce mirrors TextAnalysis.nn: every Spark-side text op treats
+  // NULL text as "" — the oracle must tokenize the same way, or a null
+  // row (legal in real corpora) diverges cross-engine
+  private val toksSql =
+    "string_split_regex(lower(coalesce(text, '')), '\\s+')"
   private def stopCountSql(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter($toksSql, t -> list_contains($lst, t)))"
@@ -937,16 +941,6 @@ object SparkEntry {
     s"CASE $arms ELSE 0 END"
   }
 
-  /** The deterministic PII overlay of q_pii_redact in DuckDB — built
-    * from the same id-derived pieces as [[Redaction.piiOverlay]]. */
-  private def piiOverlaySql: String =
-    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'" +
-      " || CASE WHEN doc_id % 3 <> 0 THEN ' call 555-'" +
-      " || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-'" +
-      " || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')" +
-      " ELSE '' END" +
-      " || CASE WHEN doc_id % 5 = 0 THEN ' cc admin'" +
-      " || CAST(doc_id AS VARCHAR) || '@corp.example.org' ELSE '' END"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1700,7 +1694,8 @@ object SparkEntry {
     },
 
     "q_pii_redact" ->
-      s"""WITH p AS (SELECT doc_id, $piiOverlaySql AS text2 FROM documents),
+      s"""WITH p AS (SELECT doc_id, ${Redaction.piiOverlaySql} AS text2
+         |           FROM documents),
          |e AS (
          |  SELECT doc_id,
          |    CAST(len(regexp_extract_all(text2, '${Redaction.EmailPattern}'))

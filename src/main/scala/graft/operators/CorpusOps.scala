@@ -249,9 +249,17 @@ object CorpusOps extends CachePinning {
     * sides.
     *
     * Shape at 100 TB:
-    *  - the span stream is corpus-sized, but its only exchange is the
-    *    doc-frequency aggregation (map-side combined, keyed on the
-    *    high-cardinality span hash);
+    *  - BOTH consumers (the doc-frequency aggregate and the probe side
+    *    of the mark join) need the full span stream, so the pre-explode
+    *    `(id, span-struct array)` projection is pinned
+    *    ([[CachePinning]]) — one tokenize+hash pass instead of two.
+    *    Unlike decontaminate's dropped post-explode pin (whose
+    *    consumers were disjoint filters Catalyst pushes down), the
+    *    sharing here is real: every span feeds both sides. Callers
+    *    release via [[releaseCaches]] after materializing;
+    *  - the span stream's only exchange is the doc-frequency
+    *    aggregation (map-side combined, keyed on the high-cardinality
+    *    span hash);
     *  - boilerplate is by definition the FREQUENT tail — orders of
     *    magnitude smaller than the span vocabulary — so the
     *    mark-removed join broadcasts; the span stream itself never
@@ -268,13 +276,15 @@ object CorpusOps extends CachePinning {
     // greatest(..., 1): an empty token array still yields one (empty)
     // span, keeping the arithmetic total-token invariant definitional
     val nSpans = greatest(ceil(size(toks).cast("double") / k).cast("int"), lit(1))
-    val spans = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), size(toks).as("n_toks"),
-        explode(transform(sequence(lit(0), nSpans - 1), i => struct(
+    val base = pin(df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol),
+        transform(sequence(lit(0), nSpans - 1), i => struct(
           least(size(toks) - i * k, lit(k)).as("span_len"),
           TextAnalysis.rollingHash(
-            array_join(slice(toks, i * k + 1, lit(k)), " ")).as("span_hash"))))
-          .as("sp"))
+            array_join(slice(toks, i * k + 1, lit(k)), " ")).as("span_hash")))
+          .as("spans")))
+    val spans = base.select(col(idCol), explode(col("spans")).as("sp"))
       .select(col(idCol), col("sp.span_len"), col("sp.span_hash"))
     val frequent = spans.groupBy("span_hash")
       .agg(count_distinct(col(idCol)).as("span_df"))

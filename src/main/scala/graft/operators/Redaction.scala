@@ -56,21 +56,59 @@ object Redaction {
         regexp_replace(emailScrubbed, PhonePattern, PhoneToken))
   }
 
-  /** Deterministic PII overlay for the driver query: the synthetic
-    * corpus carries no PII, so the query plants a reproducible email
-    * (and, on `id % 3 != 0`, a phone; a second email on `id % 5 == 0`)
-    * derived from the id — exercising zero/one/many matches per row.
-    * Generated here so the DuckDB oracle builds the identical string.
-    */
+  // --- deterministic PII overlay (driver query + its oracle) ---------
+  // The synthetic corpus carries no PII, so the driver query plants a
+  // reproducible email (and, on `id % PhoneMod != 0`, a phone; a second
+  // email on `id % Email2Mod == 0`) derived from the id — exercising
+  // zero/one/many matches per row. The Column and SQL forms below are
+  // built from THESE shared constants so Scala and DuckDB can't drift.
+  private[graft] val OverlayEmail1Prefix = " contact user"
+  private[graft] val OverlayEmail1Domain = "@example.com"
+  private[graft] val OverlayPhonePrefix = " call 555-"
+  private[graft] val OverlayPhoneAreaMod = 900
+  private[graft] val OverlayPhoneAreaBase = 100
+  private[graft] val OverlayPhoneLineMul = 7
+  private[graft] val OverlayPhoneLineMod = 10000
+  private[graft] val OverlayPhoneEveryMod = 3 // phone unless id % 3 == 0
+  private[graft] val OverlayEmail2Prefix = " cc admin"
+  private[graft] val OverlayEmail2Domain = "@corp.example.org"
+  private[graft] val OverlayEmail2EveryMod = 5 // 2nd email iff id % 5 == 0
+
+  /** Overlay as a Column. Null-safe like [[redactPii]]: null text
+    * overlays onto "" (concat would otherwise null the whole row out —
+    * and diverge from the oracle, whose `||` nulls the same way). */
   def piiOverlay(textCol: Column, idCol: Column): Column = {
-    val phone = concat(lit(" call 555-"),
-      lpad((pmod(idCol, lit(900)) + 100).cast("string"), 3, "0"), lit("-"),
-      lpad(pmod(idCol * 7, lit(10000)).cast("string"), 4, "0"))
-    val email2 = concat(lit(" cc admin"), idCol.cast("string"),
-      lit("@corp.example.org"))
-    concat(textCol, lit(" contact user"), idCol.cast("string"),
-      lit("@example.com"),
-      when(pmod(idCol, lit(3)) =!= 0, phone).otherwise(lit("")),
-      when(pmod(idCol, lit(5)) === 0, email2).otherwise(lit("")))
+    val phone = concat(lit(OverlayPhonePrefix),
+      lpad((pmod(idCol, lit(OverlayPhoneAreaMod)) + OverlayPhoneAreaBase)
+        .cast("string"), 3, "0"), lit("-"),
+      lpad(pmod(idCol * OverlayPhoneLineMul, lit(OverlayPhoneLineMod))
+        .cast("string"), 4, "0"))
+    val email2 = concat(lit(OverlayEmail2Prefix), idCol.cast("string"),
+      lit(OverlayEmail2Domain))
+    concat(coalesce(textCol, lit("")),
+      lit(OverlayEmail1Prefix), idCol.cast("string"),
+      lit(OverlayEmail1Domain),
+      when(pmod(idCol, lit(OverlayPhoneEveryMod)) =!= 0, phone)
+        .otherwise(lit("")),
+      when(pmod(idCol, lit(OverlayEmail2EveryMod)) === 0, email2)
+        .otherwise(lit("")))
+  }
+
+  /** The same overlay as a DuckDB SQL fragment over columns
+    * `text`/`doc_id` — generated from the shared constants above. */
+  def piiOverlaySql: String = {
+    val id = "CAST(doc_id AS VARCHAR)"
+    s"coalesce(text, '') || '$OverlayEmail1Prefix' || $id" +
+      s" || '$OverlayEmail1Domain'" +
+      s" || CASE WHEN doc_id % $OverlayPhoneEveryMod <> 0" +
+      s" THEN '$OverlayPhonePrefix'" +
+      s" || lpad(CAST(doc_id % $OverlayPhoneAreaMod + $OverlayPhoneAreaBase" +
+      s" AS VARCHAR), 3, '0') || '-'" +
+      s" || lpad(CAST((doc_id * $OverlayPhoneLineMul) % $OverlayPhoneLineMod" +
+      s" AS VARCHAR), 4, '0')" +
+      s" ELSE '' END" +
+      s" || CASE WHEN doc_id % $OverlayEmail2EveryMod = 0" +
+      s" THEN '$OverlayEmail2Prefix' || $id || '$OverlayEmail2Domain'" +
+      s" ELSE '' END"
   }
 }

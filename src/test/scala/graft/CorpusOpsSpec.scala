@@ -141,6 +141,7 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       (2L, 2L, 1L, 6L, 1L),
       (3L, 1L, 1L, 5L, 0L),
       (4L, 2L, 0L, 10L, 10L)))
+    CorpusOps.releaseCaches(blocking = true)
   }
 
   test("boilerplateSpans: within-doc repetition is not boilerplate") {
@@ -153,6 +154,7 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "n_boiler_spans", "n_tokens_kept")
       .as[(Long, Long, Long)].collect()
     assert(out.toSeq == Seq((1L, 0L, 15L), (2L, 0L, 5L)))
+    CorpusOps.releaseCaches(blocking = true)
   }
 
   test("mixtureSample: integer-exact rates, cap, and zero-weight strata") {

@@ -57,9 +57,11 @@ class RedactionSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "n_emails", "n_phones")
       .as[(Long, Long, Long)].collect()
       .map { case (i, e, p) => i -> ((e, p)) }.toMap
+    // expectations derived from the operator's own overlay constants —
+    // an overlay edit shifts both sides together
     val expected = (0L to 30L).map { i =>
-      i -> ((1L + (if (i % 5 == 0) 1L else 0L),
-             if (i % 3 != 0) 1L else 0L))
+      i -> ((1L + (if (i % Redaction.OverlayEmail2EveryMod == 0) 1L else 0L),
+             if (i % Redaction.OverlayPhoneEveryMod != 0) 1L else 0L))
     }.toMap
     assert(got == expected)
   }
