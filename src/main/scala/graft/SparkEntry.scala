@@ -684,6 +684,14 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Context-window chunking (the dual of q_pack_stats): docs longer
+    // than the window split into overlapping chunks — pure per-row
+    // posexplode, zero exchanges at any scale.
+    "q_chunk_docs" -> ((s, dir) => {
+      CorpusOps.chunkDocs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // PII redaction: the synthetic corpus has no PII, so a
     // deterministic overlay plants id-derived emails/phones (zero, one,
     // and many matches per row), then the scrub runs as a pure
@@ -1691,6 +1699,27 @@ object SparkEntry {
          |    AS n_sampled
          |FROM documents d JOIN r2 ON d.lang = r2.lang
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    },
+
+    "q_chunk_docs" -> {
+      val mx = CorpusOps.ChunkMaxTokens
+      val stride = mx - CorpusOps.ChunkOverlap
+      val nChunks = s"1 + (greatest(len(toks) - $mx, 0) + ${stride - 1})" +
+        s" // $stride"
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ch AS (
+         |  SELECT doc_id, $nChunks AS n_chunks,
+         |    unnest(range($nChunks)) AS chunk_id,
+         |    unnest(list_transform(range($nChunks),
+         |      i -> least(len(toks) - i*$stride, $mx))) AS chunk_len,
+         |    unnest(list_transform(range($nChunks),
+         |      i -> array_to_string(
+         |             list_slice(toks, i*$stride + 1, i*$stride + $mx), ' ')))
+         |      AS chunk
+         |  FROM tk)
+         |SELECT doc_id, chunk_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+         |  chunk_len, ${rhSql("chunk")} AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
     },
 
     "q_pii_redact" ->

@@ -299,6 +299,55 @@ object CorpusOps extends CachePinning {
           .as("n_tokens_kept"))
   }
 
+  /** Context-window defaults for [[chunkDocs]] — sized to the synthetic
+    * corpus (docs are tens of tokens) so both the single-chunk and the
+    * multi-chunk-with-overlap paths are exercised; production callers
+    * pass their model's window (e.g. 4096/256). */
+  val ChunkMaxTokens = 16
+  val ChunkOverlap = 4
+
+  /** Context-window chunking: split documents LONGER than `maxTokens`
+    * into overlapping windows (stride = maxTokens - overlap), the dual
+    * of [[SequencePacking]] (which packs documents SHORTER than the
+    * window). Chunk starts are `0, stride, 2*stride, ...`; the last
+    * chunk is the final (possibly short) tail, so every token lands in
+    * at least one chunk and consecutive chunks share `overlap` tokens
+    * of context.
+    *
+    * Returns one row per chunk: `(id, chunk_id, n_chunks, chunk_len,
+    * chunk_hash)` — chunk content is carried as the rolling hash of
+    * the chunk's token string (the dedup family's convention; callers
+    * wanting text re-slice from the id). All-integer chunk-count
+    * arithmetic: `n_chunks = 1 + (max(n - maxTokens, 0) + stride - 1)
+    * div stride`, bit-exact in any engine.
+    *
+    * Shape at 100 TB: a pure per-row `posexplode` projection — zero
+    * exchanges at any scale (plan-asserted); chunking runs at scan
+    * speed like the rest of the per-row curation family.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                maxTokens: Int = ChunkMaxTokens,
+                overlap: Int = ChunkOverlap): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens): $overlap")
+    val stride = maxTokens - overlap
+    val toks = col("toks")
+    val nChunks = expr(
+      s"1L + (greatest(size(toks) - $maxTokens, 0) + ${stride - 1})" +
+        s" div $stride")
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), nChunks.as("n_chunks"),
+        posexplode(transform(sequence(lit(0), (nChunks - 1).cast("int")),
+          i => struct(
+            least(size(toks) - i * stride, lit(maxTokens)).as("chunk_len"),
+            TextAnalysis.rollingHash(array_join(
+              slice(toks, i * stride + 1, lit(maxTokens)), " "))
+              .as("chunk_hash")))))
+      .select(col(idCol), col("pos").as("chunk_id"), col("n_chunks"),
+        col("col.chunk_len"), col("col.chunk_hash"))
+  }
+
   /** Domain/language mixture resampling (the DoReMi/Pile-style "hit a
     * target composition" primitive): given relative `weights` per
     * stratum and a corpus-wide `budgetPct`, derive per-stratum keep

@@ -157,6 +157,39 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     CorpusOps.releaseCaches(blocking = true)
   }
 
+  test("chunkDocs: stride/overlap windows, short docs, exact tail") {
+    import spark.implicits._
+    import graft.functions.RollingHashExpr
+    val d = Seq(
+      (1L, (1 to 30).map(i => s"t$i").mkString(" ")), // 30 toks
+      (2L, "a b c"),                                  // < maxTokens
+      (3L, (1 to 16).map(i => s"u$i").mkString(" "))  // exactly maxTokens
+    ).toDF("doc_id", "text")
+    // maxTokens=16, overlap=4 -> stride 12:
+    //   doc 1: chunks at 0,12,24 -> lens 16,16,6; n_chunks = 3
+    //   doc 2: 1 chunk, len 3;  doc 3: 1 chunk, len 16
+    val out = CorpusOps.chunkDocs(d, "doc_id", "text", 16, 4)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_chunks", "chunk_len", "chunk_hash")
+      .as[(Long, Int, Long, Int, Long)].collect()
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (1L, 0, 3L, 16), (1L, 1, 3L, 16), (1L, 2, 3L, 6),
+      (2L, 0, 1L, 3), (3L, 0, 1L, 16)))
+    // chunk content: hash recomputed independently from the same text
+    val toks1 = (1 to 30).map(i => s"t$i")
+    val expectHash = Seq(toks1.slice(0, 16), toks1.slice(12, 28),
+      toks1.slice(24, 30)).map(c => RollingHashExpr.hash(c.mkString(" "),
+      RollingHashExpr.DefaultBase, RollingHashExpr.DefaultMod))
+    assert(out.filter(_._1 == 1L).map(_._5).toSeq == expectHash)
+    // coverage invariant: last chunk start + last chunk len == n_tokens
+    val nToks = Map(1L -> 30, 2L -> 3, 3L -> 16)
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val last = rows.maxBy(_._2)
+      assert(last._2 * 12 + last._4 == nToks(id),
+        s"doc $id: tail chunk does not end at the document end")
+    }
+  }
+
   test("mixtureSample: integer-exact rates, cap, and zero-weight strata") {
     import spark.implicits._
     import graft.functions.RollingHashExpr

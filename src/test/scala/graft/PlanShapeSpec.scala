@@ -200,6 +200,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("chunkDocs is a pure per-row posexplode — zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.CorpusOps.chunkDocs(d, "doc_id", "text")
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty, s"chunkDocs plans an exchange: $exchanges")
+  }
+
   test("redactPii is a pure per-row projection — zero exchanges, no UDFs") {
     import org.apache.spark.sql.execution.exchange.Exchange
     val d = spark.read.parquet(s"$dir/documents.parquet")
