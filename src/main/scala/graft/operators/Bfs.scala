@@ -138,6 +138,7 @@ object Bfs {
 
     while (frontierRows > 0 && iter < cfg.maxIterations) {
       iter += 1
+      val tRound = System.nanoTime()
       // Expansion (reference map phase, `BFS_map_reduce.py:25-42`):
       // emit (dst, f.dist+1[, path :+ dst]) per frontier-adjacent edge.
       // `f.dist + 1` (== the round number for every frontier row, which
@@ -182,6 +183,15 @@ object Bfs {
       // is the one action per round and doubles as the convergence test.
       frontier = newState.filter($"dist" === iter)
       frontierRows = frontier.count()
+
+      // One stderr line per BSP round. The loop's per-round fixed cost
+      // (job scheduling + checkpoint materialization) is invisible in a
+      // whole-query timing; when a bench host reports the loop 4x slower
+      // with byte-identical code, these lines say whether every round
+      // inflated uniformly (machine) or one round dominates (plan/skew).
+      System.err.println(
+        f"[bfs] round $iter frontier=$frontierRows " +
+          f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
 
       toUnpersist += state
       state = newState

@@ -73,6 +73,7 @@ object ConnectedComponents {
 
     while (!converged && iter < maxIterations) {
       iter += 1
+      val tRound = System.nanoTime()
       // propagate: each edge offers its src's label to its dst
       val offers = labels.as("l").join(e.as("e"), col("l.id") === col("e.src"))
         .select(col("e.dst").as("id"), col("l.comp").as("comp"))
@@ -84,6 +85,10 @@ object ConnectedComponents {
       converged = newChecksum.compareTo(checksum) == 0
       checksum = newChecksum
       labels = merged
+      // per-round attribution line (see Bfs loop): uniform inflation
+      // across rounds = machine; a dominant round = plan/skew
+      System.err.println(
+        f"[cc] round $iter ${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
     // superseded rounds' localCheckpoint blocks are RDD storage, not
     // CacheManager entries — unpersist() on the frames would be a
@@ -148,6 +153,7 @@ object ConnectedComponents {
 
     while (!converged && iter < maxIterations) {
       iter += 1
+      val tRound = System.nanoTime()
       // LARGE-STAR: per u over the FULL neighbourhood, m = min(Γ⁺(u));
       // each greater neighbour v > u hooks to m
       val sym = e.select($"hi".as("u"), $"lo".as("v"))
@@ -173,6 +179,9 @@ object ConnectedComponents {
       converged = newFp == fp
       fp = newFp
       e = ss
+      System.err.println(
+        f"[cc-star] round $iter edges=${fp._1} " +
+          f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
     // a non-star edge set would fan the left_outer join out into
     // DUPLICATE (id, comp) rows — never return partial state

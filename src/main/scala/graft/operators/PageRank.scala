@@ -71,6 +71,7 @@ object PageRank {
     var iter = 0
     while (iter < iterations) {
       iter += 1
+      val tRound = System.nanoTime()
       // ONE shuffle per round (the BFS/CC union-merge pattern): carry
       // rows keep each vertex's outdeg, contribution rows add rank
       // mass; groupBy(id) merges both — no separate state join.
@@ -92,6 +93,10 @@ object PageRank {
           (lit(base) + lit(damping) *
             (coalesce($"csum", lit(0L)).cast("double") / Scale)).as("rank"))
         .localCheckpoint(true)
+      // per-round attribution line (see Bfs loop): uniform inflation
+      // across rounds = machine; a dominant round = plan/skew
+      System.err.println(
+        f"[pagerank] round $iter ${(System.nanoTime() - tRound) / 1e9}%.2fs")
       toRelease += state
       state = newState
     }
