@@ -156,22 +156,35 @@ object Similarity extends CachePinning {
     val base = pin(quantized(df, idCol, embCol))
     val cents = base.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cid"), col("qe").as("cqe"), col("nn").as("cnn"))
-    // fail loudly instead of returning an empty result: id spaces with
-    // no multiples of the stride (all-odd ids, UUID-derived longs)
-    // would otherwise read as 0% recall with no error
-    require(!cents.isEmpty,
-      s"no centroid candidates: no vec_id is divisible by " +
-        s"centroidStride=$centroidStride — pick a stride matching the " +
-        "id space (or remap ids)")
 
     // centroid ranking per vector: broadcast the (tiny) centroid set,
     // then keep each vector's nprobe best centroids with the bounded
     // top-k aggregate ((csim desc, cid asc) — the same deterministic
     // order a row_number window would give, without sorting the full
-    // n×centroids stream)
-    pin(base.crossJoin(broadcast(cents))
-      .withColumn("csim", cosineQ(dotLong(col("qe"), col("cqe")),
-        col("nn"), col("cnn")))
+    // n×centroids stream).
+    //
+    // Empty-centroid guard rides the main job: id spaces with no
+    // multiples of the stride (all-odd ids, UUID-derived longs) must
+    // fail loudly, not read as 0% recall. A driver-side
+    // `require(!cents.isEmpty)` costs one extra scan-shaped job at
+    // EVERY plan build (the bench paid it on warmup + each timed run),
+    // so instead the broadcast is joined LEFT with an always-true
+    // condition: with centroids present this is exactly the crossJoin
+    // (every base row matches every centroid, cid never null); with
+    // zero centroids every base row survives with a null cid and
+    // raise_error fires on the first one. AQE's empty-relation rule
+    // rewrites a left join with an empty build side to a
+    // null-extending projection — the guard rows survive optimization
+    // by construction. An empty INPUT now yields an empty result
+    // (nothing to search) instead of an error.
+    pin(base.join(broadcast(cents), lit(true), "left")
+      .withColumn("csim",
+        when(col("cid").isNull, raise_error(lit(
+          s"no centroid candidates: no vec_id with a nonzero quantized " +
+            s"vector is divisible by centroidStride=$centroidStride — " +
+            "pick a stride matching the id space (or remap ids)")))
+          .otherwise(cosineQ(dotLong(col("qe"), col("cqe")),
+            col("nn"), col("cnn"))))
       .groupBy(col("vec_id"))
       .agg(TopKBySim.top_k_by_sim(col("csim"), col("cid"), nprobe).as("tk"),
         first(col("qe")).as("qe"), first(col("nn")).as("nn")))

@@ -61,6 +61,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     pairs.foreach { case (raw, quant) => assert(math.abs(raw - quant) < 5e-3) }
   }
 
+  test("ivfTopK: no-centroid id space fails loudly inside the job, " +
+       "empty input yields empty result") {
+    // stride 25 divides none of these ids — the 0%-recall trap the
+    // guard exists for. The failure now rides the main job (no extra
+    // plan-build-time job), so it surfaces at action time.
+    val noCentroids = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.ivfTopK(noCentroids, "vec_id", "embedding", k = 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("no centroid candidates")),
+      s"wrong failure: $ex")
+    // nothing to search at all → empty result, not an error
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.ivfTopK(empty, "vec_id", "embedding", k = 1).isEmpty)
+  }
+
   test("cosineNearDupsIvf: near-identical twins recovered at high recall; " +
        "pairs are a subset of brute force with identical sims") {
     // the regime the operator targets: GENUINE near-dups (sim ≈ 1),
