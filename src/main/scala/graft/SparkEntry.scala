@@ -659,6 +659,43 @@ object SparkEntry {
         .orderBy("split", "lang")
     }),
 
+    // v2's funnel extended with the post-curation operators — the
+    // full training-data pipeline end-to-end: curate (v2's five
+    // stages), strip boilerplate spans, chunk into context windows.
+    // All text derivation still ONE pinned projection (now carrying
+    // the token arrays); spans/chunks computed for KEPT docs only
+    // (dedup first, so planted near-dup pairs don't inflate span
+    // doc-frequency). Per (split, lang): doc/token totals, boilerplate
+    // survival, chunk count and window-level redundancy (distinct
+    // chunk hashes).
+    "q_corpus_prep_v3" -> ((s, dir) => {
+      val v3 = CorpusOps.corpusPrepV3(t(s, dir, "documents"),
+        "doc_id", "text", "lang")
+      val bucket = pmod(TextAnalysis.rollingHash(col("doc_id").cast("string")),
+        lit(10))
+      // ONE aggregation over the exploded chunk rows: every kept doc
+      // has >= 1 chunk, so gating the doc-level sums on pos == 0
+      // counts each doc exactly once — no second consumption of the
+      // pipeline and no doc-agg ⋈ chunk-agg join
+      v3.withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test"))
+        .select(col("split"), col("lang"), col("n_tokens"), col("n_spans"),
+          col("n_boiler_spans"), col("n_tokens_kept"),
+          posexplode(col("chunks")).as(Seq("pos", "chunk_hash")))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(when(col("pos") === 0, 1)).as("n_docs"),
+          sum(when(col("pos") === 0, col("n_tokens"))).as("sum_tokens"),
+          sum(when(col("pos") === 0, col("n_spans"))).as("n_spans"),
+          sum(when(col("pos") === 0, col("n_boiler_spans")))
+            .as("n_boiler_spans"),
+          sum(when(col("pos") === 0, col("n_tokens_kept")))
+            .as("sum_tokens_kept"),
+          count(lit(1)).as("n_chunks"),
+          count_distinct(col("chunk_hash")).as("n_distinct_chunks"))
+        .orderBy("split", "lang")
+    }),
+
     // C4/RefinedWeb-style boilerplate-span removal: spans repeating
     // across >= 3 distinct docs are chrome/footer boilerplate; per-doc
     // survival stats. Span doc-frequency is the only corpus-wide
@@ -931,6 +968,51 @@ object SparkEntry {
        |      > CAST(${CorpusOps.TopBigramFracThreshold} AS DOUBLE)
        |      AS repetitive
        |  FROM rb JOIN rpd USING (doc_id))""".stripMargin
+
+  /** The corpus-prep funnel CTE chain (quality/language scoring, exact
+    * + near-dup dedup, decontamination, repetition filter → `kept` =
+    * (doc_id, lang, n_tokens, split bucket b)) — the SQL twin of
+    * CorpusOps.corpusPrepKeptFromShared, shared verbatim by the
+    * q_corpus_prep_v2 and q_corpus_prep_v3 oracles so the two funnels
+    * can't drift. Callers prepend `WITH RECURSIVE` (the `reach` CTE). */
+  private def corpusKeptCtesSql: String =
+    s"""${qualityScoredCte.replace("scored AS (", "qscored AS (")},
+       |f AS (SELECT doc_id, $fingerprintSql AS fp FROM documents),
+       |ecanon AS (
+       |  SELECT doc_id,
+       |         doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_ec
+       |  FROM f),
+       |$lshPipelineSql,
+       |pedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM scored WHERE sim >= 0.5
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM scored WHERE sim >= 0.5),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM pedges
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN pedges e ON e.src = reach.r),
+       |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |asg AS (
+       |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |$decontamCte,
+       |$repetitionCte,
+       |toks AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |         FROM documents),
+       |kept AS (
+       |  SELECT q.doc_id, q.lang, t.n_tokens,
+       |    ${rhSql("CAST(q.doc_id AS VARCHAR)")} % 10 AS b
+       |  FROM qscored q
+       |  JOIN ecanon e ON e.doc_id = q.doc_id
+       |  JOIN asg a ON a.doc_id = q.doc_id
+       |  JOIN toks t ON t.doc_id = q.doc_id
+       |  LEFT JOIN cont ct ON ct.doc_id = q.doc_id
+       |  LEFT JOIN rep r ON r.doc_id = q.doc_id
+       |  WHERE e.is_ec AND a.doc_id = a.cluster
+       |    AND q.doc_id % ${CorpusOps.EvalMod} <> 0
+       |    AND ct.doc_id IS NULL
+       |    AND NOT coalesce(r.repetitive, false)
+       |    AND q.gl = q.lang AND q.quality >= 0.5)""".stripMargin
 
   /** Keep-percentage CASE for q_stratified_sample — generated from the
     * same [[SampleRates]] pairs the Spark query passes. */
@@ -1605,48 +1687,80 @@ object SparkEntry {
     // SAME shared fragments as the stage-level oracles (decontamCte,
     // repetitionCte) — composed and per-stage forms can't drift
     "q_corpus_prep_v2" ->
-      s"""WITH RECURSIVE ${qualityScoredCte.replace("scored AS (", "qscored AS (")},
-         |f AS (SELECT doc_id, $fingerprintSql AS fp FROM documents),
-         |ecanon AS (
-         |  SELECT doc_id,
-         |         doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_ec
-         |  FROM f),
-         |$lshPipelineSql,
-         |pedges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM scored WHERE sim >= 0.5
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM scored WHERE sim >= 0.5),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT src, src FROM pedges
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN pedges e ON e.src = reach.r),
-         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
-         |asg AS (
-         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
-         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
-         |$decontamCte,
-         |$repetitionCte,
-         |toks AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
-         |         FROM documents),
-         |kept AS (
-         |  SELECT q.doc_id, q.lang, t.n_tokens,
-         |    ${rhSql("CAST(q.doc_id AS VARCHAR)")} % 10 AS b
-         |  FROM qscored q
-         |  JOIN ecanon e ON e.doc_id = q.doc_id
-         |  JOIN asg a ON a.doc_id = q.doc_id
-         |  JOIN toks t ON t.doc_id = q.doc_id
-         |  LEFT JOIN cont ct ON ct.doc_id = q.doc_id
-         |  LEFT JOIN rep r ON r.doc_id = q.doc_id
-         |  WHERE e.is_ec AND a.doc_id = a.cluster
-         |    AND q.doc_id % ${CorpusOps.EvalMod} <> 0
-         |    AND ct.doc_id IS NULL
-         |    AND NOT coalesce(r.repetitive, false)
-         |    AND q.gl = q.lang AND q.quality >= 0.5)
+      s"""WITH RECURSIVE $corpusKeptCtesSql
          |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
          |            ELSE 'test' END AS split,
          |       lang, count(*) AS n_docs,
          |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the kept chain (identical to v2's, via the same fragment) + the
+    // boilerplate-span and chunking stages over the kept docs — mirrors
+    // CorpusOps.corpusPrepV3 (constants interpolate from the same
+    // defs as the stage-level q_boilerplate_spans / q_chunk_docs
+    // oracles)
+    "q_corpus_prep_v3" -> {
+      val k = CorpusOps.BoilerplateSpanTokens
+      val nSpans = s"greatest(CAST(ceil(len(toks) / $k.0) AS BIGINT), 1)"
+      val mx = CorpusOps.ChunkMaxTokens
+      val stride = mx - CorpusOps.ChunkOverlap
+      val nChunks = s"1 + (greatest(len(toks) - $mx, 0) + ${stride - 1})" +
+        s" // $stride"
+      val splitCase = "CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' " +
+        "ELSE 'test' END"
+      s"""WITH RECURSIVE $corpusKeptCtesSql,
+         |ktk AS (
+         |  SELECT k.doc_id, k.lang, k.n_tokens, k.b, t.toks
+         |  FROM kept k JOIN rt t USING (doc_id)),
+         |vsp0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range($nSpans),
+         |      i -> array_to_string(list_slice(toks, i*$k + 1, i*$k + $k), ' ')))
+         |      AS span,
+         |    unnest(list_transform(range($nSpans),
+         |      i -> least(len(toks) - i*$k, $k))) AS span_len
+         |  FROM ktk),
+         |vsp AS (SELECT doc_id, span_len, ${rhSql("span")} AS span_hash
+         |        FROM vsp0),
+         |vfr AS (
+         |  SELECT span_hash FROM (
+         |    SELECT span_hash, count(DISTINCT doc_id) AS span_df
+         |    FROM vsp GROUP BY span_hash)
+         |  WHERE span_df >= ${CorpusOps.BoilerplateMinDocs}),
+         |vspan AS (
+         |  SELECT vsp.doc_id, count(*) AS n_spans,
+         |    CAST(sum(CASE WHEN vfr.span_hash IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_boiler_spans,
+         |    CAST(sum(CASE WHEN vfr.span_hash IS NULL THEN span_len ELSE 0 END)
+         |      AS BIGINT) AS n_tokens_kept
+         |  FROM vsp LEFT JOIN vfr ON vsp.span_hash = vfr.span_hash
+         |  GROUP BY vsp.doc_id),
+         |vch AS (
+         |  SELECT doc_id,
+         |    unnest(range($nChunks)) AS pos,
+         |    unnest(list_transform(range($nChunks),
+         |      i -> array_to_string(
+         |             list_slice(toks, i*$stride + 1, i*$stride + $mx), ' ')))
+         |      AS chunk
+         |  FROM ktk),
+         |vchh AS (SELECT doc_id, pos, ${rhSql("chunk")} AS chunk_hash FROM vch),
+         |rows_ AS (
+         |  SELECT $splitCase AS split, k.lang, k.n_tokens, v.n_spans,
+         |    v.n_boiler_spans, v.n_tokens_kept, c.pos, c.chunk_hash
+         |  FROM ktk k JOIN vspan v USING (doc_id) JOIN vchh c USING (doc_id))
+         |SELECT split, lang,
+         |  count(CASE WHEN pos = 0 THEN 1 END) AS n_docs,
+         |  CAST(sum(CASE WHEN pos = 0 THEN n_tokens END) AS BIGINT)
+         |    AS sum_tokens,
+         |  CAST(sum(CASE WHEN pos = 0 THEN n_spans END) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN pos = 0 THEN n_boiler_spans END) AS BIGINT)
+         |    AS n_boiler_spans,
+         |  CAST(sum(CASE WHEN pos = 0 THEN n_tokens_kept END) AS BIGINT)
+         |    AS sum_tokens_kept,
+         |  count(*) AS n_chunks,
+         |  count(DISTINCT chunk_hash) AS n_distinct_chunks
+         |FROM rows_ GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q_boilerplate_spans" -> {
       val k = CorpusOps.BoilerplateSpanTokens

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -180,8 +180,45 @@ object CorpusOps extends CachePinning {
   def corpusPrepKept(df: DataFrame, idCol: String, textCol: String,
                      langCol: String, minQuality: Double = 0.5,
                      evalMod: Int = EvalMod): DataFrame = {
-    val txt = col(textCol)
-    val shared = pin(df.select(col(idCol), col(langCol),
+    val shared = pin(prepShared(df, idCol, langCol, col(textCol),
+      withToks = false))
+    corpusPrepKeptFromShared(shared, idCol, langCol, minQuality, evalMod)
+  }
+
+  /** Build the funnel's shared projection: repartition the RAW rows on
+    * the id, THEN compute the derived columns. The repartition is not
+    * optional tidiness — it is what parallelizes the single most
+    * CPU-expensive projection in the engine:
+    *  - scan parallelism follows the INPUT's split count, and a compact
+    *    corpus file scans as one partition — without the exchange every
+    *    tokenize/quality/shingle/minhash expression here runs on ONE
+    *    core (measured 8-32s single-task stages at sf0.1, racing
+    *    consumers re-deriving it concurrently inside broadcast threads);
+    *  - the exchange moves the CHEAP raw bytes (id, lang, text), not
+    *    the ~5x-wider derived arrays;
+    *  - hashing on the id co-partitions the pin with every funnel stage
+    *    join (all keyed on idCol), so the main stream doesn't
+    *    re-shuffle downstream. At 100 TB the input arrives in thousands
+    *    of splits, and pre-positioning on the join key is what you'd
+    *    do anyway. */
+  private def prepShared(df: DataFrame, idCol: String, langCol: String,
+                         txt: Column, withToks: Boolean): DataFrame =
+    // explicit partition count: a bare repartition(col) is an AQE
+    // coalesce target, and on a compact corpus AQE folds it straight
+    // back to one partition — resurrecting the serial projection
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(prepSharedCols(idCol, langCol, txt, withToks): _*)
+
+  /** The shared-projection column set every corpus-prep stage consumes —
+    * one text pass computes every derived input. `withToks` additionally
+    * carries the raw token array for stages that re-slice text
+    * (boilerplate spans, context-window chunks in [[corpusPrepV3]]);
+    * v2 omits it (none of its stages need the tokens themselves, and
+    * pinning the array would double the cached footprint for nothing). */
+  private def prepSharedCols(idCol: String, langCol: String, txt: Column,
+                             withToks: Boolean): Seq[Column] = {
+    val base = Seq(col(idCol), col(langCol),
       TextAnalysis.languageId(txt).as("gl"),
       TextAnalysis.qualityScore(txt).as("quality"),
       TextAnalysis.tokenCount(txt).cast("long").as("n_tokens"),
@@ -191,7 +228,27 @@ object CorpusOps extends CachePinning {
       Dedup.shingleHashes(txt, 3).as("hs3"),
       array_distinct(Dedup.shingleHashes(txt, DecontamGramSize)).as("grams"),
       TopNgramCountExpr.top_ngram_count(coalesce(txt, lit("")), 2)
-        .as("top_bigram_n")))
+        .as("top_bigram_n"))
+    if (withToks) base :+ TextAnalysis.tokens(txt).as("toks") else base
+  }
+
+  /** The funnel body over a PREBUILT (typically pinned) shared
+    * projection carrying the [[prepSharedCols]] columns — shared by
+    * [[corpusPrepKept]] (v2) and [[corpusPrepV3]] so the two compose
+    * the same stages and can't drift.
+    *
+    * `passThrough` names extra shared-projection columns to carry into
+    * the output (v3 rides the token arrays through). Pass-through, not
+    * a post-hoc join back to the shared frame: the funnel's main
+    * stream already shuffles on the id once and stays co-partitioned
+    * through the four stage joins, so the extra column costs one
+    * exchange's worth of bytes — a separate kept⋈shared join would
+    * re-shuffle BOTH full sides (and at bench scale its extra stages
+    * measured ~2x the whole funnel). */
+  private def corpusPrepKeptFromShared(shared: DataFrame, idCol: String,
+                                       langCol: String, minQuality: Double,
+                                       evalMod: Int,
+                                       passThrough: Seq[String] = Nil): DataFrame = {
     val ecanon = Dedup.exactDedupFromFingerprints(
         shared.select(col(idCol), col("fingerprint")), idCol)
       .select(col(idCol), col("is_canonical").as("is_ec"))
@@ -207,8 +264,9 @@ object CorpusOps extends CachePinning {
         shared.select(col(idCol), col("n_tokens"),
           col("n_distinct_tokens"), col("top_bigram_n")), idCol)
       .select(col(idCol), col("repetitive"))
-    shared.select(col(idCol), col(langCol), col("gl"), col("quality"),
-        col("n_tokens"))
+    val extra = passThrough.map(col)
+    shared.select(Seq(col(idCol), col(langCol), col("gl"), col("quality"),
+        col("n_tokens")) ++ extra: _*)
       .join(ecanon, idCol).join(ncanon, idCol)
       .join(contaminated, Seq(idCol), "left_anti")
       .join(rep, Seq(idCol), "left")
@@ -216,7 +274,7 @@ object CorpusOps extends CachePinning {
         pmod(col(idCol), lit(evalMod)) =!= 0 &&
         !coalesce(col("repetitive"), lit(false)) &&
         col("gl") === col(langCol) && col("quality") >= minQuality)
-      .select(col(idCol), col(langCol), col("n_tokens"))
+      .select(Seq(col(idCol), col(langCol), col("n_tokens")) ++ extra: _*)
   }
 
   /** Non-overlapping span width (in tokens) for [[boilerplateSpans]].
@@ -268,7 +326,18 @@ object CorpusOps extends CachePinning {
     */
   def boilerplateSpans(df: DataFrame, idCol: String, textCol: String,
                        spanTokens: Int = BoilerplateSpanTokens,
-                       minDocs: Int = BoilerplateMinDocs): DataFrame = {
+                       minDocs: Int = BoilerplateMinDocs): DataFrame =
+    boilerplateSpansFromTokens(
+      df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks")),
+      idCol, spanTokens, minDocs)
+
+  /** [[boilerplateSpans]] over a PRECOMPUTED token-array column `toks` —
+    * the entry point for pipelines that already paid the tokenize pass
+    * ([[corpusPrepV3]] hands in the kept slice of its shared
+    * projection). */
+  def boilerplateSpansFromTokens(tokBase: DataFrame, idCol: String,
+                                 spanTokens: Int = BoilerplateSpanTokens,
+                                 minDocs: Int = BoilerplateMinDocs): DataFrame = {
     require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
     require(minDocs >= 2, s"minDocs below 2 marks unique text boilerplate: $minDocs")
     val k = spanTokens
@@ -276,8 +345,7 @@ object CorpusOps extends CachePinning {
     // greatest(..., 1): an empty token array still yields one (empty)
     // span, keeping the arithmetic total-token invariant definitional
     val nSpans = greatest(ceil(size(toks).cast("double") / k).cast("int"), lit(1))
-    val base = pin(df
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val base = pin(tokBase
       .select(col(idCol),
         transform(sequence(lit(0), nSpans - 1), i => struct(
           least(size(toks) - i * k, lit(k)).as("span_len"),
@@ -328,24 +396,96 @@ object CorpusOps extends CachePinning {
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
                 maxTokens: Int = ChunkMaxTokens,
                 overlap: Int = ChunkOverlap): DataFrame = {
+    val nChunks = chunkCount("toks", maxTokens, overlap)
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), nChunks.as("n_chunks"),
+        posexplode(chunkStructs("toks", maxTokens, overlap)))
+      .select(col(idCol), col("pos").as("chunk_id"), col("n_chunks"),
+        col("col.chunk_len"), col("col.chunk_hash"))
+  }
+
+  /** Chunk count over a token-array column: `1 + (max(n - maxTokens, 0)
+    * + stride - 1) div stride`, all-integer (see [[chunkDocs]]). */
+  private def chunkCount(toksName: String, maxTokens: Int,
+                         overlap: Int): Column = {
     require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens): $overlap")
     val stride = maxTokens - overlap
-    val toks = col("toks")
-    val nChunks = expr(
-      s"1L + (greatest(size(toks) - $maxTokens, 0) + ${stride - 1})" +
-        s" div $stride")
-    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), nChunks.as("n_chunks"),
-        posexplode(transform(sequence(lit(0), (nChunks - 1).cast("int")),
-          i => struct(
-            least(size(toks) - i * stride, lit(maxTokens)).as("chunk_len"),
-            TextAnalysis.rollingHash(array_join(
-              slice(toks, i * stride + 1, lit(maxTokens)), " "))
-              .as("chunk_hash")))))
-      .select(col(idCol), col("pos").as("chunk_id"), col("n_chunks"),
-        col("col.chunk_len"), col("col.chunk_hash"))
+    expr(s"1L + (greatest(size($toksName) - $maxTokens, 0)" +
+      s" + ${stride - 1}) div $stride")
+  }
+
+  /** Array of `(chunk_len, chunk_hash)` structs over a token-array
+    * column — the chunking kernel shared by [[chunkDocs]] (which
+    * posexplodes it) and [[corpusPrepV3]] (which keeps the hashes as a
+    * per-doc array). A per-row projection like everything else in the
+    * per-doc curation family. */
+  private def chunkStructs(toksName: String, maxTokens: Int,
+                           overlap: Int): Column = {
+    val stride = maxTokens - overlap
+    val toks = col(toksName)
+    val nChunks = chunkCount(toksName, maxTokens, overlap)
+    transform(sequence(lit(0), (nChunks - 1).cast("int")),
+      i => struct(
+        least(size(toks) - i * stride, lit(maxTokens)).as("chunk_len"),
+        TextAnalysis.rollingHash(array_join(
+          slice(toks, i * stride + 1, lit(maxTokens)), " "))
+          .as("chunk_hash")))
+  }
+
+  /** Corpus-prep v3: the v2 funnel extended with the two post-curation
+    * operators a training-data pipeline runs next — boilerplate-span
+    * statistics and context-window chunking — still over ONE text pass.
+    *
+    * Stages: the full v2 funnel ([[corpusPrepKeptFromShared]] — language
+    * verification, exact + near-dup dedup, decontamination, repetition
+    * filter, quality floor), then over the KEPT documents only:
+    * boilerplate-span survival stats ([[boilerplateSpansFromTokens]])
+    * and context-window chunk hashes ([[chunkStructs]]). Spans and
+    * chunks are computed AFTER dedup deliberately: the corpus's planted
+    * near-dup pairs would otherwise inflate span doc-frequency, and
+    * chunking dropped documents is wasted work at any scale.
+    *
+    * Returns one row per kept doc: `(id, lang, n_tokens, n_spans,
+    * n_boiler_spans, n_tokens_kept, chunks array<long>)` — callers
+    * aggregate into their split/composition presentation (designed for
+    * a SINGLE downstream consumption: posexplode the chunk array and
+    * gate the doc-level sums on `pos == 0`, as q_corpus_prep_v3 does —
+    * every doc has ≥ 1 chunk by the window formula, so the first chunk
+    * row carries each doc exactly once).
+    *
+    * Shape at 100 TB: the shared projection (now carrying `toks`) is
+    * the only parquet scan; the kept slice rides the token arrays
+    * through the funnel's co-partitioned joins (see
+    * [[corpusPrepKeptFromShared]]'s pass-through note) and is pinned —
+    * it feeds both the span doc-frequency stage and the final row
+    * assembly. The span stream's doc-frequency aggregate is the only
+    * corpus-wide exchange the new stages add (chunking stays a per-row
+    * projection). Release pins via [[releaseCaches]].
+    */
+  def corpusPrepV3(df: DataFrame, idCol: String, textCol: String,
+                   langCol: String, minQuality: Double = 0.5,
+                   evalMod: Int = EvalMod,
+                   spanTokens: Int = BoilerplateSpanTokens,
+                   minDocs: Int = BoilerplateMinDocs,
+                   maxTokens: Int = ChunkMaxTokens,
+                   overlap: Int = ChunkOverlap): DataFrame = {
+    val shared = pin(prepShared(df, idCol, langCol, col(textCol),
+      withToks = true))
+    val kept = pin(corpusPrepKeptFromShared(shared, idCol, langCol,
+      minQuality, evalMod, passThrough = Seq("toks")))
+    val spanStats = boilerplateSpansFromTokens(
+        kept.select(col(idCol), col("toks")), idCol, spanTokens, minDocs)
+      .select(col(idCol), col("n_spans"), col("n_boiler_spans"),
+        col("n_tokens_kept"))
+    kept
+      .withColumn("chunks",
+        transform(chunkStructs("toks", maxTokens, overlap),
+          c => c.getField("chunk_hash")))
+      .join(spanStats, Seq(idCol))
+      .select(col(idCol), col(langCol), col("n_tokens"), col("n_spans"),
+        col("n_boiler_spans"), col("n_tokens_kept"), col("chunks"))
   }
 
   /** Domain/language mixture resampling (the DoReMi/Pile-style "hit a

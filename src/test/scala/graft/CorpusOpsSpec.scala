@@ -121,6 +121,39 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(CorpusOps.pinnedCount == 0 && Dedup.pinnedCount == 0)
   }
 
+  test("corpusPrepV3 keeps exactly corpusPrepKept's docs and its span/chunk " +
+       "stats are internally consistent") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    // funnel parity: v3 shares corpusPrepKeptFromShared with v2, so the
+    // kept (id, lang, n_tokens) sets must be identical
+    val v2 = CorpusOps.corpusPrepKept(d, "doc_id", "text", "lang")
+      .as[(Long, String, Long)].collect().toSet
+    CorpusOps.releaseCaches(blocking = true)
+    Dedup.releaseCaches(blocking = true)
+    val v3 = CorpusOps.corpusPrepV3(d, "doc_id", "text", "lang").collect()
+    assert(v3.nonEmpty, "v3 kept no documents at sf0.001")
+    assert(v3.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      == v2, "v3 kept set diverges from corpusPrepKept")
+    // per-doc invariants: boilerplate mass within bounds; chunk count
+    // follows the all-integer window formula on n_tokens
+    val stride = CorpusOps.ChunkMaxTokens - CorpusOps.ChunkOverlap
+    v3.foreach { r =>
+      val (nTok, nSpans, nBoiler, kept) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val chunks = r.getSeq[Long](6)
+      assert(nBoiler <= nSpans && kept <= nTok,
+        s"span stats out of bounds for doc ${r.getLong(0)}")
+      val expChunks = 1L +
+        (math.max(nTok - CorpusOps.ChunkMaxTokens, 0L) + stride - 1) / stride
+      assert(chunks.length.toLong == expChunks,
+        s"chunk count ${chunks.length} != $expChunks for doc ${r.getLong(0)}")
+    }
+    CorpusOps.releaseCaches(blocking = true)
+    Dedup.releaseCaches(blocking = true)
+    assert(CorpusOps.pinnedCount == 0 && Dedup.pinnedCount == 0)
+  }
+
   test("boilerplateSpans: span chunking, doc-frequency threshold, kept mass") {
     import spark.implicits._
     val d = Seq(

@@ -151,6 +151,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "shared text projection is not cached")
   }
 
+  test("q_corpus_prep_v3 reads the corpus once — all stages scan the shared projection") {
+    // v3 adds the boilerplate-span and chunking stages to the funnel;
+    // they must consume the kept slice of the SAME pinned projection
+    // (which now carries the token arrays), never re-scan the parquet
+    val plan = SparkEntry.queries("q_corpus_prep_v3")(spark, dir)
+      .queryExecution.sparkPlan
+    val fileScans = plan.collect { case s: FileSourceScanExec => s }
+    assert(fileScans.isEmpty,
+      s"corpus-prep v3 re-scans parquet: ${fileScans.map(_.tableIdentifier)}")
+    assert(plan.toString.contains("InMemoryTableScan"),
+      "shared text projection is not cached")
+    graft.operators.CorpusOps.releaseCaches(blocking = true)
+    graft.operators.Dedup.releaseCaches(blocking = true)
+  }
+
   test("stratifiedSample is a pure per-row filter — zero exchanges") {
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.functions.col
