@@ -61,7 +61,10 @@ object Bench {
     * probe) from "slow plan" (runs agree AND calibration is normal). */
   private val ExtraRunQueries = Set(
     "q_bfs_copurchase", "q1_agg", "q_corpus_prep_v2", "q_ann_ivf",
-    "q_pagerank")
+    "q_pagerank",
+    // new in r9 and the suite's heaviest pipeline — no driver anchor
+    // yet, so give its first driver round the full per-run spread
+    "q_corpus_prep_v3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

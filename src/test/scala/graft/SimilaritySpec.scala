@@ -140,6 +140,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.3, f"recall $recall%.3f below the ivfTopK floor")
   }
 
+  test("ivfTopK: sf0.1 recall vs brute force (gated: SPARK_GRAFT_SF01_SPECS=1)") {
+    // the sf0.001 recall spec can't see centroid-stride degeneracy on a
+    // larger id space (stride 25 over 10x the ids selects 10x the
+    // centroids — different cluster geometry). Gated like the bench:
+    // slow (brute force is all-pairs at sf0.1), run on demand.
+    assume(sys.env.get("SPARK_GRAFT_SF01_SPECS").contains("1"),
+      "set SPARK_GRAFT_SF01_SPECS=1 to run the sf0.1 recall spec")
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    Similarity.releaseCaches(blocking = true)
+    // nprobe scales with the centroid count to hold the PROBED CLUSTER
+    // FRACTION at the sf0.001 spec's 3/20 = 15% — the scaling law a
+    // production deployment tunes by. A fixed nprobe=3 over 10x the
+    // centroids probes 1.5% of clusters and measured 0.222 here: not
+    // degeneracy, just the fraction shrinking; the fraction-held
+    // number below is what must stay stable as the corpus grows.
+    val nVecs = emb.count()
+    val centroids = (nVecs / 25).toInt // stride 25, ids dense
+    val nprobe = math.max(3, (centroids * 3) / 20)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
+        nprobe = nprobe)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    Similarity.releaseCaches(blocking = true)
+    val recall = (ivf & brute).size.toDouble / brute.size
+    info(f"IVF recall@5 at sf0.1 with nprobe=$nprobe ($centroids centroids) " +
+      f"= $recall%.3f")
+    assert(recall > 0.3, f"recall $recall%.3f too low at sf0.1 with a " +
+      "held probe fraction — centroid assignment degenerate on this id space")
+  }
+
   test("ivfTopK: recall vs brute force on real embeddings is reasonable (3-probe)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
