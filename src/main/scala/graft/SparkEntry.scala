@@ -189,6 +189,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Edit-distance near-dup pairs: LSH band candidates verified by
+    // Levenshtein on the raw text — the fuzzy-substring face of the
+    // dedup family (catches small in-place mutations Jaccard treats as
+    // set noise). The quadratic DP runs on candidates only.
+    "q_edit_near_dups" -> ((s, dir) => {
+      Dedup.editNearDups(t(s, dir, "documents"), "doc_id", "text",
+          maxEdits = EditNearDupMaxEdits)
+        .select(col("doc_a"), col("doc_b"), col("edits").cast("long").as("edits"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // SimHash fingerprint (native one-pass Catalyst expression).
     "q_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -215,6 +226,22 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("vec_id", "rank")
+    }),
+
+    // One Lloyd (k-means) refinement step over the IVF assignment —
+    // the "train the centroids" half of an IVF build. Integer sums by
+    // (cluster, dimension) + one IEEE division per element: bit-exact,
+    // unlike float kmeans, so the step is driver-oracle-checked.
+    "q_kmeans_step" -> ((s, dir) => {
+      // exploded to (cid, n_members, pos, m) rows: scalar columns
+      // hash-compare robustly in the driver's DuckDB gate (array
+      // columns would compare representation, not value)
+      Similarity.kmeansStep(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("cid"), col("n_members"),
+          posexplode(col("centroid")).as(Seq("pos", "m")))
+        .select(col("cid"), col("n_members"),
+          col("pos").cast("long").as("pos"), col("m"))
+        .orderBy("cid", "pos")
     }),
 
     // PageRank on the co-purchase graph (10 power iterations,
@@ -456,6 +483,24 @@ object SparkEntry {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
         .orderBy("l_returnflag")
+    }),
+
+    // Unpivot/melt (columns-to-values — the inverse reshaping of
+    // q_pivot, via the native Dataset.unpivot API): a wide per-flag
+    // metrics row melts into (metric, value) rows. All metrics cast to
+    // one type first (unpivot requires a common value type).
+    "q_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+               .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
     }),
 
     // Exact interpolated percentiles (holistic aggregate — the sketch
@@ -746,6 +791,13 @@ object SparkEntry {
         .orderBy("doc_id")
     })
   )
+
+  /** Edit budget for q_edit_near_dups. The sf corpus is bimodal over
+    * the LSH candidates (true near-dups at 4-8 edits, band-collision
+    * false positives at 140+), so 16 separates cleanly while leaving
+    * the false candidates to exercise the filter. The oracle
+    * interpolates the same constant. */
+  private val EditNearDupMaxEdits = 16
 
   /** Mixture weights + corpus budget for q_lang_mix — zh's target
     * exceeds its stratum size, exercising the keep_bp cap. The oracle
@@ -1054,6 +1106,18 @@ object SparkEntry {
          |SELECT doc_a, doc_b, sim FROM scored
          |WHERE sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // same band-candidate CTEs as the LSH oracle; Levenshtein is the
+    // classical unit-cost edit distance in both engines (exact int)
+    "q_edit_near_dups" ->
+      s"""WITH $lshPipelineSql
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edits
+         |FROM cand c
+         |JOIN documents da ON da.doc_id = c.doc_a
+         |JOIN documents db ON db.doc_id = c.doc_b
+         |WHERE levenshtein(da.text, db.text) <= $EditNearDupMaxEdits
+         |ORDER BY 1, 2""".stripMargin,
+
     "q_neardup_clusters" ->
       s"""WITH RECURSIVE $lshPipelineSql,
          |pedges AS (
@@ -1179,6 +1243,31 @@ object SparkEntry {
          |SELECT vec_id, rank, neighbor_id, sim FROM r
          |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
 
+    // mirrors Similarity.kmeansStep: argmax-cosine assignment (same
+    // deterministic (csim desc, cid) order as the IVF oracle), then
+    // integer sums per (cluster, dimension) with ONE double division
+    "q_kmeans_step" ->
+      s"""WITH $quantCte,
+         |kc AS (SELECT vec_id AS cid, qe AS cqe, nn AS cnn FROM nv
+         |       WHERE vec_id % ${Similarity.DefaultCentroidStride} = 0),
+         |kb AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosineQSql("v.qe", "c.cqe", "v.nn", "c.cnn")} DESC,
+         |                 c.cid) AS r
+         |    FROM nv v CROSS JOIN kc c)
+         |  WHERE r = 1),
+         |ke AS (
+         |  SELECT b.cid,
+         |    unnest(range(len(v.qe))) AS pos,
+         |    unnest(v.qe) AS val
+         |  FROM kb b JOIN nv v USING (vec_id))
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(pos AS BIGINT) AS pos,
+         |  CAST(sum(val) AS DOUBLE) / count(*) AS m
+         |FROM ke GROUP BY cid, pos ORDER BY cid, pos""".stripMargin,
+
     "q_edge_ingest" ->
       """SELECT count(*) AS n_edges,
         |       count(DISTINCT l_orderkey*2) AS n_src,
@@ -1302,6 +1391,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN l_linestatus = 'O'
         |       THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // unpivot = the stacked UNION of the wide row's metrics (DuckDB's
+    // UNPIVOT would reorder; the explicit arms keep metric names the
+    // literal column names Spark's Dataset.unpivot emits)
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'n_rows', n_rows FROM w
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     // mirrors Multimodal.fromDocuments + decodeOneStub: UTF-8 payload
     // bytes recovered via hex(encode(text)), then the same rolling

@@ -270,6 +270,41 @@ object Dedup extends CachePinning {
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }
 
+  /** Edit-distance near-duplicate pairs: LSH band candidates verified
+    * by LEVENSHTEIN distance on the raw text — the fuzzy-substring
+    * face of the dedup family (shingle-Jaccard is order-insensitive
+    * set overlap; edit distance additionally catches small in-place
+    * mutations — the "same page, one number changed" near-dup class).
+    *
+    * Candidates come from the same banded MinHash pipeline as
+    * [[lshNearDups]] (threshold 0: every band collision), so the
+    * quadratic Levenshtein DP runs on the candidate set only — never
+    * all pairs. At 100 TB the verify is a per-pair projection after
+    * two id-keyed joins of the (small) candidate list against the
+    * corpus; cost is bounded by candidates × len², with the band cap
+    * guarding degenerate buckets.
+    *
+    * Levenshtein is the classical unit-cost edit distance, computed
+    * identically in any engine — exact-int, oracle-checkable.
+    *
+    * @return (doc_a, doc_b, edits), doc_a < doc_b, edits <= maxEdits */
+  def editNearDups(df: DataFrame, idCol: String, textCol: String,
+                   maxEdits: Int, n: Int = 3,
+                   maxBucketSize: Option[Long] = None): DataFrame = {
+    require(maxEdits >= 0, s"maxEdits must be non-negative: $maxEdits")
+    val cand = lshNearDups(df, idCol, textCol, n, threshold = 0.0,
+      maxBucketSize).select(col("doc_a"), col("doc_b"))
+    val txt = df.select(col(idCol), col(textCol))
+    cand
+      .join(txt.select(col(idCol).as("doc_a"), col(textCol).as("text_a")),
+        "doc_a")
+      .join(txt.select(col(idCol).as("doc_b"), col(textCol).as("text_b")),
+        "doc_b")
+      .withColumn("edits", levenshtein(col("text_a"), col("text_b")))
+      .filter(col("edits") <= maxEdits)
+      .select(col("doc_a"), col("doc_b"), col("edits"))
+  }
+
   /** SimHash near-duplicate pairs: documents whose fingerprints differ
     * in at most `maxHamming` of the [[SimHashExpr.NumBits]] bits.
     *

@@ -41,6 +41,11 @@ object Similarity extends CachePinning {
   /** Quantization scale: 3 decimal digits of each embedding value. */
   val QuantScale = 1000
 
+  /** Default IVF centroid stride ("training" seed selection:
+    * `vec_id % stride == 0`). Named so DuckDB oracles interpolate the
+    * same constant the operators default to. */
+  val DefaultCentroidStride = 25
+
   /** Integer-quantize an array<float> embedding to array<long>. Null
     * ELEMENTS quantize to 0 (a missing coordinate contributes nothing
     * to dot products) — left as null they would NPE or silently read
@@ -134,7 +139,7 @@ object Similarity extends CachePinning {
     * tune recall with centroid count and nprobe (the spec measures it
     * against brute force). */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String,
-              k: Int = 5, centroidStride: Int = 25, nprobe: Int = 3): DataFrame = {
+              k: Int = 5, centroidStride: Int = DefaultCentroidStride, nprobe: Int = 3): DataFrame = {
     val ranked = ivfAssignment(df, idCol, embCol, centroidStride, nprobe)
     val (index, probes) = ivfIndexAndProbes(ranked)
     val pairs = probes.join(index, Seq("cluster"))
@@ -190,6 +195,44 @@ object Similarity extends CachePinning {
         first(col("qe")).as("qe"), first(col("nn")).as("nn")))
   }
 
+  /** One Lloyd (k-means) refinement step over the IVF assignment — the
+    * "train the centroids" half of an IVF index build (the stride
+    * seeding in [[ivfTopK]] is the init; production builds iterate
+    * this step a few times before indexing).
+    *
+    * Every vector is assigned to its nearest seed centroid (same
+    * broadcast argmax-cosine as the IVF index, nprobe = 1), then each
+    * cluster's new centroid is the element-wise MEAN of its members'
+    * quantized embeddings. Exact math end-to-end: integer sums by
+    * (cluster, dimension), one IEEE double division — bit-exact in any
+    * engine, so the step is driver-oracle-checkable unlike float kmeans.
+    *
+    * Returns `(cid, n_members, centroid array<double>)` — one row per
+    * non-empty cluster.
+    *
+    * Shape at 100 TB: assignment is the broadcast map-side pass the
+    * IVF family already uses; the update is ONE exchange keyed on
+    * (cluster, dimension) — cardinality |centroids| × dim, partial
+    * aggregation collapses the member stream map-side. No per-cluster
+    * state on the driver. */
+  def kmeansStep(df: DataFrame, idCol: String, embCol: String,
+                 centroidStride: Int = DefaultCentroidStride): DataFrame = {
+    val ranked = ivfAssignment(df, idCol, embCol, centroidStride, nprobe = 1)
+    val assigned = ranked.select(
+      col("tk").getItem(0).getField("neighbor_id").as("cid"), col("qe"))
+    assigned
+      .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cid"))
+      // sort_array on array<struct> orders by the leading field (pos),
+      // so the rebuilt centroid is dimension-ordered deterministically
+      .agg(max(col("n")).as("n_members"),
+        sort_array(collect_list(struct(col("pos"),
+          (col("s").cast("double") / col("n").cast("double")).as("m"))))
+          .getField("m").as("centroid"))
+  }
+
   /** (index, probes) faces of an [[ivfAssignment]]: candidates live in
     * their single home cluster (best centroid); queries probe their
     * nprobe nearest clusters. */
@@ -222,7 +265,7 @@ object Similarity extends CachePinning {
     * @return (vec_a, vec_b, sim), vec_a < vec_b, sim = quantized cosine
     *         (bit-exact across engines — same math as the brute face) */
   def cosineNearDupsIvf(df: DataFrame, idCol: String, embCol: String,
-                        threshold: Double, centroidStride: Int = 25,
+                        threshold: Double, centroidStride: Int = DefaultCentroidStride,
                         nprobe: Int = 3): DataFrame = {
     val ranked = ivfAssignment(df, idCol, embCol, centroidStride, nprobe)
     val (index, probes) = ivfIndexAndProbes(ranked)

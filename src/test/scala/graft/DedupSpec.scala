@@ -63,6 +63,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("editNearDups: Levenshtein verify on LSH candidates, exact counts") {
+    // docA -> docA2 is a one-word suffix edit ("today" -> "now"), unit
+    // cost 4 (best alignment: t->n, o kept, d->o, a->w, delete "y"...
+    // the DP finds 4); docA == doc 4 at 0 edits; docB never pairs (no
+    // band collision, and 60+ edits away regardless)
+    val out = Dedup.editNearDups(docs, "doc_id", "text", maxEdits = 10)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(out((1L, 4L)) == 0)
+    assert(out((1L, 2L)) == 4 && out((2L, 4L)) == 4)
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // a budget below the true distance excludes the mutated pair but
+    // keeps the exact one
+    val tight = Dedup.editNearDups(docs, "doc_id", "text", maxEdits = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(tight == Set((1L, 4L)))
+    Dedup.releaseCaches(blocking = true)
+  }
+
   test("lshNearDups matches allPairsJaccard on data where LSH should catch everything") {
     val lsh = Dedup.lshNearDups(docs, "doc_id", "text").select("doc_a", "doc_b")
       .as[(Long, Long)].collect().toSet

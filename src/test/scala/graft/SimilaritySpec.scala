@@ -61,6 +61,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     pairs.foreach { case (raw, quant) => assert(math.abs(raw - quant) < 5e-3) }
   }
 
+  test("kmeansStep: exact element-wise means per nearest-seed cluster") {
+    // seeds are ids 0 and 25 (stride 25): axis vectors. Members 1,2
+    // point near +x (join cluster 0); 26 points near -x — BUT cosine
+    // to seed 25 (-x) is highest, so it joins cluster 25. Means are
+    // exact integer-sum / count per dimension on the quantized values.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),    // seed A (+x)
+      (25L, Array(-1.0f, 0.0f)),  // seed B (-x)
+      (1L, Array(0.8f, 0.2f)),    // -> A
+      (2L, Array(0.6f, 0.0f)),    // -> A
+      (26L, Array(-0.5f, 0.1f))   // -> B
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStep(vecs, "vec_id", "embedding")
+      .orderBy("cid").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 25L))
+    val a = out(0); val b = out(1)
+    assert(a.getLong(1) == 3 && b.getLong(1) == 2) // n_members
+    // cluster A: quantized xs (1000, 800, 600) -> 800.0; ys (0,200,0) -> 66.66..
+    assert(a.getSeq[Double](2) == Seq(2400.0 / 3, 200.0 / 3))
+    // cluster B: xs (-1000,-500) -> -750.0; ys (0,100) -> 50.0
+    assert(b.getSeq[Double](2) == Seq(-750.0, 50.0))
+    Similarity.releaseCaches(blocking = true)
+  }
+
   test("ivfTopK: no-centroid id space fails loudly inside the job, " +
        "empty input yields empty result") {
     // stride 25 divides none of these ids — the 0%-recall trap the
