@@ -24,8 +24,22 @@ object Bench {
     val gcMs = ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).sum
     val heapMb = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
-    s"codecache=${ccUsed}M/${ccMax}M classes=$classes gc=${gcMs}ms heap=${heapMb}M"
+    f"codecache=${ccUsed}M/${ccMax}M classes=$classes gc=${gcMs}ms " +
+      f"heap=${heapMb}M cpu=${processCpuSec()}%.1fs"
   }
+
+  /** Cumulative process CPU seconds (all threads). The wall-vs-CPU
+    * delta per run is the one signal that separates "the machine was
+    * preempted" from "the query did work": a 20s wall run with ~2s of
+    * CPU and ~0 GC means the VM's cores were stolen by the host —
+    * invisible to in-guest load counters (no paravirt steal clock),
+    * but decisive in the artifact. */
+  private def processCpuSec(): Double =
+    ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
 
   /** Block-storage telemetry: what is cached right now, and whether any
     * of it was forced to disk. The pinned-pipeline queries (corpus-prep,
@@ -165,6 +179,7 @@ object Bench {
       // warm between runs; per-query state is released each time)
       val times = (1 to runs).flatMap { i =>
         val t0 = System.nanoTime()
+        val c0 = processCpuSec()
         // noop write, not count(): count() lets Catalyst prune every
         // unreferenced projection/window, so projection-heavy queries
         // would time as little more than a row-count scan. The noop
@@ -174,14 +189,15 @@ object Bench {
         } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         val dt = (System.nanoTime() - t0) / 1e9
+        val dc = processCpuSec() - c0
         if (StorageQueries(name))
           System.err.println(s"[bench] $name ${storageStats(spark)}")
         release()
         System.err.println(f"[bench] $name run$i $dt%.2f ${jvmStats()}")
-        if (ok) Some(dt) else None
+        if (ok) Some((dt, dc)) else None
       }
       // -1 marks a failed query — a regression must not read as a speedup
-      val v = if (times.size == runs) times.min else -1.0
+      val v = if (times.size == runs) times.map(_._1).min else -1.0
       (name, v, times)
     }
     val calEnd = calibrate("end")
@@ -193,11 +209,18 @@ object Bench {
       .mkString("{", ",", "}")
     val runsJson = results
       .map { case (k, _, ts) =>
-        s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]") }
+        s"\"" + k + "\":" + ts.map(t => fmt(t._1)).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    // per-run PROCESS-CPU deltas, parallel to `runs`: wall >> cpu with
+    // flat gc = the VM was preempted, not the plan — the one signal
+    // in-guest load counters cannot provide (no steal clock here)
+    val cpuJson = results
+      .map { case (k, _, ts) =>
+        s"\"" + k + "\":" + ts.map(t => fmt(t._2)).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val cal = s"""{"start":${fmt(calStart)},"mid":${fmt(calMid)},"end":${fmt(calEnd)}}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"calibration":$cal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"cpu":$cpuJson,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
