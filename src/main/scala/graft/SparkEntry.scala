@@ -75,6 +75,21 @@ object SparkEntry {
       Bfs.run(copurchaseEdges(s, dir), source = 2L).orderBy("id")
     }),
 
+    // Exact triangle count over the part co-occurrence graph (parts
+    // bought together in one order), by degree-ordered orientation —
+    // wedge generation is O(m^1.5)-bounded and hot-degree-proof, the
+    // formulation that survives power-law graphs at 100 TB. (The BFS
+    // co-purchase graph is bipartite — zero triangles by parity — so
+    // this query projects the part-part co-occurrence graph instead.)
+    "q_triangle_count" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      GraphOps.triangleCount(edges)
+    }),
+
     // Multi-source BFS: distance to nearest seed (capability extension
     // of O5 init — same semilattice).
     "q_bfs_multisource" -> ((s, dir) => {
@@ -1267,6 +1282,31 @@ object SparkEntry {
          |  CAST(pos AS BIGINT) AS pos,
          |  CAST(sum(val) AS DOUBLE) / count(*) AS m
          |FROM ke GROUP BY cid, pos ORDER BY cid, pos""".stripMargin,
+
+    // mirrors GraphOps.triangleCount on the part co-occurrence graph:
+    // canonical lo<hi edges, degree-ordered orientation, wedge
+    // closure as an equi-join
+    "q_triangle_count" ->
+      """WITH pp AS (
+        |  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |dg AS (
+        |  SELECT id, count(*) AS d FROM (
+        |    SELECT lo AS id FROM pp UNION ALL SELECT hi FROM pp)
+        |  GROUP BY id),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pp.lo < pp.hi)
+        |              THEN pp.lo ELSE pp.hi END AS src,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND pp.lo < pp.hi)
+        |              THEN pp.hi ELSE pp.lo END AS dst
+        |  FROM pp JOIN dg da ON da.id = pp.lo JOIN dg db ON db.id = pp.hi),
+        |w AS (
+        |  SELECT least(e1.dst, e2.dst) AS lo, greatest(e1.dst, e2.dst) AS hi
+        |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst)
+        |SELECT (SELECT count(*) FROM dg) AS n_vertices,
+        |       (SELECT count(*) FROM pp) AS n_edges,
+        |       (SELECT count(*) FROM w JOIN pp USING (lo, hi)) AS n_triangles""".stripMargin,
 
     "q_edge_ingest" ->
       """SELECT count(*) AS n_edges,

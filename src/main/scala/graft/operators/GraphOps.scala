@@ -54,6 +54,58 @@ object GraphOps {
       .union(edges.select(col("dst").as("id")))
       .distinct()
 
+  /** Exact triangle count by degree-ordered edge orientation (the
+    * node-iterator++ / "compact-forward" formulation — Schank &
+    * Wagner 2005; the MapReduce shape is Suri & Vassilvitskii 2011).
+    *
+    * Input: arbitrary (src, dst) rows — symmetrized duplicates,
+    * self-loops, and multi-edges are canonicalized away first.
+    *
+    * Why orientation is THE scale lever: counting wedges around every
+    * vertex is Σ deg(v)² — quadratic in the max degree, ruinous on
+    * power-law graphs (one celebrity vertex = one executor computing
+    * 10^12 wedges). Orienting each edge from its lower-(degree, id)
+    * endpoint to the higher one makes every vertex's OUT-degree
+    * O(√m), so wedge generation is bounded by O(m^1.5) total and no
+    * single key can hot-spot: each triangle is generated exactly once,
+    * at its lowest-ranked corner. The closure probe is a plain
+    * equi-join of the wedge stream against the canonical edge set.
+    *
+    * Returns a single row `(n_vertices, n_edges, n_triangles)` —
+    * canonical undirected counts. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+    val deg = canon.select(col("lo").as("id"))
+      .union(canon.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orient: src = lower (degree, id) endpoint — a total order, so
+    // exactly one direction per edge
+    val oriented = canon
+      .join(deg.select(col("id").as("lo"), col("d").as("d_lo")), "lo")
+      .join(deg.select(col("id").as("hi"), col("d").as("d_hi")), "hi")
+      .select(
+        when(col("d_lo") < col("d_hi") ||
+             (col("d_lo") === col("d_hi") && col("lo") < col("hi")),
+          col("lo")).otherwise(col("hi")).as("src"),
+        when(col("d_lo") < col("d_hi") ||
+             (col("d_lo") === col("d_hi") && col("lo") < col("hi")),
+          col("hi")).otherwise(col("lo")).as("dst"))
+    // wedges at the lowest-ranked corner; canonical (lo, hi) for the
+    // closure probe so it's a pure equi-join
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(least(col("e1.dst"), col("e2.dst")).as("lo"),
+        greatest(col("e1.dst"), col("e2.dst")).as("hi"))
+    val nTri = wedges.join(canon, Seq("lo", "hi"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nV = deg.agg(count(lit(1)).as("n_vertices"))
+    val nE = canon.agg(count(lit(1)).as("n_edges"))
+    nV.crossJoin(nE).crossJoin(nTri)
+  }
+
   /** Run an iterative driver loop with AQE disabled, restoring the
     * session's setting afterwards.
     *

@@ -30,6 +30,19 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(GraphOps.vertices(sym).count() == 3)
   }
 
+  test("triangleCount: exact counts; robust to direction, dupes, self-loops") {
+    // K4 on {0,1,2,3} = 4 triangles, plus a pendant edge (4,5) and
+    // noise: reversed duplicates, a multi-edge, a self-loop
+    val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)
+    val noisy = k4 ++ Seq((1L, 0L), (2L, 0L), (3L, 3L), (4L, 5L))
+    val out = GraphOps.triangleCount(noisy.toDF("src", "dst")).collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == (6L, 7L, 4L))
+    // a triangle-free (bipartite) graph counts zero
+    val bip = Seq((0L, 10L), (0L, 11L), (1L, 10L), (1L, 11L))
+      .toDF("src", "dst")
+    assert(GraphOps.triangleCount(bip).collect()(0).getLong(2) == 0L)
+  }
+
   test("edge-list source parses reference format, tolerates mess") {
     val f = Files.createTempFile("edges", ".txt")
     Files.writeString(f,
