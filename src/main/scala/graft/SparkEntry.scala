@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, CorpusOps, Dedup,
   GraphOps, Multimodal, PageRank, RangeJoin, Redaction, SequencePacking,
-  Similarity, SkewOps, TextAnalysis}
+  Similarity, SkewOps, Sssp, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.{SimHashExpr, TopKBySim}
 
@@ -642,6 +642,21 @@ object SparkEntry {
           Bfs.Config(withPaths = true))
         .select(col("id"), col("dist"), array_join(col("path"), "->").as("path"))
         .orderBy("id")
+    }),
+
+    // Weighted SSSP (Bellman-Ford BSP — min-plus on the BFS core) on
+    // the reference's tinyG with deterministic per-edge weights
+    // (portable rolling hash of the canonical endpoint pair, so both
+    // directions share the weight and the oracle replays it). The
+    // oracle enumerates simple paths by recursive CTE and takes the
+    // min — hash-exact like q_bfs_paths_golden.
+    "q_sssp_golden" -> ((s, _) => {
+      import s.implicits._
+      val edges = GraphOps.symmetrize(TinyG.toDF("src", "dst"))
+        .withColumn("w", lit(1L) + pmod(TextAnalysis.rollingHash(
+          concat_ws("_", least(col("src"), col("dst")).cast("string"),
+            greatest(col("src"), col("dst")).cast("string"))), lit(9L)))
+      Sssp.run(edges, source = 0L).orderBy("id")
     }),
 
     // Fixed-2-iteration PageRank twin of q_pagerank: same engine code
@@ -1662,6 +1677,29 @@ object SparkEntry {
          |       GROUP BY w.id, b.dist)
          |SELECT id, dist, array_to_string(path, '->') AS path
          |FROM mp ORDER BY id""".stripMargin
+    },
+
+    // weighted twin of the golden walk: same simple-path enumeration,
+    // min-PLUS accumulation; per-edge weights derive from the same
+    // rolling hash of the canonical endpoint pair as the Spark query
+    "q_sssp_golden" -> {
+      val valuesSql = TinyG.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+      val wExpr = rhSql("CAST(least(src, dst) AS VARCHAR) || '_' || " +
+        "CAST(greatest(src, dst) AS VARCHAR)")
+      s"""WITH RECURSIVE raw(src, dst) AS (VALUES $valuesSql),
+         |edges AS (
+         |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM raw
+         |  UNION ALL
+         |  SELECT CAST(dst AS BIGINT), CAST(src AS BIGINT) FROM raw),
+         |we AS (SELECT src, dst, 1 + ($wExpr) % 9 AS w FROM edges),
+         |walk(id, dist, path) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), [CAST(0 AS BIGINT)]
+         |  UNION ALL
+         |  SELECT e.dst, walk.dist + e.w, list_append(walk.path, e.dst)
+         |  FROM walk JOIN we e ON e.src = walk.id
+         |  WHERE NOT list_contains(walk.path, e.dst))
+         |SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk
+         |GROUP BY id ORDER BY id""".stripMargin
     },
 
     // two unrolled power iterations replaying PageRank.run's math in

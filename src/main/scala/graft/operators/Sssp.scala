@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Weighted single-source shortest paths — Bellman-Ford as BSP rounds,
+  * the weighted generalization of the reference's unweighted BFS
+  * (`BFS_map_reduce.py:115-150`: same frontier/semilattice machinery,
+  * min-plus instead of min-hop).
+  *
+  * Round structure follows [[Bfs.run]] — ONE shuffle and ONE job per
+  * round — with the one structural difference weights force: BFS knows
+  * the newly-settled vertices by `dist == round`, but a weighted
+  * relaxation can IMPROVE an already-reached vertex, so each round's
+  * merge aggregates BOTH the new minimum and the previous state's
+  * minimum per id (`min(dist)` and `min(dist WHERE old)` in one
+  * partial-aggregated exchange) and the next frontier is the rows
+  * where the new minimum is strictly better. Rounds needed = hop count
+  * of the longest shortest path (≤ |V|-1, the Bellman-Ford bound);
+  * convergence is "no vertex improved".
+  *
+  * Weights must be non-negative integers (`w` column, long-castable).
+  * The guard rides the expansion projection as a codegen'd
+  * `raise_error` branch — no extra validation job (negative weights
+  * would silently produce wrong fixpoints; Bellman-Ford's
+  * negative-cycle semantics are not this operator's contract).
+  *
+  * Scale notes: identical to [[Bfs]] — edges hash-partitioned on `src`
+  * once and persisted, frontier broadcast while small, eager
+  * localCheckpoint keeps lineage flat, AQE off inside the loop.
+  */
+object Sssp {
+
+  /** @param maxIterations hard stop (Bellman-Ford needs ≤ |V|-1 rounds;
+    *                      exceeding the cap throws — a partial fixpoint
+    *                      is silently-wrong distances)
+    * @see [[Bfs.Config]] for the shared knobs */
+  final case class Config(
+      maxIterations: Int = 200,
+      checkpointInterval: Int = 1,
+      broadcastFrontierRows: Long = 4000000L,
+      keepAqe: Boolean = false)
+
+  /** SSSP over a DIRECTED weighted edge table (columns `src`, `dst`,
+    * `w`). For an undirected graph pass symmetrized edges with the
+    * same weight in both directions.
+    *
+    * @return DataFrame(id LONG, dist LONG) — reached vertices only. */
+  def run(edges: DataFrame, source: Long, cfg: Config = Config()): DataFrame = {
+    val spark = edges.sparkSession
+    GraphOps.withLoopAqeDisabled(spark, cfg.keepAqe) {
+      runLoop(edges, source, cfg)
+    }
+  }
+
+  private def runLoop(edges: DataFrame, source: Long, cfg: Config): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val e = edges.select($"src", $"dst",
+        when($"w" < 0, raise_error(lit(
+          "negative edge weight: Sssp requires non-negative weights")))
+          .otherwise($"w".cast("long")).as("w"))
+      .repartition($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var state = Seq(source).toDF("id").select($"id", lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = state
+    var frontierRows = 1L
+    var iter = 0
+    val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    while (frontierRows > 0 && iter < cfg.maxIterations) {
+      iter += 1
+      val tRound = System.nanoTime()
+      val f0 =
+        if (frontierRows <= cfg.broadcastFrontierRows) broadcast(frontier)
+        else frontier
+      val candidates = f0.as("f").join(e.as("e"), col("f.id") === col("e.src"))
+        .select(col("e.dst").as("id"), (col("f.dist") + col("e.w")).as("dist"),
+          lit(false).as("old"))
+
+      // ONE exchange merges state and relaxations AND detects
+      // improvement: newDist = min over both, oldDist = min over the
+      // previous state only — improved iff newDist < oldDist (or the
+      // vertex is newly reached). Both aggregates are plain mins on
+      // primitive buffers: the chain stays HashAggregate/codegen.
+      var merged = state.select($"id", $"dist", lit(true).as("old"))
+        .union(candidates)
+        .groupBy($"id")
+        .agg(min($"dist").as("dist"),
+          min(when($"old", $"dist")).as("old_dist"))
+      merged =
+        if (iter % cfg.checkpointInterval == 0) merged.localCheckpoint(true)
+        else merged.persist(StorageLevel.MEMORY_AND_DISK)
+
+      frontier = merged
+        .filter($"old_dist".isNull || $"dist" < $"old_dist")
+        .select($"id", $"dist")
+      frontierRows = frontier.count()
+      System.err.println(
+        f"[sssp] round $iter improved=$frontierRows " +
+          f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
+
+      toUnpersist += state
+      state = merged.select($"id", $"dist")
+    }
+    toUnpersist.foreach(_.unpersist(false))
+    e.unpersist(false)
+    if (frontierRows > 0) throw new IllegalStateException(
+      s"SSSP did not converge in ${cfg.maxIterations} rounds — raise " +
+        "maxIterations (Bellman-Ford needs at most |V|-1)")
+    state
+  }
+}
