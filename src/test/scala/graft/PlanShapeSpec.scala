@@ -55,14 +55,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
 
   test("similarity/dedup joins never go cartesian") {
     for (q <- Seq("q_jaccard_near_dups", "q_lsh_near_dups",
-        "q_simhash_near_dups", "q_ann_ivf")) {
+        "q_simhash_near_dups", "q_ann_ivf", "q_edit_near_dups",
+        "q_kmeans_step")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       // BroadcastNestedLoopJoin appears only for the tiny centroid
-      // cross in IVF (bounded by numCentroids) — ban it elsewhere
-      if (q != "q_ann_ivf")
+      // cross in IVF/kmeans (bounded by numCentroids) — ban it elsewhere
+      if (q != "q_ann_ivf" && q != "q_kmeans_step")
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans an NLJ")
     }
+  }
+
+  test("q_triangle_count closes wedges with the native merge intersect, " +
+       "never a wedge-stream join or cartesian") {
+    val p = planOf("q_triangle_count")
+    assert(!p.contains("CartesianProduct"), "triangle count went cartesian")
+    assert(p.contains("sorted_intersect_size"),
+      "closure is not the codegen'd merge intersect")
   }
 
   test("q1_agg scan prunes to the 5 referenced lineitem columns") {
