@@ -182,6 +182,20 @@ object SparkEntry {
       t(s, dir, "documents").select(cols: _*).orderBy("doc_id")
     }),
 
+    // Incremental dedup: a new batch (odd doc ids) deduped against an
+    // already-deduplicated corpus (even ids) — the day-to-day ingest
+    // operator. The corpus side NEVER shuffles: it streams through
+    // broadcast probes of the batch's fingerprints and LSH bands;
+    // within-batch canonicals reuse the full-dedup operators.
+    "q_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.incrementalDedupKept(
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Near-dup pairs: LSH banding (never all-pairs) + exact Jaccard
     // verify — the scale path for 100 TB dedup.
     "q_lsh_near_dups" -> ((s, dir) => {
@@ -1135,6 +1149,44 @@ object SparkEntry {
       s"""WITH $lshPipelineSql
          |SELECT doc_a, doc_b, sim FROM scored
          |WHERE sim >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the batch is the odd ids, the corpus the even ids; band
+    // collisions/sims come from the same all-docs LSH CTEs (bands are
+    // per-doc deterministic, so all-docs pairs restricted to
+    // odd-even / odd-odd equal the cross-set / within-batch pairs)
+    "q_incremental_dedup" ->
+      s"""WITH RECURSIVE $lshPipelineSql,
+         |fps AS (SELECT doc_id, $fingerprintSql AS fp FROM documents),
+         |xfp AS (
+         |  SELECT DISTINCT b.fp FROM fps b JOIN fps e ON e.fp = b.fp
+         |  WHERE b.doc_id % 2 = 1 AND e.doc_id % 2 = 0),
+         |xnd AS (
+         |  SELECT DISTINCT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END
+         |    AS doc_id
+         |  FROM scored WHERE sim >= 0.5 AND (doc_a % 2) <> (doc_b % 2)),
+         |bec AS (
+         |  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_ec
+         |  FROM fps WHERE doc_id % 2 = 1),
+         |pedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM scored
+         |  WHERE sim >= 0.5 AND doc_a % 2 = 1 AND doc_b % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM scored
+         |  WHERE sim >= 0.5 AND doc_a % 2 = 1 AND doc_b % 2 = 1),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM pedges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN pedges e ON e.src = reach.r),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT f.doc_id FROM fps f
+         |JOIN bec ON bec.doc_id = f.doc_id
+         |LEFT JOIN comp c ON c.id = f.doc_id
+         |LEFT JOIN xfp ON xfp.fp = f.fp
+         |LEFT JOIN xnd ON xnd.doc_id = f.doc_id
+         |WHERE f.doc_id % 2 = 1 AND bec.is_ec
+         |  AND coalesce(c.cluster, f.doc_id) = f.doc_id
+         |  AND xfp.fp IS NULL AND xnd.doc_id IS NULL
+         |ORDER BY f.doc_id""".stripMargin,
 
     // same band-candidate CTEs as the LSH oracle; Levenshtein is the
     // classical unit-cost edit distance in both engines (exact int)

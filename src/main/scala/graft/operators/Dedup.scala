@@ -226,6 +226,22 @@ object Dedup extends CachePinning {
     lshNearDupsFromHashes(df.select(col(idCol).as("doc_id"),
       shingleHashes(col(textCol), n).as("hs")), threshold, maxBucketSize)
 
+  /** Explode a `(doc_id, sig, [carry...])` frame into one row per LSH
+    * band: `(doc_id, band, h1, h2, carry...)`. Shared by the
+    * within-set ([[lshNearDupsFromHashes]]) and cross-set
+    * ([[incrementalDedupKept]]) band joins. */
+  private def bandsOf(base: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val bandCols = (0 until numBands).map { j =>
+      struct(lit(j).as("band"),
+        element_at(col("sig"), j * BandRows + 1).as("h1"),
+        element_at(col("sig"), j * BandRows + 2).as("h2"))
+    }
+    base.select(col("doc_id") +: carry.map(col) :+
+        explode(array(bandCols: _*)).as("b"): _*)
+      .select(Seq(col("doc_id"), col("b.band").as("band"),
+        col("b.h1").as("h1"), col("b.h2").as("h2")) ++ carry.map(col): _*)
+  }
+
   /** [[lshNearDups]] over a PRECOMPUTED `(doc_id, hs)` frame (`hs` =
     * the document's distinct shingle hashes as `array<long>`) — for
     * pipelines whose shared text projection already pays the shingling
@@ -239,14 +255,7 @@ object Dedup extends CachePinning {
     val base = pin(hsBase.select(col("doc_id"), col("hs"))
       .withColumn("sig", minhashFromHashes(col("hs"))))
 
-    val bandCols = (0 until numBands).map { j =>
-      struct(lit(j).as("band"),
-        element_at(col("sig"), j * BandRows + 1).as("h1"),
-        element_at(col("sig"), j * BandRows + 2).as("h2"))
-    }
-    val allBands = base.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"),
-        col("b.h1").as("h1"), col("b.h2").as("h2"))
+    val allBands = bandsOf(base)
     val bands = maxBucketSize match {
       case None => allBands
       case Some(cap) =>
@@ -268,6 +277,79 @@ object Dedup extends CachePinning {
       .withColumn("sim", jaccardSim(col("hs_a"), col("hs_b")))
       .filter(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))
+  }
+
+  /** Incremental dedup: which documents of a NEW batch survive against
+    * an already-deduplicated EXISTING corpus — the operator a 100 TB
+    * pipeline actually runs day to day (full-corpus re-dedup on every
+    * ingest is a non-starter).
+    *
+    * A batch document is kept iff ALL of:
+    *  1. its canonical fingerprint appears nowhere in `existing`;
+    *  2. no existing document is an LSH-verified near-dup of it
+    *     (Jaccard ≥ threshold);
+    *  3. it is the exact-dedup canonical within the batch; and
+    *  4. it is the near-dup CLUSTER canonical within the batch
+    *     (same transitive semantics as [[nearDupClusters]]).
+    * Rules 3-4 reuse the full-corpus operators on the (small) batch;
+    * rules 1-2 are the incremental machinery.
+    *
+    * Scale shape — THE point of this operator: the existing corpus
+    * NEVER shuffles. It streams exactly twice (once for fingerprints,
+    * once for shingle/signature bands), each scan probing a BROADCAST
+    * batch-side structure (distinct batch fingerprints; batch band
+    * table); only batch-sized frames (matched fingerprints, candidate
+    * pairs, verified drops) move through exchanges. The cross-verify
+    * Jaccard rides the band join itself (existing-side shingle sets
+    * carried through the explode), so no third corpus pass.
+    *
+    * @return the kept batch rows as `(doc_id)` (pass `batch` with an
+    *         id column named by `idCol`; output uses `doc_id`). */
+  def incrementalDedupKept(batch: DataFrame, existing: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val bBase = pin(batch.select(col(idCol).as("doc_id"),
+        TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"),
+        shingleHashes(col(textCol), n).as("hs"))
+      .withColumn("sig", minhashFromHashes(col("hs"))))
+
+    // rule 1 — cross-exact: stream existing fingerprints through a
+    // broadcast probe of the batch's; only the matched (≤ |batch|)
+    // fingerprints come back
+    val bFp = bBase.select(col("fingerprint")).distinct()
+    val matchedFp = existing
+      .select(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .join(broadcast(bFp), "fingerprint")
+      .distinct()
+
+    // rule 2 — cross-near: existing bands (shingle sets carried) probe
+    // the broadcast batch band table; verify Jaccard in the same pass
+    val eBands = bandsOf(existing.select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), n).as("hs"))
+      .withColumn("sig", minhashFromHashes(col("hs"))), carry = Seq("hs"))
+    val bBands = bandsOf(bBase, carry = Seq("hs"))
+      .select(col("doc_id").as("b_id"), col("band"), col("h1"), col("h2"),
+        col("hs").as("hs_b"))
+    val nearDropped = eBands.join(broadcast(bBands), Seq("band", "h1", "h2"))
+      .select(col("b_id").as("doc_id"),
+        jaccardSim(col("hs"), col("hs_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("doc_id")).distinct()
+
+    // rules 3-4 — within-batch canonicals, via the full-dedup operators
+    val ec = exactDedupFromFingerprints(
+        bBase.select(col("doc_id"), col("fingerprint")), "doc_id")
+      .select(col("doc_id"), col("is_canonical").as("is_ec"))
+    val nc = nearDupClustersFromHashes(
+        bBase.select(col("doc_id"), col("hs")), threshold)
+      .select(col("doc_id"), col("is_canonical").as("is_nc"))
+
+    bBase.select(col("doc_id"), col("fingerprint"))
+      .join(ec, "doc_id").join(nc, "doc_id")
+      .join(broadcast(matchedFp), Seq("fingerprint"), "left_anti")
+      .join(broadcast(nearDropped), Seq("doc_id"), "left_anti")
+      .filter(col("is_ec") && col("is_nc"))
+      .select(col("doc_id"))
   }
 
   /** Edit-distance near-duplicate pairs: LSH band candidates verified

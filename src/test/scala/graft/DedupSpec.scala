@@ -63,6 +63,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("incrementalDedupKept: cross-exact, cross-near, and within-batch " +
+       "rules each drop their doc; unique docs survive") {
+    val docF  = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docF2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu" // near-dup of F
+    val docG  = "entirely unrelated content about adaptive query execution and shuffles"
+    val existing = Seq((2L, docA), (4L, docB)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, docA2), // near-dup of existing 2      -> dropped (cross-near)
+      (3L, docB),  // exact dup of existing 4     -> dropped (cross-exact)
+      (5L, docF),  // batch cluster canonical     -> KEPT
+      (7L, docF2), // near-dup of 5 within batch  -> dropped (rule 4)
+      (9L, docG),  // unique                      -> KEPT
+      (11L, docF)  // exact dup of 5 within batch -> dropped (rule 3)
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedupKept(batch, existing, "doc_id", "text")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(5L, 9L))
+    Dedup.releaseCaches(blocking = true)
+    // empty existing corpus degenerates to plain within-batch dedup
+    val keptAll = Dedup.incrementalDedupKept(batch,
+        existing.filter($"doc_id" < 0), "doc_id", "text")
+      .as[Long].collect().sorted
+    assert(keptAll.toSeq == Seq(1L, 3L, 5L, 9L))
+    Dedup.releaseCaches(blocking = true)
+  }
+
   test("editNearDups: Levenshtein verify on LSH candidates, exact counts") {
     // docA -> docA2 is a one-word suffix edit ("today" -> "now"), unit
     // cost 4 (best alignment: t->n, o kept, d->o, a->w, delete "y"...
