@@ -76,9 +76,9 @@ object Bench {
   private val ExtraRunQueries = Set(
     "q_bfs_copurchase", "q1_agg", "q_corpus_prep_v2", "q_ann_ivf",
     "q_pagerank",
-    // new in r9 and the suite's heaviest pipeline — no driver anchor
-    // yet, so give its first driver round the full per-run spread
-    "q_corpus_prep_v3")
+    // new in r9 and the suite's two heaviest additions — no driver
+    // anchor yet, so give their first driver round the full spread
+    "q_corpus_prep_v3", "q_triangle_count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
