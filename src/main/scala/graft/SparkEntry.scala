@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, CorpusOps, Dedup,
-  GraphOps, Multimodal, PageRank, RangeJoin, Redaction, SequencePacking,
-  Similarity, SkewOps, Sssp, TextAnalysis}
+  Funnel, GraphOps, Multimodal, PageRank, RangeJoin, Redaction,
+  SequencePacking, Similarity, SkewOps, Sssp, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.{SimHashExpr, TopKBySim}
 
@@ -393,6 +393,16 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) => {
       EventStream.windowedCounts(EventStream.eventsTable(s, dir))
         .orderBy("window_start", "event_type")
+    }),
+
+    // Ordered-funnel conversion (view → click → purchase): per step,
+    // users whose events contain the prefix as a strictly-increasing
+    // timestamp subsequence. Greedy earliest-match; every stage keys
+    // on the user id, so the chain stays co-partitioned after the
+    // first exchange.
+    "q_funnel" -> ((s, dir) => {
+      Funnel.funnelCounts(EventStream.eventsTable(s, dir),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
     }),
 
     // Sessionization (gap-based) — batch face of the streaming
@@ -1790,6 +1800,28 @@ object SparkEntry {
          |             * (CAST(coalesce(s.csum, 0) AS DOUBLE) / 1e15) AS rank
          |       FROM deg d LEFT JOIN s2 s ON s.id = d.id)
          |SELECT id, rank FROM r2 ORDER BY id""".stripMargin,
+
+    // greedy earliest-match staged mins mirror Funnel.funnelCounts;
+    // strict > in both engines; ts instants identical (µs precision)
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |   AND CAST(e.ts AS TIMESTAMP) > s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |   AND CAST(e.ts AS TIMESTAMP) > s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS event_type,
+        |       (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
 
     "q_events_window" ->
       """WITH b AS (
