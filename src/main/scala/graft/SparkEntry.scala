@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, CorpusOps, Dedup,
-  Funnel, GraphOps, Multimodal, PageRank, RangeJoin, Redaction,
+  Funnel, GraphOps, Multimodal, PageRank, Profile, RangeJoin, Redaction,
   SequencePacking, Similarity, SkewOps, Sssp, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.{SimHashExpr, TopKBySim}
@@ -515,6 +515,15 @@ object SparkEntry {
       soldLarge.crossJoin(unsold)
     }),
 
+    // Single-pass table profile (ANALYZE-style): per-column null
+    // counts, exact distinct counts, numeric min/max — one scan, one
+    // Expand for the exact NDVs, wide row melted per column.
+    "q_table_profile" -> ((s, dir) => {
+      Profile.profile(t(s, dir, "lineitem"), ProfileNumericCols,
+          ProfileOtherCols)
+        .orderBy("column")
+    }),
+
     // Pivot (values-to-columns reshaping over the line-status domain).
     "q_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -845,6 +854,13 @@ object SparkEntry {
         .orderBy("doc_id")
     })
   )
+
+  /** Column sets for q_table_profile — the oracle arms generate from
+    * the same lists so Scala and SQL can't drift. */
+  private val ProfileNumericCols =
+    Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+      "l_discount")
+  private val ProfileOtherCols = Seq("l_returnflag", "l_linestatus")
 
   /** Edit budget for q_edit_near_dups. The sf corpus is bimodal over
     * the LSH candidates (true near-dups at 4-8 edits, band-collision
@@ -1500,6 +1516,32 @@ object SparkEntry {
         |    (SELECT p_partkey FROM part
         |     EXCEPT
         |     SELECT l_partkey FROM lineitem)) AS n_unsold""".stripMargin,
+
+    // one wide aggregate row (same measures, same casts) melted by
+    // UNION arms generated from the shared column lists
+    "q_table_profile" -> {
+      val aggsSql = (ProfileNumericCols.flatMap(c => Seq(
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nn",
+          s"count(DISTINCT $c) AS ${c}__nd",
+          s"min(CAST($c AS DOUBLE)) AS ${c}__mn",
+          s"max(CAST($c AS DOUBLE)) AS ${c}__mx")) ++
+        ProfileOtherCols.flatMap(c => Seq(
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nn",
+          s"count(DISTINCT $c) AS ${c}__nd"))).mkString(",\n  ")
+      val arms = (ProfileNumericCols.map(c =>
+          s"""SELECT '$c' AS "column", n_rows, ${c}__nn AS n_nulls, """ +
+            s"${c}__nd AS n_distinct, ${c}__mn AS min_value, " +
+            s"${c}__mx AS max_value FROM w") ++
+        ProfileOtherCols.map(c =>
+          s"SELECT '$c', n_rows, ${c}__nn, ${c}__nd, " +
+            s"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM w"))
+        .mkString("\nUNION ALL ")
+      s"""WITH w AS (SELECT count(*) AS n_rows,
+         |  $aggsSql
+         |FROM lineitem)
+         |$arms
+         |ORDER BY "column"""".stripMargin
+    },
 
     "q_pivot" ->
       """SELECT l_returnflag,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-pass table profiling (the ANALYZE/data-quality primitive):
+  * per column, null count, exact distinct count, and — for numeric
+  * columns — min/max as doubles.
+  *
+  * One scan for the whole profile: every per-column measure is an
+  * aggregate of the same `agg(...)`, so Catalyst plans a single pass
+  * (the exact distinct counts rewrite into one Expand — ×|columns|
+  * row amplification map-side, the standard cost of exact NDV; at
+  * 100 TB swap in `approx_count_distinct` per column for an
+  * Expand-free sketch profile — same output shape, documented
+  * trade-off). The wide 1-row aggregate then melts into one row per
+  * column with a per-row explode — no second scan, no driver loop.
+  *
+  * Output: `(column, n_rows, n_nulls, n_distinct, min_value,
+  * max_value)`, min/max null for non-numeric columns (string-typed
+  * min/max renders engine-specifically — casting numerics to double
+  * BEFORE the aggregate keeps the profile bit-comparable across
+  * engines).
+  */
+object Profile {
+
+  def profile(df: DataFrame, numericCols: Seq[String],
+              otherCols: Seq[String] = Nil): DataFrame = {
+    val cols = numericCols ++ otherCols
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val numeric = numericCols.toSet
+    val aggs = cols.flatMap { c =>
+      val base = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        count_distinct(col(c)).as(s"${c}__nd"))
+      if (numeric(c)) base ++ Seq(
+        min(col(c).cast("double")).as(s"${c}__mn"),
+        max(col(c).cast("double")).as(s"${c}__mx"))
+      else base
+    }
+    val all = count(lit(1)).as("n_rows") +: aggs
+    val wide = df.agg(all.head, all.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"${c}__nn").as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"),
+        (if (numeric(c)) col(s"${c}__mn")
+         else lit(null).cast("double")).as("min_value"),
+        (if (numeric(c)) col(s"${c}__mx")
+         else lit(null).cast("double")).as("max_value"))
+    }
+    wide.select(col("n_rows"), explode(array(rows: _*)).as("p"))
+      .select(col("p.column"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
+  }
+}
