@@ -473,13 +473,24 @@ object CorpusOps extends CachePinning {
                    overlap: Int = ChunkOverlap): DataFrame = {
     val shared = pin(prepShared(df, idCol, langCol, col(textCol),
       withToks = true))
+    // kept is pinned as IDS ONLY; the kept slice of the corpus (lang,
+    // n_tokens, toks) re-derives from the CACHED shared projection by
+    // an id join. This beats threading toks through the funnel's four
+    // sort-merge joins (array-carrying rows re-sort at every stage)
+    // AND caching them twice: both join inputs are already
+    // materialized (no pin race), and AQE picks the physical join per
+    // scale — broadcast of the kept ids when they fit, plain co-
+    // partitioned SMJ at corpus scale.
     val kept = pin(corpusPrepKeptFromShared(shared, idCol, langCol,
-      minQuality, evalMod, passThrough = Seq("toks")))
+      minQuality, evalMod).select(col(idCol)))
+    val ktk = shared.select(col(idCol), col(langCol), col("n_tokens"),
+        col("toks"))
+      .join(kept, Seq(idCol))
     val spanStats = boilerplateSpansFromTokens(
-        kept.select(col(idCol), col("toks")), idCol, spanTokens, minDocs)
+        ktk.select(col(idCol), col("toks")), idCol, spanTokens, minDocs)
       .select(col(idCol), col("n_spans"), col("n_boiler_spans"),
         col("n_tokens_kept"))
-    kept
+    ktk
       .withColumn("chunks",
         transform(chunkStructs("toks", maxTokens, overlap),
           c => c.getField("chunk_hash")))
