@@ -160,9 +160,19 @@ object Bench {
     val probeFn = SparkEntry.queries("q_hash_split")
     def calibrate(label: String): Double = {
       val t0 = System.nanoTime()
-      try probeFn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a failed probe must NOT record its near-zero wall time as a
+      // "fast machine" reading — that silently corrupts the load
+      // attribution the calibration exists to provide. -1.0 is the
+      // explicit "probe failed" sentinel, distinguishable in the
+      // artifact from any real duration.
+      val ok = try {
+        probeFn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration $label FAILED: ${e.getMessage}")
+        false
+      }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       release()
       System.err.println(f"[bench] calibration $label $dt%.2f ${jvmStats()}")
       dt
@@ -201,7 +211,10 @@ object Bench {
       (name, v, times)
     }
     val calEnd = calibrate("end")
-    def fmt(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, so a
+    // comma-decimal host would emit "6,3700" and break the JSON artifact
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     // `queries` stays name->min (the shape every prior BENCH_r{N}.json
     // and the driver's comparison use); `runs` is the parallel map with
     // every raw run so a regression is attributable from the artifact
@@ -220,7 +233,22 @@ object Bench {
       .mkString("{", ",", "}")
     val cal = s"""{"start":${fmt(calStart)},"mid":${fmt(calMid)},"end":${fmt(calEnd)}}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"cpu":$cpuJson,"calibration":$cal,"sf":"$sfDir"}""")
+    // r9 lesson: ONE giant line (queries+runs+cpu+calibration) overflowed
+    // the driver's tail capture — BENCH_r09.json came back "parsed":null
+    // with the wall map truncated away. Emission contract now:
+    //   line 1  compact summary (metric/total/queries/sf — the r8 shape
+    //           that parsed fine) for drivers that take the FIRST line,
+    //   lines 2-4  the diagnostic detail as separate, individually small
+    //           JSON lines (each tagged with its own "metric"),
+    //   last line  the compact summary AGAIN, so a tail-window capture
+    //           ends on a complete parseable object.
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(summary)
+    println(s"""{"metric":"runs","value":$runsJson}""")
+    println(s"""{"metric":"cpu","value":$cpuJson}""")
+    println(s"""{"metric":"calibration","value":$cal}""")
+    println(summary)
     spark.stop()
   }
 }

@@ -993,6 +993,19 @@ object SparkEntry {
   private def cosineQSql(a: String, b: String, na: String, nb: String): String =
     s"CAST(${dotSql(a, b)} AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
 
+  /** IVF centroid CTE (emits `cents(cid, cqe, cnn)` from `nv`):
+    * mirrors Similarity.HashSampledCentroids — the k vectors with the
+    * smallest (rollingHash(vec_id), vec_id). Fixed k ⇒ the centroid
+    * set does not grow with the corpus (the whole point of the r10
+    * seeding change). */
+  private def centsSql(k: Int = Similarity.DefaultNumCentroids): String =
+    s"""cents AS (
+       |  SELECT vec_id AS cid, qe AS cqe, nn AS cnn FROM (
+       |    SELECT nv.*, row_number() OVER (
+       |      ORDER BY ${rhSql("CAST(vec_id AS VARCHAR)")}, vec_id) AS cr
+       |    FROM nv)
+       |  WHERE cr <= $k)""".stripMargin
+
   /** Quantized embeddings + squared norms (mirrors Similarity.quantize). */
   private val quantCte: String =
     s"""qv AS (SELECT vec_id, list_transform(embedding,
@@ -1326,8 +1339,7 @@ object SparkEntry {
 
     "q_ann_ivf" ->
       s"""WITH $quantCte,
-         |cents AS (SELECT vec_id AS cid, qe AS cqe, nn AS cnn FROM nv
-         |          WHERE vec_id % 25 = 0),
+         |${centsSql()},
          |asg AS (
          |  SELECT vec_id, cid, qe, nn,
          |    row_number() OVER (PARTITION BY vec_id
@@ -1356,8 +1368,7 @@ object SparkEntry {
     // integer sums per (cluster, dimension) with ONE double division
     "q_kmeans_step" ->
       s"""WITH $quantCte,
-         |kc AS (SELECT vec_id AS cid, qe AS cqe, nn AS cnn FROM nv
-         |       WHERE vec_id % ${Similarity.DefaultCentroidStride} = 0),
+         |${centsSql().replace("cents AS (", "kc AS (")},
          |kb AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT v.vec_id, c.cid,
@@ -1734,11 +1745,11 @@ object SparkEntry {
          |WHERE sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
 
     // same deterministic IVF assignment CTEs as q_ann_ivf's oracle
-    // (centroids = vec_id % 25, nprobe 3), then cluster-local pairs
+    // (fixed-k hash-sampled centroids, nprobe 3), then cluster-local
+    // pairs
     "q_embedding_near_dups_ivf" ->
       s"""WITH $quantCte,
-         |cents AS (SELECT vec_id AS cid, qe AS cqe, nn AS cnn FROM nv
-         |          WHERE vec_id % 25 = 0),
+         |${centsSql()},
          |asg AS (
          |  SELECT vec_id, cid, qe, nn,
          |    row_number() OVER (PARTITION BY vec_id

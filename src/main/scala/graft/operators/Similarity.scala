@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DotProductLongExpr, TopKBySim}
+import graft.operators.TextAnalysis.rollingHash
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the correctness baseline, and an
@@ -15,12 +16,14 @@ import graft.functions.{DotProductLongExpr, TopKBySim}
   *    viable for bounded candidate sets; it exists as the baseline and
   *    as the verifier inside block/cluster-local searches.
   *  - IVF: assign every vector to its nearest centroid (a broadcast
-  *    map-side join — centroids are tiny), then search only within the
-  *    cluster (a shuffle on cluster id, each bucket independent). At a
-  *    1000-executor scale this is the difference between n² network
-  *    pairs and one partitioned pass. Recall is tunable via the
-  *    centroid count / probe count; the spec measures it against the
-  *    brute-force baseline.
+  *    map-side join — the centroid set is FIXED-k by construction,
+  *    [[Similarity.HashSampledCentroids]], so assignment is O(n·k) and
+  *    the broadcast stays small no matter how the corpus grows), then
+  *    search only within the cluster (a shuffle on cluster id, each
+  *    bucket independent). At a 1000-executor scale this is the
+  *    difference between n² network pairs and one partitioned pass.
+  *    Recall is tunable via the centroid budget / probe count; the
+  *    spec measures it against the brute-force baseline.
   *
   * Oracle-exactness: all similarity math used in driver-checked queries
   * runs on integer-quantized embeddings (`round(x*1000)` as long) —
@@ -41,10 +44,31 @@ object Similarity extends CachePinning {
   /** Quantization scale: 3 decimal digits of each embedding value. */
   val QuantScale = 1000
 
-  /** Default IVF centroid stride ("training" seed selection:
-    * `vec_id % stride == 0`). Named so DuckDB oracles interpolate the
-    * same constant the operators default to. */
-  val DefaultCentroidStride = 25
+  /** Default IVF centroid budget: |centroids| is FIXED at k regardless
+    * of corpus size (the r9 stride model — `vec_id % 25 == 0` — grew
+    * the centroid set linearly with the corpus, making broadcast
+    * assignment O(n²/stride); with a fixed k it is O(n·k) by
+    * construction). Named so DuckDB oracles interpolate the same
+    * constant the operators default to. */
+  val DefaultNumCentroids = 100
+
+  /** How IVF centroids ("training" seeds) are chosen. */
+  sealed trait CentroidSeeding
+
+  /** Production seeding: the k vectors with the smallest
+    * `(rollingHash(vec_id), vec_id)` — a deterministic hash-order
+    * sample (uniform over the id space, no coordination), selected by
+    * distributed take-ordered: O(n log k) map-side partial top-k, only
+    * k rows ever reach the driver. The DuckDB oracle replays the same
+    * rolling hash, so queries seeded this way stay hash-exact. */
+  final case class HashSampledCentroids(k: Int = DefaultNumCentroids)
+    extends CentroidSeeding
+
+  /** Test fixture: exact seed ids. Fails loudly inside the main job if
+    * none of the ids carries a nonzero quantized vector (the 0%-recall
+    * trap); hash-sampled seeding cannot hit that trap — a nonempty
+    * input always yields centroids. */
+  final case class ExplicitCentroids(ids: Seq[Long]) extends CentroidSeeding
 
   /** Integer-quantize an array<float> embedding to array<long>. Null
     * ELEMENTS quantize to 0 (a missing coordinate contributes nothing
@@ -130,17 +154,18 @@ object Similarity extends CachePinning {
       .select(col("vec_a"), col("vec_b"), col("sim"))
   }
 
-  /** IVF approximate top-k: centroids are the vectors with
-    * `vec_id % centroidStride == 0` (deterministic "training"); every
-    * vector is indexed under its nearest centroid (broadcast assign),
-    * and every query probes its `nprobe` nearest clusters, searching
-    * only vectors indexed there. Output schema matches
-    * [[bruteForceTopK]]; misses are the recall cost of the scale path —
-    * tune recall with centroid count and nprobe (the spec measures it
-    * against brute force). */
+  /** IVF approximate top-k: centroids per `seeding` (default: fixed-k
+    * hash-order sample — [[HashSampledCentroids]]); every vector is
+    * indexed under its nearest centroid (broadcast assign), and every
+    * query probes its `nprobe` nearest clusters, searching only vectors
+    * indexed there. Output schema matches [[bruteForceTopK]]; misses
+    * are the recall cost of the scale path — tune recall with the
+    * centroid budget and nprobe (the spec measures it against brute
+    * force). */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String,
-              k: Int = 5, centroidStride: Int = DefaultCentroidStride, nprobe: Int = 3): DataFrame = {
-    val ranked = ivfAssignment(df, idCol, embCol, centroidStride, nprobe)
+              k: Int = 5, seeding: CentroidSeeding = HashSampledCentroids(),
+              nprobe: Int = 3): DataFrame = {
+    val ranked = ivfAssignment(df, idCol, embCol, seeding, nprobe)
     val (index, probes) = ivfIndexAndProbes(ranked)
     val pairs = probes.join(index, Seq("cluster"))
       .filter(col("vec_id") =!= col("neighbor_id"))
@@ -151,26 +176,36 @@ object Similarity extends CachePinning {
   }
 
   /** Per-vector IVF centroid assignment: (vec_id, tk = nprobe best
-    * centroids best-first, qe, nn). Centroids are the vectors with
-    * `vec_id % centroidStride == 0` (deterministic "training"); the
-    * ranking is a broadcast cross of the tiny centroid set + the
-    * bounded [[TopKBySim]] aggregate — never a full sort. Shared by
-    * [[ivfTopK]] and [[cosineNearDupsIvf]]. */
+    * centroids best-first, qe, nn). Centroid set per `seeding`; the
+    * ranking is a broadcast cross of the bounded centroid set + the
+    * bounded [[TopKBySim]] aggregate ((csim desc, cid asc) — the same
+    * deterministic order a row_number window would give, without
+    * sorting the full n×k stream). Shared by [[ivfTopK]],
+    * [[kmeansStep]] and [[cosineNearDupsIvf]]. */
   private def ivfAssignment(df: DataFrame, idCol: String, embCol: String,
-                            centroidStride: Int, nprobe: Int): DataFrame = {
+                            seeding: CentroidSeeding, nprobe: Int): DataFrame = {
     val base = pin(quantized(df, idCol, embCol))
-    val cents = base.filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("cid"), col("qe").as("cqe"), col("nn").as("cnn"))
+    val cents = seeding match {
+      case HashSampledCentroids(k) =>
+        // smallest-k (rollingHash(id), id): TakeOrderedAndProject —
+        // per-partition top-k then a k-row driver merge, never a full
+        // sort; |cents| ≤ k regardless of corpus size.
+        base.select(col("vec_id").as("cid"), col("qe").as("cqe"),
+            col("nn").as("cnn"),
+            rollingHash(col("vec_id").cast("string")).as("ch"))
+          .orderBy(col("ch"), col("cid"))
+          .limit(k)
+          .drop("ch")
+      case ExplicitCentroids(ids) =>
+        base.filter(col("vec_id").isin(ids: _*))
+          .select(col("vec_id").as("cid"), col("qe").as("cqe"),
+            col("nn").as("cnn"))
+    }
 
-    // centroid ranking per vector: broadcast the (tiny) centroid set,
-    // then keep each vector's nprobe best centroids with the bounded
-    // top-k aggregate ((csim desc, cid asc) — the same deterministic
-    // order a row_number window would give, without sorting the full
-    // n×centroids stream).
-    //
-    // Empty-centroid guard rides the main job: id spaces with no
-    // multiples of the stride (all-odd ids, UUID-derived longs) must
-    // fail loudly, not read as 0% recall. A driver-side
+    // Empty-centroid guard rides the main job: an explicit seed list
+    // none of whose ids carries a nonzero quantized vector must fail
+    // loudly, not read as 0% recall (hash-sampled seeding cannot hit
+    // this — nonempty input ⇒ nonempty centroid set). A driver-side
     // `require(!cents.isEmpty)` costs one extra scan-shaped job at
     // EVERY plan build (the bench paid it on warmup + each timed run),
     // so instead the broadcast is joined LEFT with an always-true
@@ -180,14 +215,14 @@ object Similarity extends CachePinning {
     // raise_error fires on the first one. AQE's empty-relation rule
     // rewrites a left join with an empty build side to a
     // null-extending projection — the guard rows survive optimization
-    // by construction. An empty INPUT now yields an empty result
+    // by construction. An empty INPUT yields an empty result
     // (nothing to search) instead of an error.
     pin(base.join(broadcast(cents), lit(true), "left")
       .withColumn("csim",
         when(col("cid").isNull, raise_error(lit(
-          s"no centroid candidates: no vec_id with a nonzero quantized " +
-            s"vector is divisible by centroidStride=$centroidStride — " +
-            "pick a stride matching the id space (or remap ids)")))
+          "no centroid candidates: no seed id carries a nonzero " +
+            "quantized vector — check the explicit seed list against " +
+            "the id space")))
           .otherwise(cosineQ(dotLong(col("qe"), col("cqe")),
             col("nn"), col("cnn"))))
       .groupBy(col("vec_id"))
@@ -196,7 +231,7 @@ object Similarity extends CachePinning {
   }
 
   /** One Lloyd (k-means) refinement step over the IVF assignment — the
-    * "train the centroids" half of an IVF index build (the stride
+    * "train the centroids" half of an IVF index build (the hash-sample
     * seeding in [[ivfTopK]] is the init; production builds iterate
     * this step a few times before indexing).
     *
@@ -216,8 +251,8 @@ object Similarity extends CachePinning {
     * aggregation collapses the member stream map-side. No per-cluster
     * state on the driver. */
   def kmeansStep(df: DataFrame, idCol: String, embCol: String,
-                 centroidStride: Int = DefaultCentroidStride): DataFrame = {
-    val ranked = ivfAssignment(df, idCol, embCol, centroidStride, nprobe = 1)
+                 seeding: CentroidSeeding = HashSampledCentroids()): DataFrame = {
+    val ranked = ivfAssignment(df, idCol, embCol, seeding, nprobe = 1)
     val assigned = ranked.select(
       col("tk").getItem(0).getField("neighbor_id").as("cid"), col("qe"))
     assigned
@@ -265,9 +300,10 @@ object Similarity extends CachePinning {
     * @return (vec_a, vec_b, sim), vec_a < vec_b, sim = quantized cosine
     *         (bit-exact across engines — same math as the brute face) */
   def cosineNearDupsIvf(df: DataFrame, idCol: String, embCol: String,
-                        threshold: Double, centroidStride: Int = DefaultCentroidStride,
+                        threshold: Double,
+                        seeding: CentroidSeeding = HashSampledCentroids(),
                         nprobe: Int = 3): DataFrame = {
-    val ranked = ivfAssignment(df, idCol, embCol, centroidStride, nprobe)
+    val ranked = ivfAssignment(df, idCol, embCol, seeding, nprobe)
     val (index, probes) = ivfIndexAndProbes(ranked)
     probes.join(index, Seq("cluster"))
       .filter(col("vec_id") =!= col("neighbor_id"))
