@@ -33,6 +33,10 @@ object SparkEntry {
                 (col("l_partkey") * 2 + 1).as("dst")))
   }
 
+  /** Hop bound for q_sssp_copurchase — shared by the Spark query and
+    * the layer count of its unrolled DuckDB oracle. */
+  private val SsspCopurchaseHops = 6
+
   /** SQL fragment mirroring [[copurchaseEdges]] for DuckDB oracles. */
   private def copurchaseEdgesSql: String =
     """edges(src, dst) AS (
@@ -690,6 +694,21 @@ object SparkEntry {
           concat_ws("_", least(col("src"), col("dst")).cast("string"),
             greatest(col("src"), col("dst")).cast("string"))), lit(9L)))
       Sssp.run(edges, source = 0L).orderBy("id")
+    }),
+
+    // Weighted SSSP at REAL scale: the co-purchase graph (the same
+    // graph the flagship BFS runs), deterministic rolling-hash weights
+    // (the q_sssp_golden recipe), hop-bounded at 6 so the oracle is
+    // expressible as 6 unrolled relaxation layers (the q_pagerank_2iter
+    // trick) — a hash-exact face for the iterative operator whose
+    // per-round stderr lines carry real frontier sizes.
+    "q_sssp_copurchase" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir)
+        .withColumn("w", lit(1L) + pmod(TextAnalysis.rollingHash(
+          concat_ws("_", least(col("src"), col("dst")).cast("string"),
+            greatest(col("src"), col("dst")).cast("string"))), lit(9L)))
+      Sssp.runBounded(edges, source = 2L, hops = SsspCopurchaseHops)
+        .orderBy("id")
     }),
 
     // Fixed-2-iteration PageRank twin of q_pagerank: same engine code
@@ -1815,6 +1834,31 @@ object SparkEntry {
          |  WHERE NOT list_contains(walk.path, e.dst))
          |SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM walk
          |GROUP BY id ORDER BY id""".stripMargin
+    },
+
+    // hop-bounded Bellman-Ford unrolled as one relaxation layer per
+    // hop (d_h = min(d_{h-1}, min over edges of d_{h-1}(src)+w)) —
+    // exactly the table Sssp.runBounded's frontier rounds compute; the
+    // layer count interpolates from the same SsspCopurchaseHops
+    // constant the Spark query uses. All-integer min-plus: hash-exact.
+    "q_sssp_copurchase" -> {
+      val wExpr = rhSql("CAST(least(src, dst) AS VARCHAR) || '_' || " +
+        "CAST(greatest(src, dst) AS VARCHAR)")
+      val layers = (1 to SsspCopurchaseHops).map { h =>
+        s"""d$h AS (
+           |  SELECT id, min(dist) AS dist FROM (
+           |    SELECT id, dist FROM d${h - 1}
+           |    UNION ALL
+           |    SELECT e.dst, d.dist + e.w FROM d${h - 1} d
+           |    JOIN we e ON e.src = d.id)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $copurchaseEdgesSql,
+         |we AS (SELECT src, dst, 1 + ($wExpr) % 9 AS w FROM edges),
+         |d0(id, dist) AS (SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+         |$layers
+         |SELECT id, CAST(dist AS BIGINT) AS dist
+         |FROM d$SsspCopurchaseHops ORDER BY id""".stripMargin
     },
 
     // two unrolled power iterations replaying PageRank.run's math in

@@ -50,11 +50,32 @@ object Sssp {
   def run(edges: DataFrame, source: Long, cfg: Config = Config()): DataFrame = {
     val spark = edges.sparkSession
     GraphOps.withLoopAqeDisabled(spark, cfg.keepAqe) {
-      runLoop(edges, source, cfg)
+      runLoop(edges, source, cfg, boundedHops = false)
     }
   }
 
-  private def runLoop(edges: DataFrame, source: Long, cfg: Config): DataFrame = {
+  /** Hop-bounded SSSP: the cheapest cost to each vertex over paths of
+    * AT MOST `hops` edges — after round h the state is exactly the
+    * min-cost-within-h-hops table (the frontier-optimized rounds
+    * preserve the textbook Bellman-Ford layer invariant), so stopping
+    * at `hops` is a well-defined result, not a partial fixpoint. Two
+    * uses: the k-hop-budget semantics itself (bounded-latency routing,
+    * influence radius), and a driver-oracle face for the iterative
+    * operator — a fixed round count is expressible as unrolled SQL
+    * layers, where full convergence is not (the q_pagerank_2iter
+    * trick). Early convergence before `hops` rounds returns the same
+    * table the remaining rounds would (they'd be no-ops). */
+  def runBounded(edges: DataFrame, source: Long, hops: Int,
+                 cfg: Config = Config()): DataFrame = {
+    val spark = edges.sparkSession
+    GraphOps.withLoopAqeDisabled(spark, cfg.keepAqe) {
+      runLoop(edges, source, cfg.copy(maxIterations = hops),
+        boundedHops = true)
+    }
+  }
+
+  private def runLoop(edges: DataFrame, source: Long, cfg: Config,
+                      boundedHops: Boolean): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -109,7 +130,7 @@ object Sssp {
     }
     toUnpersist.foreach(_.unpersist(false))
     e.unpersist(false)
-    if (frontierRows > 0) throw new IllegalStateException(
+    if (frontierRows > 0 && !boundedHops) throw new IllegalStateException(
       s"SSSP did not converge in ${cfg.maxIterations} rounds — raise " +
         "maxIterations (Bellman-Ford needs at most |V|-1)")
     state

@@ -81,6 +81,55 @@ class SsspSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  /** Serial hop-bounded Bellman-Ford — the in-memory oracle for
+    * runBounded (min cost over walks of at most `hops` edges). */
+  private def boundedBellmanFord(edges: Seq[(Long, Long, Long)], src: Long,
+                                 hops: Int): Map[Long, Long] = {
+    var d = Map(src -> 0L)
+    (1 to hops).foreach { _ =>
+      val relaxed = edges.flatMap { case (a, b, w) =>
+        d.get(a).map(da => b -> (da + w)) }
+      d = (d.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    d
+  }
+
+  test("runBounded: state after h rounds is the exact <=h-hop min-cost " +
+       "table (frontier rounds preserve the layer invariant)") {
+    // 0->1 costs 10 direct (1 hop) but 3 via 0->2->3->1 (3 hops): the
+    // hop budget decides which answer is right — the discriminating
+    // case for the bound's semantics.
+    val e = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+    for (h <- 1 to 4) {
+      val got = Sssp.runBounded(df(e), 0L, hops = h)
+        .as[(Long, Long)].collect().toMap
+      assert(got == boundedBellmanFord(e, 0L, h), s"hops=$h")
+    }
+    assert(Sssp.runBounded(df(e), 0L, hops = 1)
+      .as[(Long, Long)].collect().toMap.apply(1L) == 10L)
+    assert(Sssp.runBounded(df(e), 0L, hops = 3)
+      .as[(Long, Long)].collect().toMap.apply(1L) == 3L)
+  }
+
+  test("runBounded: property vs serial bounded Bellman-Ford on random " +
+       "graphs; hops past convergence == full run") {
+    (1 to 4).flatMap(i =>
+        graphGen.apply(Gen.Parameters.default, Seed(100L + i)))
+      .foreach { case (edges, src) =>
+        val h = 3
+        val got = Sssp.runBounded(df(edges), src, hops = h)
+          .as[(Long, Long)].collect().toMap
+        assert(got == boundedBellmanFord(edges, src, h),
+          s"src=$src edges=$edges")
+        // a generous budget degenerates to the converged fixpoint
+        val full = Sssp.run(df(edges), src).as[(Long, Long)].collect().toMap
+        val roomy = Sssp.runBounded(df(edges), src, hops = 100)
+          .as[(Long, Long)].collect().toMap
+        assert(roomy == full, s"src=$src edges=$edges")
+      }
+  }
+
   test("weighted == BFS when every weight is 1 (tinyG)") {
     val tinyG = Seq(
       (0L, 5L), (4L, 3L), (0L, 1L), (9L, 12L), (6L, 4L), (5L, 4L), (0L, 2L),
