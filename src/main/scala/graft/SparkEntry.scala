@@ -200,6 +200,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental corpus-prep end-to-end — the daily-ingest composite:
+    // the new batch (doc_id % 3 == 0, so the batch CONTAINS eval-rule
+    // ids and the decontamination/eval-exclusion stages are exercised)
+    // runs the full v2 funnel within-batch AND the cross-corpus dedup
+    // against the remaining docs as the already-curated corpus. One
+    // pinned batch projection feeds everything; the corpus side only
+    // streams through broadcast probes (plan-asserted in
+    // PlanShapeSpec).
+    "q_incremental_prep" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusOps.incrementalPrepKept(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0),
+          d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Near-dup pairs: LSH banding (never all-pairs) + exact Jaccard
     // verify — the scale path for 100 TB dedup.
     "q_lsh_near_dups" -> ((s, dir) => {
@@ -1071,7 +1088,12 @@ object SparkEntry {
     * train docs with shared-gram counts) — mirrors
     * CorpusOps.decontaminate (n-gram size and eval modulus interpolate
     * from the same constants). */
-  private def decontamCte: String = {
+  /** @param docFilter extra doc_id predicate restricting BOTH the
+    *                   eval-gram set and the contamination counting —
+    *                   the incremental-prep oracle scopes the stage to
+    *                   the batch, mirroring the batch-side evaluation
+    *                   in CorpusOps.incrementalPrepKept. */
+  private def decontamCte(docFilter: String = "TRUE"): String = {
     val n1 = CorpusOps.DecontamGramSize - 1
     s"""csh AS (
        |  SELECT doc_id, list_distinct(list_transform(
@@ -1083,11 +1105,11 @@ object SparkEntry {
        |        FROM documents)),
        |cg AS (SELECT doc_id, unnest(ghs) AS gram FROM csh),
        |ceg AS (SELECT DISTINCT gram FROM cg
-       |        WHERE doc_id % ${CorpusOps.EvalMod} = 0),
+       |        WHERE doc_id % ${CorpusOps.EvalMod} = 0 AND ($docFilter)),
        |cont AS (
        |  SELECT cg.doc_id AS doc_id, count(*) AS n_shared_grams
        |  FROM cg JOIN ceg USING (gram)
-       |  WHERE cg.doc_id % ${CorpusOps.EvalMod} <> 0
+       |  WHERE cg.doc_id % ${CorpusOps.EvalMod} <> 0 AND ($docFilter)
        |  GROUP BY 1)""".stripMargin
   }
 
@@ -1149,7 +1171,7 @@ object SparkEntry {
        |asg AS (
        |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
-       |$decontamCte,
+       |${decontamCte()},
        |$repetitionCte,
        |toks AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
        |         FROM documents),
@@ -1245,6 +1267,62 @@ object SparkEntry {
          |  AND coalesce(c.cluster, f.doc_id) = f.doc_id
          |  AND xfp.fp IS NULL AND xnd.doc_id IS NULL
          |ORDER BY f.doc_id""".stripMargin,
+
+    // the incremental composite: the v2 funnel's stage CTEs restricted
+    // to the batch (doc_id % 3 = 0) — within-batch canonicals/clusters
+    // from the all-docs LSH pairs filtered to batch-batch (bands are
+    // per-doc deterministic, so the restriction is exact), batch-side
+    // decontamination via decontamCte's docFilter — plus the
+    // q_incremental_dedup-style cross rules (xfp/xnd) against the
+    // remaining docs as the corpus
+    "q_incremental_prep" ->
+      s"""WITH RECURSIVE ${qualityScoredCte.replace("scored AS (", "qscored AS (")},
+         |f AS (SELECT doc_id, $fingerprintSql AS fp FROM documents),
+         |$lshPipelineSql,
+         |${decontamCte("doc_id % 3 = 0")},
+         |$repetitionCte,
+         |toks AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |         FROM documents),
+         |bec AS (
+         |  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_ec
+         |  FROM f WHERE doc_id % 3 = 0),
+         |pedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM scored
+         |  WHERE sim >= 0.5 AND doc_a % 3 = 0 AND doc_b % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM scored
+         |  WHERE sim >= 0.5 AND doc_a % 3 = 0 AND doc_b % 3 = 0),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM pedges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN pedges e ON e.src = reach.r),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |xfp AS (
+         |  SELECT DISTINCT b.fp FROM f b JOIN f e ON e.fp = b.fp
+         |  WHERE b.doc_id % 3 = 0 AND e.doc_id % 3 <> 0),
+         |xnd AS (
+         |  SELECT DISTINCT CASE WHEN doc_a % 3 = 0 THEN doc_a ELSE doc_b END
+         |    AS doc_id
+         |  FROM scored
+         |  WHERE sim >= 0.5 AND (doc_a % 3 = 0) <> (doc_b % 3 = 0))
+         |SELECT q.doc_id, q.lang, t.n_tokens
+         |FROM qscored q
+         |JOIN bec ON bec.doc_id = q.doc_id
+         |JOIN toks t ON t.doc_id = q.doc_id
+         |JOIN f ON f.doc_id = q.doc_id
+         |LEFT JOIN comp c ON c.id = q.doc_id
+         |LEFT JOIN cont ct ON ct.doc_id = q.doc_id
+         |LEFT JOIN rep r ON r.doc_id = q.doc_id
+         |LEFT JOIN xfp ON xfp.fp = f.fp
+         |LEFT JOIN xnd ON xnd.doc_id = q.doc_id
+         |WHERE q.doc_id % 3 = 0 AND bec.is_ec
+         |  AND coalesce(c.cluster, q.doc_id) = q.doc_id
+         |  AND q.doc_id % ${CorpusOps.EvalMod} <> 0
+         |  AND ct.doc_id IS NULL
+         |  AND NOT coalesce(r.repetitive, false)
+         |  AND q.gl = q.lang AND q.quality >= 0.5
+         |  AND xfp.fp IS NULL AND xnd.doc_id IS NULL
+         |ORDER BY q.doc_id""".stripMargin,
 
     // same band-candidate CTEs as the LSH oracle; Levenshtein is the
     // classical unit-cost edit distance in both engines (exact int)
@@ -1995,7 +2073,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_decontaminate" ->
-      s"""WITH $decontamCte
+      s"""WITH ${decontamCte()}
          |SELECT doc_id, n_shared_grams FROM cont ORDER BY doc_id""".stripMargin,
 
     "q_repetition_stats" ->

@@ -53,12 +53,27 @@ private[graft] trait CachePinning {
     * One count() populates the cache in a single parallel job before
     * any consumer exists; every later reader hits blocks. The count
     * adds no net work — a pin's frame is always fully consumed by the
-    * query it backs. */
-  protected def pin(df: DataFrame): DataFrame = {
+    * query it backs.
+    *
+    * SIDE EFFECT CALLERS MUST KNOW: because materialization is eager,
+    * full cache computation — and any in-plan `raise_error` guard —
+    * runs at OPERATOR-CONSTRUCTION time, not first action. A caller
+    * that only builds plans (plan inspection, a per-query try/catch
+    * harness) still pays the materialization and sees guard exceptions
+    * at construction. That is the accepted cost of the race fix above;
+    * plan-only callers should treat operator construction as an
+    * action. */
+  protected def pin(df: DataFrame): DataFrame = pinWithCount(df)._1
+
+  /** [[pin]], also returning the row count the eager materialization
+    * already paid for — for operators whose downstream strategy
+    * depends on the pinned frame's size (e.g. broadcast-vs-shuffle
+    * decisions on batch-derived tables). */
+  protected def pinWithCount(df: DataFrame): (DataFrame, Long) = {
     val p = df.persist()
-    p.count()
+    val n = p.count()
     pins.add(p)
-    p
+    (p, n)
   }
 
   /** Unpersist every DataFrame this operator family persisted since

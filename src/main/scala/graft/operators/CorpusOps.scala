@@ -499,6 +499,58 @@ object CorpusOps extends CachePinning {
         col("n_boiler_spans"), col("n_tokens_kept"), col("chunks"))
   }
 
+  /** Incremental corpus-prep: the curation a DAILY INGEST actually
+    * runs — a new batch pushed through the full v2 funnel (language
+    * verification, within-batch exact + transitive near-dup dedup,
+    * eval-slice exclusion + decontamination, repetition filter,
+    * quality floor) AND deduplicated against the already-curated
+    * EXISTING corpus ([[Dedup.incrementalDedupKept]]'s cross rules).
+    * Returns the kept batch rows as `(id, lang, n_tokens)` — the same
+    * contract as [[corpusPrepKept]], so downstream split/stat
+    * presentation composes unchanged.
+    *
+    * Decontamination and eval-slice exclusion apply the same id rule
+    * as the batch funnel (`id % evalMod`), evaluated batch-side — the
+    * benchmark set is defined by the rule, not by a corpus pass.
+    *
+    * Shape at 100 TB — the composition inherits both halves' scale
+    * contracts without re-paying either:
+    *  - ONE pinned batch projection (repartitioned raw rows, then the
+    *    text derivation — [[prepShared]] plus the minhash signature)
+    *    feeds all five funnel stages AND the cross-dedup probes; the
+    *    batch text is read and tokenized exactly once;
+    *  - the existing corpus NEVER shuffles: it streams twice through
+    *    broadcast probes of batch-derived tables (fingerprints;
+    *    LSH bands), exactly [[Dedup.incrementalCrossDrops]]'s
+    *    contract, gated by [[Dedup.MaxBroadcastBatchRows]];
+    *  - the cross-drop ids fold into ONE batch-sized anti join on the
+    *    funnel's already-co-partitioned output. */
+  def incrementalPrepKept(batch: DataFrame, existing: DataFrame,
+                          idCol: String, textCol: String, langCol: String,
+                          minQuality: Double = 0.5, evalMod: Int = EvalMod,
+                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val (shared, batchRows) = pinWithCount(
+      prepShared(batch, idCol, langCol, col(textCol), withToks = false)
+        .withColumn("sig", Dedup.minhashFromHashes(col("hs3"))))
+    // within-batch curation: the funnel body over the shared pin (its
+    // exact/near-dup canonical stages ARE incremental rules 3-4)
+    val kept = corpusPrepKeptFromShared(shared, idCol, langCol,
+      minQuality, evalMod)
+    // cross-corpus rules 1-2 over the same pin — no second text pass
+    val bBase = shared.select(col(idCol).as("doc_id"), col("fingerprint"),
+      col("hs3").as("hs"), col("sig"))
+    val (matchedFp, nearDropped) = Dedup.incrementalCrossDrops(
+      bBase, batchRows, existing, idCol, textCol, n, threshold)
+    def hinted(df: DataFrame): DataFrame =
+      if (batchRows <= Dedup.MaxBroadcastBatchRows) broadcast(df) else df
+    val crossDropped = bBase.join(hinted(matchedFp), "fingerprint")
+      .select(col("doc_id"))
+      .union(nearDropped)
+      .distinct()
+      .withColumnRenamed("doc_id", idCol)
+    kept.join(hinted(crossDropped), Seq(idCol), "left_anti")
+  }
+
   /** Domain/language mixture resampling (the DoReMi/Pile-style "hit a
     * target composition" primitive): given relative `weights` per
     * stratum and a corpus-wide `budgetPct`, derive per-stratum keep

@@ -308,10 +308,71 @@ object Dedup extends CachePinning {
   def incrementalDedupKept(batch: DataFrame, existing: DataFrame,
                            idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val bBase = pin(batch.select(col(idCol).as("doc_id"),
+    val (bBase, batchRows) = pinWithCount(batch
+      .select(col(idCol).as("doc_id"),
         TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"),
         shingleHashes(col(textCol), n).as("hs"))
       .withColumn("sig", minhashFromHashes(col("hs"))))
+
+    val (matchedFp, nearDropped) =
+      incrementalCrossDrops(bBase, batchRows, existing, idCol, textCol,
+        n, threshold)
+
+    // rules 3-4 — within-batch canonicals, via the full-dedup operators
+    val ec = exactDedupFromFingerprints(
+        bBase.select(col("doc_id"), col("fingerprint")), "doc_id")
+      .select(col("doc_id"), col("is_canonical").as("is_ec"))
+    val nc = nearDupClustersFromHashes(
+        bBase.select(col("doc_id"), col("hs")), threshold)
+      .select(col("doc_id"), col("is_canonical").as("is_nc"))
+
+    // the drop sets are batch-bounded and thin (ids/fingerprints, no
+    // arrays) — but they inherit the same size gate as the probe
+    // tables: a "batch" above the ceiling shouldn't smuggle a
+    // hundreds-of-MB broadcast in through the anti joins either
+    def hinted(df: DataFrame): DataFrame =
+      if (batchRows <= MaxBroadcastBatchRows) broadcast(df) else df
+    bBase.select(col("doc_id"), col("fingerprint"))
+      .join(ec, "doc_id").join(nc, "doc_id")
+      .join(hinted(matchedFp), Seq("fingerprint"), "left_anti")
+      .join(hinted(nearDropped), Seq("doc_id"), "left_anti")
+      .filter(col("is_ec") && col("is_nc"))
+      .select(col("doc_id"))
+  }
+
+  /** Batch-row ceiling for the incremental-dedup broadcast hints. The
+    * batch band table is |batch| × [[numBands]] rows each CARRYING the
+    * full shingle-hash array — ~KBs/row — so an unconditional
+    * broadcast() of a large "batch" would hit the broadcast size limit
+    * or driver memory instead of degrading gracefully. Below the
+    * ceiling the hint enforces the operator's shuffle-free corpus
+    * contract; above it the hints are dropped and AQE picks the join
+    * strategy (the corpus may then shuffle — correct, just no longer
+    * the incremental fast path; at that batch size a full
+    * [[nearDupClusters]] re-dedup is the honest choice anyway). */
+  val MaxBroadcastBatchRows = 100000L
+
+  /** The cross-corpus halves (rules 1-2) of [[incrementalDedupKept]],
+    * over a PREBUILT (typically pinned) batch projection `bBase`
+    * carrying `(doc_id, fingerprint, hs, sig)` — shared with
+    * [[CorpusOps.incrementalPrepKept]], whose funnel already pays the
+    * batch text pass and must not pay it twice. `batchRows` is the
+    * pinned frame's row count (free via `pinWithCount`), gating the
+    * broadcast hints against [[MaxBroadcastBatchRows]].
+    *
+    * Scale contract (THE point): the existing corpus NEVER shuffles —
+    * it streams exactly twice (fingerprints; shingle/signature bands),
+    * each scan probing a BROADCAST batch-side structure; the
+    * cross-verify Jaccard rides the band join (existing-side shingle
+    * sets carried through the explode), so no third corpus pass.
+    *
+    * @return (matched batch fingerprints, near-dropped batch doc_ids) */
+  private[operators] def incrementalCrossDrops(
+      bBase: DataFrame, batchRows: Long, existing: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, threshold: Double): (DataFrame, DataFrame) = {
+    val small = batchRows <= MaxBroadcastBatchRows
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     // rule 1 — cross-exact: stream existing fingerprints through a
     // broadcast probe of the batch's; only the matched (≤ |batch|)
@@ -319,7 +380,7 @@ object Dedup extends CachePinning {
     val bFp = bBase.select(col("fingerprint")).distinct()
     val matchedFp = existing
       .select(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
-      .join(broadcast(bFp), "fingerprint")
+      .join(hinted(bFp), "fingerprint")
       .distinct()
 
     // rule 2 — cross-near: existing bands (shingle sets carried) probe
@@ -330,26 +391,12 @@ object Dedup extends CachePinning {
     val bBands = bandsOf(bBase, carry = Seq("hs"))
       .select(col("doc_id").as("b_id"), col("band"), col("h1"), col("h2"),
         col("hs").as("hs_b"))
-    val nearDropped = eBands.join(broadcast(bBands), Seq("band", "h1", "h2"))
+    val nearDropped = eBands.join(hinted(bBands), Seq("band", "h1", "h2"))
       .select(col("b_id").as("doc_id"),
         jaccardSim(col("hs"), col("hs_b")).as("sim"))
       .filter(col("sim") >= threshold)
       .select(col("doc_id")).distinct()
-
-    // rules 3-4 — within-batch canonicals, via the full-dedup operators
-    val ec = exactDedupFromFingerprints(
-        bBase.select(col("doc_id"), col("fingerprint")), "doc_id")
-      .select(col("doc_id"), col("is_canonical").as("is_ec"))
-    val nc = nearDupClustersFromHashes(
-        bBase.select(col("doc_id"), col("hs")), threshold)
-      .select(col("doc_id"), col("is_canonical").as("is_nc"))
-
-    bBase.select(col("doc_id"), col("fingerprint"))
-      .join(ec, "doc_id").join(nc, "doc_id")
-      .join(broadcast(matchedFp), Seq("fingerprint"), "left_anti")
-      .join(broadcast(nearDropped), Seq("doc_id"), "left_anti")
-      .filter(col("is_ec") && col("is_nc"))
-      .select(col("doc_id"))
+    (matchedFp, nearDropped)
   }
 
   /** Edit-distance near-duplicate pairs: LSH band candidates verified

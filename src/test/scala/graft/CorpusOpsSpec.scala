@@ -154,6 +154,35 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(CorpusOps.pinnedCount == 0 && Dedup.pinnedCount == 0)
   }
 
+  test("incrementalPrepKept == corpusPrepKept(batch) ∩ " +
+       "incrementalDedupKept(batch, corpus) — the composition adds " +
+       "nothing and loses nothing") {
+    import spark.implicits._
+    // the funnel already enforces within-batch canonicals (incremental
+    // rules 3-4), so intersecting with the full incremental dedup must
+    // reproduce the composite exactly: the composed operator is the
+    // funnel plus precisely the CROSS rules.
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = d.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val corpus = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val funnel = CorpusOps.corpusPrepKept(batch, "doc_id", "text", "lang")
+      .select("doc_id").as[Long].collect().toSet
+    CorpusOps.releaseCaches(blocking = true)
+    Dedup.releaseCaches(blocking = true)
+    val dedup = Dedup.incrementalDedupKept(batch, corpus, "doc_id", "text")
+      .as[Long].collect().toSet
+    Dedup.releaseCaches(blocking = true)
+    val composite = CorpusOps
+      .incrementalPrepKept(batch, corpus, "doc_id", "text", "lang")
+      .select("doc_id").as[Long].collect().toSet
+    CorpusOps.releaseCaches(blocking = true)
+    Dedup.releaseCaches(blocking = true)
+    assert(composite == (funnel & dedup),
+      s"composite diverges: extra=${composite -- (funnel & dedup)} " +
+        s"missing=${(funnel & dedup) -- composite}")
+    assert(composite.nonEmpty, "composite kept nothing at sf0.001")
+  }
+
   test("boilerplateSpans: span chunking, doc-frequency threshold, kept mass") {
     import spark.implicits._
     val d = Seq(

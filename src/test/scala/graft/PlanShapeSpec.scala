@@ -175,6 +175,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     graft.operators.Dedup.releaseCaches(blocking = true)
   }
 
+  test("q_incremental_prep: the corpus side never shuffles — every " +
+       "parquet scan streams into a broadcast probe") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the batch side is the pinned shared projection (InMemoryTableScan
+    // — its parquet read happened at pin time and is invisible here),
+    // so every FileSourceScan in this plan IS a corpus scan. The
+    // incremental contract: corpus rows stream straight into a
+    // broadcast-probe join — walking up from each scan, the first
+    // Exchange-or-join ancestor must be a BroadcastHashJoin (an
+    // Exchange first = the corpus was shuffled or itself broadcast).
+    val plan = SparkEntry.queries("q_incremental_prep")(spark, dir)
+      .queryExecution.sparkPlan
+    var corpusScans = 0
+    def rec(node: SparkPlan, ancestors: List[SparkPlan]): Unit = {
+      node match {
+        case _: FileSourceScanExec =>
+          corpusScans += 1
+          val gate = ancestors.find(n =>
+            n.isInstanceOf[Exchange] || n.isInstanceOf[BroadcastHashJoinExec])
+          assert(gate.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+            s"corpus scan hits ${gate.map(_.nodeName)} before a " +
+              "broadcast probe — the corpus side is being exchanged")
+        case _ =>
+      }
+      node.children.foreach(rec(_, node :: ancestors))
+    }
+    rec(plan, Nil)
+    // exactly two corpus streams: fingerprints and LSH bands
+    assert(corpusScans == 2,
+      s"expected 2 corpus scans (fingerprints, bands), found $corpusScans")
+    graft.operators.CorpusOps.releaseCaches(blocking = true)
+    graft.operators.Dedup.releaseCaches(blocking = true)
+  }
+
   test("stratifiedSample is a pure per-row filter — zero exchanges") {
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.functions.col
