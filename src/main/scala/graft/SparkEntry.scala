@@ -662,12 +662,19 @@ object SparkEntry {
     // feature projection — is oracle-checked bit-for-bit (the oracle
     // recomputes the features from the UTF-8 bytes via hex decoding).
     "q_media_features" -> ((s, dir) => {
+      // image rows take the REAL decode path: the payload is an actual
+      // PNG (built by PngCodec) and width/height/bit_depth/pixel stats
+      // are parsed/inflated/unfiltered back OUT of the container — the
+      // oracle recomputes the same values from the generation rule
+      // (the zlib round-trip cancels out, by construction)
       val feats = Multimodal.decode(Multimodal.fromDocuments(t(s, dir, "documents")))
       feats.toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("checksum"),
           element_at(col("histogram"), 1).as("h0"),
-          element_at(col("histogram"), 2).as("h1"))
+          element_at(col("histogram"), 2).as("h1"),
+          col("width"), col("height"), col("bit_depth"), col("color_type"),
+          col("px_min"), col("px_max"), col("px_mean"))
         .orderBy("media_id")
     }),
 
@@ -1683,33 +1690,60 @@ object SparkEntry {
     // checksum/counts are integer, fractions are int/int double
     // division. list_reduce seeds from the first element, which equals
     // the Scala loop's (0*31 + b0) first step.
+    // the engine's image features come from a REAL PNG decode; the
+    // oracle replays them from the generation rule instead (pixels =
+    // UTF-8 text bytes cycled over the imageDims canvas) — the encode→
+    // decode round trip cancels by construction, which is exactly the
+    // property the spec's round-trip tests pin down
     "q_media_features" ->
       s"""WITH b AS (
-         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |  SELECT doc_id, n_chars, hex(encode(text)) AS hx,
          |         octet_length(encode(text)) AS n
          |  FROM documents),
          |bytes AS (
-         |  SELECT doc_id, n,
+         |  SELECT doc_id, n_chars, n,
          |    list_transform(range(0, n), i ->
          |      strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))*16
          |      + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 17) AS bs
          |  FROM b),
+         |dims AS (
+         |  SELECT doc_id, n, bs,
+         |    CASE WHEN doc_id % 3 = 0 THEN (n_chars % 64) + 1 ELSE 0 END AS w,
+         |    CASE WHEN doc_id % 3 = 0 THEN (n_chars % 48) + 1 ELSE 0 END AS h
+         |  FROM bytes),
+         |content AS (
+         |  SELECT doc_id, w, h,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |      list_transform(range(0, w*h), i ->
+         |        CASE WHEN n = 0 THEN 0 ELSE bs[(i % n) + 1] END)
+         |    ELSE bs END AS cs
+         |  FROM dims),
          |f AS (
-         |  SELECT doc_id, n,
-         |    CASE WHEN n = 0 THEN 0 ELSE
-         |      list_reduce(bs, (acc, x) -> (acc*31 + x) % 1000000007) END
+         |  SELECT doc_id, w, h, len(cs) AS nb,
+         |    CASE WHEN len(cs) = 0 THEN 0 ELSE
+         |      list_reduce(cs, (acc, x) -> (acc*31 + x) % 1000000007) END
          |      AS checksum,
-         |    CAST(len(list_filter(bs, x -> x % 16 = 0)) AS DOUBLE)
-         |      / greatest(n, 1) AS h0,
-         |    CAST(len(list_filter(bs, x -> x % 16 = 1)) AS DOUBLE)
-         |      / greatest(n, 1) AS h1
-         |  FROM bytes)
+         |    CAST(len(list_filter(cs, x -> x % 16 = 0)) AS DOUBLE)
+         |      / greatest(len(cs), 1) AS h0,
+         |    CAST(len(list_filter(cs, x -> x % 16 = 1)) AS DOUBLE)
+         |      / greatest(len(cs), 1) AS h1,
+         |    CASE WHEN len(cs) = 0 THEN 0 ELSE list_min(cs) END AS mn,
+         |    CASE WHEN len(cs) = 0 THEN 0 ELSE list_max(cs) END AS mx,
+         |    CAST(coalesce(list_sum(cs), 0) AS DOUBLE)
+         |      / greatest(len(cs), 1) AS px_mean
+         |  FROM content)
          |SELECT doc_id AS media_id,
          |       CASE WHEN doc_id % 3 = 0 THEN 'image'
          |            WHEN doc_id % 3 = 1 THEN 'audio'
          |            ELSE 'video' END AS media_type,
-         |       CAST(n AS BIGINT) AS n_bytes,
-         |       CAST(checksum AS BIGINT) AS checksum, h0, h1
+         |       CAST(nb AS BIGINT) AS n_bytes,
+         |       CAST(checksum AS BIGINT) AS checksum, h0, h1,
+         |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |       CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 0 END AS INTEGER)
+         |         AS bit_depth,
+         |       CAST(0 AS INTEGER) AS color_type,
+         |       CAST(mn AS INTEGER) AS px_min, CAST(mx AS INTEGER) AS px_max,
+         |       px_mean
          |FROM f ORDER BY media_id""".stripMargin,
 
     "q_pack_stats" ->

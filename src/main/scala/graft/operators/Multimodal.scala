@@ -9,20 +9,26 @@ import org.apache.spark.sql.functions._
   * collect to the driver, and the binary column is projected away
   * before any shuffle).
   *
-  * ==== STUB BOUNDARY ====
-  * This container has no image/audio codecs, so the DECODE step inside
-  * [[decode]] / [[resize]] is a deterministic fake (byte histogram +
-  * checksum standing in for pixel/sample access). Everything around it
-  * — the schema, the Dataset encoders, the partition-streaming
-  * iterator shape, the frame-sampling explode — is the real Spark
-  * plumbing a production decoder drops into: replace the marked
-  * function bodies with a javacv/libjpeg call and nothing else moves.
+  * IMAGE decode is REAL: payloads are actual PNG containers and
+  * [[decode]] runs [[PngCodec]] — signature/CRC verification, IHDR
+  * parse, zlib inflate, five-filter scanline reconstruction — so the
+  * emitted width/height/bit-depth/pixel stats are format-true, read
+  * back out of the container, not copied from metadata.
+  *
+  * ==== STUB BOUNDARY (audio/video only) ====
+  * The container has no audio/video codecs, so those payloads keep the
+  * deterministic fake decode (byte histogram + checksum standing in
+  * for sample access) and [[resize]] passes payloads through (a real
+  * build re-encodes). The schema, Dataset encoders, partition-
+  * streaming iterator shape, and frame-sampling explode are the real
+  * Spark plumbing a production codec drops into.
   *
   * Scale notes: payload bytes ride only map-side (scan → mapPartitions
   * → project); features/metadata (small, fixed-width) are what shuffle.
   * Size `spark.sql.files.maxPartitionBytes` so a partition of payloads
   * fits in executor memory; each partition is processed as a lazy
-  * iterator, never materialized wholesale.
+  * iterator, never materialized wholesale. A corrupt payload costs
+  * O(1) ([[PngCodec]]'s pre-allocation bound), not an executor OOM.
   */
 object Multimodal {
 
@@ -34,10 +40,20 @@ object Multimodal {
   final case class MediaItem(media_id: Long, media_type: String,
                              payload: Array[Byte], meta: MediaMeta)
 
-  /** Decoded per-item features (fixed-width — safe to shuffle). */
+  /** Decoded per-item features (fixed-width — safe to shuffle).
+    *
+    * For images every field is decoded out of the PNG container:
+    * `width/height/bit_depth/color_type` from IHDR, `px_min/px_max/
+    * px_mean` from the reconstructed pixels, `n_bytes/checksum/
+    * histogram` over the DECODED content (pixels). For audio/video
+    * (stub decode) the content is the raw payload bytes and the image
+    * fields are 0. */
   final case class MediaFeatures(media_id: Long, media_type: String,
                                  n_bytes: Long, checksum: Long,
-                                 histogram: Array[Double])
+                                 histogram: Array[Double],
+                                 width: Int, height: Int,
+                                 bit_depth: Int, color_type: Int,
+                                 px_min: Int, px_max: Int, px_mean: Double)
 
   /** One sampled frame of a payload (video frame / audio window). */
   final case class Frame(media_id: Long, frame_no: Int, offset: Long,
@@ -45,61 +61,90 @@ object Multimodal {
 
   val HistogramBins = 16
 
-  /** Deterministic media table derived from `documents`: the UTF-8
-    * bytes of `text` stand in for an encoded payload; type and metadata
-    * are synthesized from the id (driver testdata has no binary column;
-    * payload CONTENT is opaque to every operator below, which is the
-    * point). */
+  /** Image dimensions synthesized from a document's n_chars — shared
+    * with the DuckDB oracle (which recomputes them from the same
+    * column rather than parsing the PNG). */
+  def imageDims(nChars: Long): (Int, Int) =
+    ((nChars % 64).toInt + 1, (nChars % 48).toInt + 1)
+
+  /** Deterministic media table derived from `documents`. Image docs
+    * (id % 3 == 0) get a REAL PNG payload: an 8-bit greyscale
+    * [[imageDims]] canvas whose pixels are the document's UTF-8 bytes
+    * cycled row-major ([[PngCodec.encodeGray8]] — real container,
+    * real zlib stream, real CRCs). Audio/video payloads remain the raw
+    * text bytes (no codec in this container; payload CONTENT stays
+    * opaque to the plumbing, which is the point). */
   def fromDocuments(docs: DataFrame): Dataset[MediaItem] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
-        val payload = text.getBytes("UTF-8")
-        val (tpe, meta) = (id % 3) match {
-          case 0 => ("image", MediaMeta("fake/png", (nChars % 640).toInt + 1,
-            (nChars % 480).toInt + 1, 0, 0L))
-          case 1 => ("audio", MediaMeta("fake/wav", 0, 0, 16000,
-            nChars * 10))
-          case _ => ("video", MediaMeta("fake/mp4", 320, 240, 0,
-            nChars * 40))
+        val tb = text.getBytes("UTF-8")
+        (id % 3) match {
+          case 0 =>
+            val (w, h) = imageDims(nChars)
+            val px = new Array[Byte](w * h)
+            if (tb.nonEmpty) {
+              var i = 0
+              while (i < px.length) { px(i) = tb(i % tb.length); i += 1 }
+            }
+            MediaItem(id, "image", PngCodec.encodeGray8(w, h, px),
+              MediaMeta("image/png", w, h, 0, 0L))
+          case 1 => MediaItem(id, "audio", tb,
+            MediaMeta("fake/wav", 0, 0, 16000, nChars * 10))
+          case _ => MediaItem(id, "video", tb,
+            MediaMeta("fake/mp4", 320, 240, 0, nChars * 40))
         }
-        MediaItem(id, tpe, payload, meta)
       }
   }
 
-  /** Decode + feature-extract, streaming each partition. The inner
-    * `decodeOneStub` is the STUB: a real build decodes pixels/samples
-    * there; its per-item contract (bytes in, fixed-width features out)
-    * and everything outside it are production-shaped. */
+  /** Decode + feature-extract, streaming each partition. Images take
+    * the REAL path ([[PngCodec.decode]] — parse, CRC-verify, inflate,
+    * unfilter) and their features are computed over the RECONSTRUCTED
+    * pixels; audio/video take the stub path (features over raw payload
+    * bytes). One item in flight at a time — lazy per-partition
+    * iterator, payloads never materialize wholesale. */
   def decode(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     val spark = items.sparkSession
     import spark.implicits._
     items.mapPartitions { it: Iterator[MediaItem] =>
-      // lazy per-partition stream: one item in flight at a time
-      it.map(decodeOneStub)
+      it.map { m =>
+        if (m.media_type == "image") {
+          val img = PngCodec.decode(m.payload)
+          contentFeatures(m, img.pixels).copy(
+            width = img.width, height = img.height,
+            bit_depth = img.bitDepth, color_type = img.colorType)
+        } else contentFeatures(m, m.payload) // STUB: no audio/video codec
+      }
     }
   }
 
-  /** STUB decode ??? — deterministic fake: byte histogram + rolling
-    * checksum in place of pixel/sample decoding. Replace this body
-    * with the real codec call. */
-  private def decodeOneStub(m: MediaItem): MediaFeatures = {
+  /** Deterministic content features (histogram + rolling checksum +
+    * min/max/mean) over decoded content bytes — pixels for images, raw
+    * payload for the stubbed types. */
+  private def contentFeatures(m: MediaItem, content: Array[Byte]): MediaFeatures = {
     val hist = new Array[Double](HistogramBins)
     var checksum = 0L
+    var mn = 255; var mx = 0; var sum = 0L
     var i = 0
-    while (i < m.payload.length) {
-      val b = m.payload(i) & 0xff
+    while (i < content.length) {
+      val b = content(i) & 0xff
       hist(b % HistogramBins) += 1.0
       checksum = (checksum * 31 + b) % 1000000007L
+      if (b < mn) mn = b
+      if (b > mx) mx = b
+      sum += b
       i += 1
     }
-    val n = math.max(m.payload.length, 1)
+    val n = math.max(content.length, 1)
     var j = 0
     while (j < HistogramBins) { hist(j) /= n; j += 1 }
-    MediaFeatures(m.media_id, m.media_type, m.payload.length.toLong,
-      checksum, hist)
+    MediaFeatures(m.media_id, m.media_type, content.length.toLong,
+      checksum, hist, width = 0, height = 0, bit_depth = 0, color_type = 0,
+      px_min = if (content.isEmpty) 0 else mn,
+      px_max = if (content.isEmpty) 0 else mx,
+      px_mean = sum.toDouble / n)
   }
 
   /** Sample every `every`-th fixed-size frame from each payload —

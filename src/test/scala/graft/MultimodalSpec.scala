@@ -1,20 +1,25 @@
 package graft
 
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater}
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, PngCodec}
 
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  // doc 0 is an image with ASYMMETRIC dims: n_chars=100 → 37x5
+  // (imageDims), 185 pixels cycling the 100 text bytes
   private def docs = Seq(
-    (0L, "abcdefgh" * 100, 800L),
+    (0L, "ab" * 50, 100L),
     (1L, "tiny", 4L),
     (2L, "x" * 1500, 1500L))
     .toDF("doc_id", "text", "n_chars")
     .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
 
-  test("fromDocuments: binary payload + typed metadata schema") {
+  test("fromDocuments: image payloads are REAL PNGs; typed metadata schema") {
     val items = Multimodal.fromDocuments(docs)
     val schema = items.schema
     assert(schema("payload").dataType.typeName == "binary")
@@ -22,16 +27,35 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val byId = items.collect().map(m => m.media_id -> m).toMap
     assert(byId(0L).media_type == "image" && byId(1L).media_type == "audio"
       && byId(2L).media_type == "video")
-    assert(byId(0L).payload.length == 800)
+    // the image payload is an actual PNG container: signature present,
+    // and PngCodec round-trips it to the cycled text bytes
+    val png = byId(0L).payload
+    assert(png.take(8).sameElements(PngCodec.Signature))
+    val img = PngCodec.decode(png)
+    assert(img.width == 37 && img.height == 5 && img.bitDepth == 8)
+    val tb = ("ab" * 50).getBytes("UTF-8")
+    assert(img.pixels.toSeq == (0 until 185).map(i => tb(i % tb.length)))
+    assert(byId(0L).meta.format == "image/png")
     assert(byId(1L).meta.sampleRateHz == 16000)
   }
 
-  test("decode: deterministic features, histogram normalized, partition-preserving") {
+  test("decode: image features are decoded out of the container " +
+       "(format-true), histogram normalized, partition-preserving") {
     val items = Multimodal.fromDocuments(docs).repartition(3)
     val feats = Multimodal.decode(items)
     assert(feats.rdd.getNumPartitions == 3) // mapPartitions keeps partitioning
     val f = feats.collect().map(x => x.media_id -> x).toMap
-    assert(f(0L).n_bytes == 800)
+    // image: every format field read back from IHDR / reconstructed
+    // pixels, n_bytes is the DECODED content size (37*5), not the
+    // container size
+    assert(f(0L).n_bytes == 185)
+    assert(f(0L).width == 37 && f(0L).height == 5)
+    assert(f(0L).bit_depth == 8 && f(0L).color_type == 0)
+    assert(f(0L).px_min == 'a'.toInt && f(0L).px_max == 'b'.toInt)
+    // 185 = 93 'a' + 92 'b' (cycling starts and ends on 'a')
+    assert(f(0L).px_mean == (93.0 * 'a' + 92.0 * 'b') / 185.0)
+    // stub types: content is the raw payload
+    assert(f(1L).n_bytes == 4 && f(1L).width == 0 && f(1L).bit_depth == 0)
     assert(f.values.forall(_.histogram.length == Multimodal.HistogramBins))
     assert(f.values.forall(x => math.abs(x.histogram.sum - 1.0) < 1e-9))
     // deterministic: same input -> same checksum
@@ -44,24 +68,121 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val items = Multimodal.fromDocuments(docs)
     val frames = Multimodal.frameSample(items, frameSize = 256, every = 4)
       .collect().groupBy(_.media_id)
-    // doc 0: 800 bytes -> 4 frames (0..3), sampled every 4 -> frame 0 only
-    assert(frames(0L).map(_.frame_no).toSeq == Seq(0))
-    assert(frames(0L).head.frame_bytes.length == 256)
-    // doc 2: 1500 bytes -> 6 frames, every 4 -> frames 0 and 4
+    // doc 2 (video, raw 1500 bytes): 6 frames, every 4 -> frames 0 and 4
     assert(frames(2L).map(_.frame_no).sorted.toSeq == Seq(0, 4))
     assert(frames(2L).find(_.frame_no == 4).get.offset == 1024)
-    // doc 1: 4 bytes -> 1 frame, short tail preserved
+    // doc 1 (audio, 4 bytes): 1 frame, short tail preserved
     assert(frames(1L).head.frame_bytes.length == 4)
   }
 
   test("resize: clamps image dims keeping aspect, non-images untouched") {
     val items = Multimodal.fromDocuments(docs)
-    val resized = Multimodal.resize(items, maxDim = 100)
+    val resized = Multimodal.resize(items, maxDim = 20)
       .collect().map(m => m.media_id -> m).toMap
-    val img = resized(0L) // image, 161x321 (n_chars%640+1 x n_chars%480+1)
-    assert(math.max(img.meta.width, img.meta.height) == 100)
-    assert(img.meta.height > img.meta.width) // aspect preserved
+    val img = resized(0L) // image, 37x5
+    assert(math.max(img.meta.width, img.meta.height) == 20)
+    assert(img.meta.width > img.meta.height) // aspect preserved
     assert(resized(1L).meta == Multimodal.fromDocuments(docs)
       .filter($"media_id" === 1L).head().meta)
+  }
+
+  // ---- PngCodec unit coverage (no Spark involved) --------------------
+
+  test("PngCodec: encode/decode round trip on deterministic noise") {
+    var seed = 7L
+    def nextByte(): Byte = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 33).toByte
+    }
+    for ((w, h) <- Seq((1, 1), (5, 3), (64, 48), (257, 2))) {
+      val px = Array.fill(w * h)(nextByte())
+      val img = PngCodec.decode(PngCodec.encodeGray8(w, h, px))
+      assert(img.width == w && img.height == h)
+      assert(img.pixels.sameElements(px), s"round trip failed at ${w}x$h")
+    }
+  }
+
+  /** Test-side PNG writer that FILTERS each scanline (row r uses
+    * filter r % 5) so decode's five reconstruction paths are all
+    * exercised — the library encoder only emits filter 0. */
+  private def encodeFiltered(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    def u32(out: ByteArrayOutputStream, v: Long): Unit = {
+      out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+      out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def chunk(out: ByteArrayOutputStream, tpe: String, data: Array[Byte]): Unit = {
+      u32(out, data.length.toLong)
+      val tb = tpe.getBytes("US-ASCII")
+      val crc = new CRC32(); crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data); u32(out, crc.getValue)
+    }
+    val raw = new Array[Byte](h * (w + 1))
+    for (r <- 0 until h) {
+      val filter = r % 5
+      raw(r * (w + 1)) = filter.toByte
+      for (c <- 0 until w) {
+        val x = px(r * w + c) & 0xff
+        val a = if (c > 0) px(r * w + c - 1) & 0xff else 0
+        val b = if (r > 0) px((r - 1) * w + c) & 0xff else 0
+        val cc = if (r > 0 && c > 0) px((r - 1) * w + c - 1) & 0xff else 0
+        val f = filter match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 =>
+            val p = a + b - cc
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - cc)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc)
+        }
+        raw(r * (w + 1) + 1 + c) = (f & 0xff).toByte
+      }
+    }
+    val defl = new Deflater(); defl.setInput(raw); defl.finish()
+    val comp = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new ByteArrayOutputStream()
+    out.write(PngCodec.Signature)
+    val ihdr = new ByteArrayOutputStream()
+    u32(ihdr, w.toLong); u32(ihdr, h.toLong)
+    ihdr.write(8); ihdr.write(0); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk(out, "IHDR", ihdr.toByteArray)
+    chunk(out, "IDAT", comp.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("PngCodec: all five scanline filters reconstruct exactly") {
+    var seed = 99L
+    def nextByte(): Byte = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 33).toByte
+    }
+    val (w, h) = (23, 10) // 10 rows -> every filter twice
+    val px = Array.fill(w * h)(nextByte())
+    val img = PngCodec.decode(encodeFiltered(w, h, px))
+    assert(img.pixels.sameElements(px),
+      "filtered scanlines did not reconstruct to the original pixels")
+  }
+
+  test("PngCodec: corrupt and out-of-contract inputs fail loudly") {
+    val good = PngCodec.encodeGray8(4, 3, Array.fill(12)(42.toByte))
+    def expectFail(bytes: Array[Byte], msgPart: String): Unit = {
+      val e = intercept[IllegalArgumentException](PngCodec.decode(bytes))
+      assert(e.getMessage.contains(msgPart), s"got: ${e.getMessage}")
+    }
+    expectFail(Array.fill(30)(0.toByte), "bad signature")
+    expectFail(good.dropRight(5), "truncated")
+    val flipped = good.clone()
+    flipped(20) = (flipped(20) ^ 0x01).toByte // inside IHDR data
+    expectFail(flipped, "CRC mismatch")
+    // oversized: dims exceeding the pre-allocation bound
+    val big = PngCodec.encodeGray8(100, 100, new Array[Byte](10000))
+    val e = intercept[IllegalArgumentException](
+      PngCodec.decode(big, maxPixels = 64))
+    assert(e.getMessage.contains("maxPixels"))
   }
 }
