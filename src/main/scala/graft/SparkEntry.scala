@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, CorpusOps, Dedup,
-  Funnel, GraphOps, Multimodal, PageRank, Profile, RangeJoin, Redaction,
-  SequencePacking, Similarity, SkewOps, Sssp, TextAnalysis}
+  Funnel, GraphOps, KCore, LabelPropagation, Multimodal, PageRank, Profile,
+  RangeJoin, Redaction, Retention, SequencePacking, Similarity, SkewOps, Sssp,
+  TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.{SimHashExpr, TopKBySim}
 
@@ -36,6 +37,14 @@ object SparkEntry {
   /** Hop bound for q_sssp_copurchase — shared by the Spark query and
     * the layer count of its unrolled DuckDB oracle. */
   private val SsspCopurchaseHops = 6
+
+  /** k and peel-round bound for q_kcore — shared by the Spark query
+    * and the unrolled layers of its DuckDB oracle. k=6 is the largest
+    * k whose core is non-empty on the copurchase graph AND whose peel
+    * cascades across multiple rounds (k≤5 converges in one round;
+    * k≥7 empties the graph). */
+  private val KCoreK = 6
+  private val KCoreRounds = 4
 
   /** SQL fragment mirroring [[copurchaseEdges]] for DuckDB oracles. */
   private def copurchaseEdgesSql: String =
@@ -426,6 +435,15 @@ object SparkEntry {
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
     }),
 
+    // Cohort retention triangle: users cohorted by week of first
+    // event; cell (cohort, offset) = distinct users active offset
+    // weeks later. One user_id exchange serves cohort window +
+    // activity distinct; final rollup is tiny.
+    "q_retention" -> ((s, dir) => {
+      Retention.cohortRetention(EventStream.eventsTable(s, dir))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Sessionization (gap-based) — batch face of the streaming
     // flatMapGroupsWithState operator, window-function formulation.
     "q_sessionize" -> ((s, dir) => {
@@ -735,6 +753,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Community detection: synchronous label propagation, 2 fixed
+    // rounds on the copurchase graph. Deterministic by construction
+    // (neighbor-majority with min-label tie-break via one
+    // argmin-struct semilattice aggregate) — hash-exact against the
+    // unrolled oracle.
+    "q_label_prop" -> ((s, dir) => {
+      LabelPropagation.run(copurchaseEdges(s, dir), rounds = 2)
+        .orderBy("id")
+    }),
+
+    // k-core by bounded peeling: 4 peel rounds at k=6 on the
+    // copurchase graph (k chosen so the cascade is real: round sizes
+    // 523→517→505→504 vertices at sf0.001 — each round removes
+    // vertices whose degree the PREVIOUS round's deletions dropped
+    // below k). Fixed round count = unrolled hash-exact oracle; the
+    // run-to-convergence face is KCore.peel, spec-checked.
+    "q_kcore" -> ((s, dir) => {
+      KCore.peelBounded(copurchaseEdges(s, dir), k = KCoreK,
+          rounds = KCoreRounds)
+        .orderBy("id")
+    }),
+
     // Fixed-2-iteration PageRank twin of q_pagerank: same engine code
     // (PageRank.run), bounded iterations so the oracle is expressible
     // as non-recursive SQL — converts the pagerank family from a
@@ -762,6 +802,16 @@ object SparkEntry {
     "q_repetition_stats" -> ((s, dir) => {
       CorpusOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // C4-style domain filtering: per-source quality aggregation and a
+    // source-level keep decision. One partial-aggregated exchange on
+    // source (3-long partials — hot domains cost #sources, not #docs);
+    // mean quality summed in fixed-point longs for order-free
+    // exactness.
+    "q_source_curation" -> ((s, dir) => {
+      CorpusOps.sourceCuration(t(s, dir, "documents"), "text")
+        .orderBy("source")
     }),
 
     // Deterministic hash-stratified sampling: per-language keep rates
@@ -1973,6 +2023,46 @@ object SparkEntry {
          |FROM d$SsspCopurchaseHops ORDER BY id""".stripMargin
     },
 
+    // two unrolled label-propagation rounds: round 1's messages are
+    // the raw edges (label0(v) = v), round 2 joins the edge table to
+    // round 1's labels; each round's argmin(row(-count, label))
+    // replays the engine's min(struct(-c, lbl)) semilattice exactly.
+    "q_label_prop" ->
+      s"""WITH $copurchaseEdgesSql,
+         |c1 AS (SELECT src AS id, dst AS lbl, count(*) AS c
+         |       FROM edges GROUP BY 1, 2),
+         |l1 AS (SELECT id,
+         |         CAST(min(row(-c, lbl)) AS ROW(nc BIGINT, l BIGINT)).l
+         |           AS label
+         |       FROM c1 GROUP BY id),
+         |c2 AS (SELECT e.src AS id, l.label AS lbl, count(*) AS c
+         |       FROM edges e JOIN l1 l ON l.id = e.dst GROUP BY 1, 2),
+         |l2 AS (SELECT id,
+         |         CAST(min(row(-c, lbl)) AS ROW(nc BIGINT, l BIGINT)).l
+         |           AS label
+         |       FROM c2 GROUP BY id)
+         |SELECT id, label FROM l2 ORDER BY id""".stripMargin,
+
+    // four unrolled peel rounds at k=6: each layer keeps vertices
+    // whose degree in the PREVIOUS layer's edge set is ≥ k, then
+    // drops edges touching a removed endpoint (the keep-set is
+    // DISTINCT by GROUP BY, so inner join ≡ semi join); interpolates
+    // the same KCoreK/KCoreRounds constants as the Spark query.
+    "q_kcore" -> {
+      val layers = (1 to KCoreRounds).map { r =>
+        s"""k$r AS (SELECT src FROM e${r - 1}
+           |        GROUP BY src HAVING count(*) >= $KCoreK),
+           |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+           |        JOIN k$r a ON a.src = e.src
+           |        JOIN k$r b ON b.src = e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $copurchaseEdgesSql,
+         |e0 AS (SELECT src, dst FROM edges),
+         |$layers
+         |SELECT src AS id, count(*) AS deg
+         |FROM e$KCoreRounds GROUP BY src ORDER BY id""".stripMargin
+    },
+
     // two unrolled power iterations replaying PageRank.run's math in
     // the same IEEE order: rank0 = 1.0/n; per-edge contribution
     // trunc(rank/outdeg*1e15) summed as integers; rank' = (1-d)/n +
@@ -2031,6 +2121,25 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    // cohort = week of first event per user; offsets are exact
+    // multiples of 7 days (both sides are week-truncated), so the /7
+    // division is exact in either engine's arithmetic.
+    "q_retention" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS wk
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, wk,
+        |         min(wk) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM f)
+        |SELECT cohort_week,
+        |       CAST(date_diff('day', cohort_week, wk) / 7 AS INT)
+        |         AS week_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_events_window" ->
       """WITH b AS (
@@ -2121,6 +2230,28 @@ object SparkEntry {
          |  ${rhSql("CAST(doc_id AS VARCHAR)")} % 100 < ($sampleCaseSql)
          |    AS sampled
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // per-source rollup of the shared quality CTE; mean quality summed
+    // as floor(q·10⁹) BIGINTs (order-free, mirroring the fixed-point
+    // sum in CorpusOps.sourceCuration), divided back in the same
+    // /1e9-then-/n IEEE order; thresholds interpolate from the same
+    // constants the operator uses.
+    "q_source_curation" ->
+      s"""WITH $qualityScoredCte,
+         |s AS (SELECT source, count(*) AS n_docs,
+         |        sum(CAST(floor(quality * 1e9) AS BIGINT)) AS sq,
+         |        sum(CASE WHEN quality < ${CorpusOps.SourceDocQualityFloor}
+         |            THEN 1 ELSE 0 END) AS nlow
+         |      FROM scored GROUP BY source)
+         |SELECT source, n_docs,
+         |  CAST(sq AS DOUBLE) / 1e9 / CAST(n_docs AS DOUBLE)
+         |    AS avg_quality,
+         |  CAST(nlow AS DOUBLE) / CAST(n_docs AS DOUBLE) AS low_frac,
+         |  (CAST(sq AS DOUBLE) / 1e9 / CAST(n_docs AS DOUBLE)
+         |     >= ${CorpusOps.SourceAvgQualityFloor}
+         |   AND CAST(nlow AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |     <= ${CorpusOps.SourceLowFracCeiling}) AS kept
+         |FROM s ORDER BY source""".stripMargin,
 
     "q_doc_frequency" ->
       s"""WITH dt AS (

@@ -629,6 +629,57 @@ object CorpusOps extends CachePinning {
     df.withColumn("sampled", bucket < pct)
   }
 
+  /** Fixed-point scale for order-free quality aggregation (the
+    * [[PageRank]] trick: a double sum drifts with partition order; a
+    * long sum of floor(q·10⁹) is exact and byte-stable). */
+  private val QualityFxScale = 1e9
+
+  /** Per-document quality floor below which a doc counts as
+    * low-quality in [[sourceCuration]]'s per-source fraction. */
+  val SourceDocQualityFloor = 0.5
+  /** Source-level keep thresholds: a source survives iff its mean
+    * quality is ≥ the floor AND its low-quality-doc fraction is ≤ the
+    * ceiling (C4/RefinedWeb-style domain filtering — bad domains are
+    * dropped wholesale, not doc-by-doc). */
+  val SourceAvgQualityFloor = 0.64
+  val SourceLowFracCeiling = 0.04
+
+  /** Source/domain-level curation (the C4 "bad domain" pass): score
+    * every document with [[TextAnalysis.qualityScore]], aggregate per
+    * source, and decide keep/drop PER SOURCE. Web-corpus reality is
+    * that quality clusters by domain — a spam farm is spam on every
+    * page — so domain filtering removes in one decision what per-doc
+    * filtering would re-litigate a million times.
+    *
+    * Scale shape (100 TB): one partial-aggregated exchange keyed on
+    * `source` — the map-side combine collapses each partition to its
+    * per-source partial sums (3 longs), so a hot domain (half the
+    * crawl from one host) costs memory proportional to #sources per
+    * partition, not docs. Output is #sources rows — tiny. Mean
+    * quality is summed in fixed-point longs ([[QualityFxScale]]) for
+    * order-free exactness.
+    *
+    * @return DataFrame(source, n_docs LONG, avg_quality DOUBLE,
+    *         low_frac DOUBLE, kept BOOLEAN) */
+  def sourceCuration(df: DataFrame, textCol: String,
+                     srcCol: String = "source"): DataFrame = {
+    val q = TextAnalysis.qualityScore(col(textCol))
+    df.select(col(srcCol).as("source"),
+        floor(q * QualityFxScale).cast("long").as("qfx"),
+        when(q < SourceDocQualityFloor, 1L).otherwise(0L).as("lowq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qfx")).as("sq"),
+        sum(col("lowq")).as("nlow"))
+      .select(col("source"), col("n_docs"),
+        (col("sq").cast("double") / QualityFxScale /
+          col("n_docs").cast("double")).as("avg_quality"),
+        (col("nlow").cast("double") / col("n_docs").cast("double"))
+          .as("low_frac"))
+      .withColumn("kept",
+        col("avg_quality") >= SourceAvgQualityFloor &&
+          col("low_frac") <= SourceLowFracCeiling)
+  }
+
   /** Corpus document-frequency statistics: for each token, the number
     * of documents containing it (`doc_freq`) and its corpus fraction
     * `df_frac = doc_freq / n_docs` (the IDF input — left as an exact

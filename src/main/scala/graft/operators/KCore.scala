@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** k-core decomposition by iterative peeling: repeatedly delete every
+  * vertex whose degree is below k; what survives is the k-core (the
+  * maximal subgraph where every vertex has ≥ k neighbors inside it).
+  * The standard distributed formulation (Montresor et al. 2013 is the
+  * message-passing variant; this is the simpler BSP peel, which is
+  * exactly the semantics).
+  *
+  * Two faces:
+  *  - [[peelBounded]]: a FIXED number of peel rounds — deterministic
+  *    and expressible as an unrolled SQL oracle (the hop-bounded
+  *    pattern of `q_sssp_copurchase`/`q_pagerank_2iter`). This is
+  *    also what an interactive "roughly core-filter this graph" pass
+  *    runs at 100 TB: each round costs one degree aggregation and one
+  *    membership semi-join, and the first rounds remove almost
+  *    everything that will ever be removed (the cascade tail is
+  *    long but thin).
+  *  - [[peel]]: run to the fixed point (the true k-core), with the
+  *    BFS-style driver convergence test on the surviving-vertex
+  *    count. Spec-checked against [[peelBounded]] stabilization.
+  *
+  * Scale shape (100 TB): per round — degree = groupBy(src) on the
+  * src-partitioned edge table (exchange-free after round 0's
+  * repartition), then TWO semi-joins (src side exchange-free on the
+  * same partitioning; dst side one exchange of the surviving edge
+  * set). The keep-set is |V|-sized, so it is NOT broadcast — both
+  * semi-joins shuffle-hash. Edges shrink monotonically: every round's
+  * localCheckpoint materializes the smaller survivor set and flattens
+  * lineage, so late rounds cost proportionally less. No driver-side
+  * state beyond the convergence counter.
+  */
+object KCore {
+
+  /** Exactly `rounds` peel rounds (no convergence test — determinism
+    * for the unrolled oracle). Vertices with no surviving edges are
+    * gone from the output.
+    *
+    * @param edges SYMMETRIZED edge table (`src`, `dst`)
+    * @return DataFrame(id LONG, deg LONG): surviving vertices with
+    *         their degree INSIDE the surviving subgraph. */
+  def peelBounded(edges: DataFrame, k: Int, rounds: Int,
+                  keepAqe: Boolean = false): DataFrame = {
+    require(k > 0 && rounds > 0, s"need k>0, rounds>0; got k=$k rounds=$rounds")
+    GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
+      runPeel(edges, k, maxRounds = rounds, toConvergence = false)
+    }
+  }
+
+  /** Peel to the fixed point: the true k-core. `maxRounds` bounds the
+    * loop (the cascade depth is ≤ |V| but tiny in practice). */
+  def peel(edges: DataFrame, k: Int, maxRounds: Int = 100,
+           keepAqe: Boolean = false): DataFrame = {
+    require(k > 0 && maxRounds > 0)
+    GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
+      runPeel(edges, k, maxRounds, toConvergence = true)
+    }
+  }
+
+  private def runPeel(edges: DataFrame, k: Int, maxRounds: Int,
+                      toConvergence: Boolean): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    var e = edges.select($"src", $"dst")
+      .repartition($"src")
+      .localCheckpoint(true)
+    var lastVerts = -1L
+
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      round += 1
+      val tRound = System.nanoTime()
+      // Survivors of this round: degree ≥ k in the CURRENT subgraph.
+      val keep = e.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k)
+        .select($"id")
+      // Both endpoints must survive. src-side join reuses the src
+      // partitioning; dst-side is the round's one real exchange.
+      val next = e.hint("shuffle_hash")
+        .join(keep.as("ks"), $"src" === $"ks.id", "left_semi")
+        .hint("shuffle_hash")
+        .join(keep.as("kd"), $"dst" === $"kd.id", "left_semi")
+        .repartition($"src")
+        .localCheckpoint(true)
+      if (toConvergence) {
+        // one cheap count on the checkpointed survivor set — the
+        // BFS-style driver convergence probe
+        val nv = next.select($"src").distinct().count()
+        if (nv == lastVerts) done = true
+        lastVerts = nv
+        System.err.println(f"[kcore] round $round verts=$nv " +
+          f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
+      } else {
+        System.err.println(
+          f"[kcore] round $round ${(System.nanoTime() - tRound) / 1e9}%.2fs")
+      }
+      e = next
+    }
+    e.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+  }
+}

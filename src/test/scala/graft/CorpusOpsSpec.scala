@@ -284,4 +284,39 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Boolean)].collect()
     assert(capped.forall(r => r._1 == 10000L && r._2))
   }
+
+  test("sourceCuration: per-source rollup, fixed-point mean, keep rule") {
+    import spark.implicits._
+    // src 'good': high-quality English prose; src 'bad': punctuation
+    // soup scoring far below the floors; src 'mixed': one good doc +
+    // one low-quality doc -> low_frac = 0.5 > ceiling, dropped
+    val good = "the quick brown fox jumps over the lazy dog and it is " +
+      "a fine day for running in the field with the happy dog"
+    val bad = "!!! ??? ;;; ***"
+    val docs = Seq(
+      (1L, good, "good"), (2L, good + " again and again", "good"),
+      (3L, bad, "bad"), (4L, bad + " %%%", "bad"),
+      (5L, good, "mixed"), (6L, bad, "mixed")
+    ).toDF("doc_id", "text", "source")
+
+    val out = CorpusOps.sourceCuration(docs, "text")
+      .select("source", "n_docs", "avg_quality", "low_frac", "kept")
+      .as[(String, Long, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+
+    assert(out("good")._2 == 2 && out("bad")._2 == 2 && out("mixed")._2 == 2)
+    assert(out("good")._5, "high-quality source must be kept")
+    assert(!out("bad")._5, "low-quality source must be dropped")
+    assert(out("mixed")._4 == 0.5 && !out("mixed")._5,
+      "a half-bad source exceeds the low-frac ceiling")
+    // the fixed-point mean agrees with a serial double mean to 1e-9
+    // (the quantization bound), and low_frac is an exact ratio
+    val qs = docs.select(graft.operators.TextAnalysis.qualityScore(
+        col("text")).as("q"), col("source"))
+      .as[(Double, String)].collect().groupBy(_._2)
+    qs.foreach { case (s, rows) =>
+      val serial = rows.map(r => math.floor(r._1 * 1e9) / 1e9).sum / rows.size
+      assert(math.abs(out(s)._3 - serial) < 1e-12, s"mean drift for $s")
+    }
+  }
 }
