@@ -680,11 +680,13 @@ object SparkEntry {
     // feature projection — is oracle-checked bit-for-bit (the oracle
     // recomputes the features from the UTF-8 bytes via hex decoding).
     "q_media_features" -> ((s, dir) => {
-      // image rows take the REAL decode path: the payload is an actual
-      // PNG (built by PngCodec) and width/height/bit_depth/pixel stats
-      // are parsed/inflated/unfiltered back OUT of the container — the
-      // oracle recomputes the same values from the generation rule
-      // (the zlib round-trip cancels out, by construction)
+      // image rows take the REAL PNG decode path (payload built by
+      // PngCodec; width/height/bit_depth/pixel stats parsed/inflated/
+      // unfiltered back OUT of the container) and audio rows the REAL
+      // WAV decode path (payload built by WavCodec; sample_rate/
+      // bit_depth/amplitude stats read back out of the RIFF chunks) —
+      // the oracle recomputes the same values from the generation
+      // rules (the encode→decode round trips cancel by construction)
       val feats = Multimodal.decode(Multimodal.fromDocuments(t(s, dir, "documents")))
       feats.toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
@@ -692,7 +694,9 @@ object SparkEntry {
           element_at(col("histogram"), 1).as("h0"),
           element_at(col("histogram"), 2).as("h1"),
           col("width"), col("height"), col("bit_depth"), col("color_type"),
-          col("px_min"), col("px_max"), col("px_mean"))
+          col("px_min"), col("px_max"), col("px_mean"),
+          col("sample_rate"), col("n_samples"),
+          col("amp_min"), col("amp_max"), col("amp_mean"))
         .orderBy("media_id")
     }),
 
@@ -1740,11 +1744,14 @@ object SparkEntry {
     // checksum/counts are integer, fractions are int/int double
     // division. list_reduce seeds from the first element, which equals
     // the Scala loop's (0*31 + b0) first step.
-    // the engine's image features come from a REAL PNG decode; the
-    // oracle replays them from the generation rule instead (pixels =
-    // UTF-8 text bytes cycled over the imageDims canvas) — the encode→
-    // decode round trip cancels by construction, which is exactly the
-    // property the spec's round-trip tests pin down
+    // the engine's image features come from a REAL PNG decode and its
+    // audio features from a REAL WAV decode; the oracle replays both
+    // from the generation rules instead (image pixels = UTF-8 text
+    // bytes cycled over the imageDims canvas; audio data bytes = the
+    // little-endian encoding of samples (b-128)*256, i.e. pairs
+    // [0, (b+128)%256]) — the encode→decode round trips cancel by
+    // construction, which is exactly the property the codec specs'
+    // round-trip tests pin down
     "q_media_features" ->
       s"""WITH b AS (
          |  SELECT doc_id, n_chars, hex(encode(text)) AS hx,
@@ -1766,7 +1773,12 @@ object SparkEntry {
          |    CASE WHEN doc_id % 3 = 0 THEN
          |      list_transform(range(0, w*h), i ->
          |        CASE WHEN n = 0 THEN 0 ELSE bs[(i % n) + 1] END)
-         |    ELSE bs END AS cs
+         |    WHEN doc_id % 3 = 1 THEN
+         |      flatten(list_transform(bs, x -> [0, (x + 128) % 256]))
+         |    ELSE bs END AS cs,
+         |    CASE WHEN doc_id % 3 = 1 THEN
+         |      list_transform(bs, x -> (x - 128) * 256)
+         |    ELSE [] END AS amps
          |  FROM dims),
          |f AS (
          |  SELECT doc_id, w, h, len(cs) AS nb,
@@ -1780,7 +1792,12 @@ object SparkEntry {
          |    CASE WHEN len(cs) = 0 THEN 0 ELSE list_min(cs) END AS mn,
          |    CASE WHEN len(cs) = 0 THEN 0 ELSE list_max(cs) END AS mx,
          |    CAST(coalesce(list_sum(cs), 0) AS DOUBLE)
-         |      / greatest(len(cs), 1) AS px_mean
+         |      / greatest(len(cs), 1) AS px_mean,
+         |    len(amps) AS n_samples,
+         |    coalesce(list_min(amps), 0) AS amp_min,
+         |    coalesce(list_max(amps), 0) AS amp_max,
+         |    CAST(coalesce(list_sum(amps), 0) AS DOUBLE)
+         |      / greatest(len(amps), 1) AS amp_mean
          |  FROM content)
          |SELECT doc_id AS media_id,
          |       CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -1789,11 +1806,17 @@ object SparkEntry {
          |       CAST(nb AS BIGINT) AS n_bytes,
          |       CAST(checksum AS BIGINT) AS checksum, h0, h1,
          |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-         |       CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 0 END AS INTEGER)
-         |         AS bit_depth,
+         |       CAST(CASE WHEN doc_id % 3 = 0 THEN 8
+         |                 WHEN doc_id % 3 = 1 THEN 16
+         |                 ELSE 0 END AS INTEGER) AS bit_depth,
          |       CAST(0 AS INTEGER) AS color_type,
          |       CAST(mn AS INTEGER) AS px_min, CAST(mx AS INTEGER) AS px_max,
-         |       px_mean
+         |       px_mean,
+         |       CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END
+         |         AS INTEGER) AS sample_rate,
+         |       CAST(n_samples AS BIGINT) AS n_samples,
+         |       CAST(amp_min AS INTEGER) AS amp_min,
+         |       CAST(amp_max AS INTEGER) AS amp_max, amp_mean
          |FROM f ORDER BY media_id""".stripMargin,
 
     "q_pack_stats" ->

@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   * emitted width/height/bit-depth/pixel stats are format-true, read
   * back out of the container, not copied from metadata.
   *
-  * ==== STUB BOUNDARY (audio/video only) ====
-  * The container has no audio/video codecs, so those payloads keep the
+  * AUDIO decode is REAL too: payloads are actual RIFF/WAVE containers
+  * and [[decode]] runs [[WavCodec]] — signature + declared-size check,
+  * chunk walk, PCM `fmt ` parse, bounded `data` extraction — so the
+  * emitted sample-rate/bit-depth/amplitude stats are format-true, read
+  * back out of the container.
+  *
+  * ==== STUB BOUNDARY (video only) ====
+  * The container has no video codecs, so video payloads keep the
   * deterministic fake decode (byte histogram + checksum standing in
-  * for sample access) and [[resize]] passes payloads through (a real
+  * for frame access) and [[resize]] passes payloads through (a real
   * build re-encodes). The schema, Dataset encoders, partition-
   * streaming iterator shape, and frame-sampling explode are the real
   * Spark plumbing a production codec drops into.
@@ -45,15 +51,21 @@ object Multimodal {
     * For images every field is decoded out of the PNG container:
     * `width/height/bit_depth/color_type` from IHDR, `px_min/px_max/
     * px_mean` from the reconstructed pixels, `n_bytes/checksum/
-    * histogram` over the DECODED content (pixels). For audio/video
-    * (stub decode) the content is the raw payload bytes and the image
-    * fields are 0. */
+    * histogram` over the DECODED content (pixels). For audio the
+    * content is the PCM data chunk extracted from the WAV container,
+    * `sample_rate/bit_depth` come from `fmt `, and `n_samples/
+    * amp_min/amp_max/amp_mean` are over the signed 16-bit samples.
+    * For video (stub decode) the content is the raw payload bytes and
+    * the format fields are 0. */
   final case class MediaFeatures(media_id: Long, media_type: String,
                                  n_bytes: Long, checksum: Long,
                                  histogram: Array[Double],
                                  width: Int, height: Int,
                                  bit_depth: Int, color_type: Int,
-                                 px_min: Int, px_max: Int, px_mean: Double)
+                                 px_min: Int, px_max: Int, px_mean: Double,
+                                 sample_rate: Int, n_samples: Long,
+                                 amp_min: Int, amp_max: Int,
+                                 amp_mean: Double)
 
   /** One sampled frame of a payload (video frame / audio window). */
   final case class Frame(media_id: Long, frame_no: Int, offset: Long,
@@ -67,13 +79,21 @@ object Multimodal {
   def imageDims(nChars: Long): (Int, Int) =
     ((nChars % 64).toInt + 1, (nChars % 48).toInt + 1)
 
+  /** Sample rate used for synthesized audio payloads — shared with
+    * the DuckDB oracle. */
+  val AudioSampleRateHz = 16000
+
   /** Deterministic media table derived from `documents`. Image docs
     * (id % 3 == 0) get a REAL PNG payload: an 8-bit greyscale
     * [[imageDims]] canvas whose pixels are the document's UTF-8 bytes
     * cycled row-major ([[PngCodec.encodeGray8]] — real container,
-    * real zlib stream, real CRCs). Audio/video payloads remain the raw
-    * text bytes (no codec in this container; payload CONTENT stays
-    * opaque to the plumbing, which is the point). */
+    * real zlib stream, real CRCs). Audio docs (id % 3 == 1) get a REAL
+    * WAV payload: mono 16-bit PCM at [[AudioSampleRateHz]], one sample
+    * per text byte, centered and scaled to the 16-bit range
+    * (`(b - 128) * 256` — the rule the oracle replays). Video payloads
+    * remain the raw text bytes (no video codec in this container;
+    * payload CONTENT stays opaque to the plumbing, which is the
+    * point). */
   def fromDocuments(docs: DataFrame): Dataset[MediaItem] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -91,8 +111,17 @@ object Multimodal {
             }
             MediaItem(id, "image", PngCodec.encodeGray8(w, h, px),
               MediaMeta("image/png", w, h, 0, 0L))
-          case 1 => MediaItem(id, "audio", tb,
-            MediaMeta("fake/wav", 0, 0, 16000, nChars * 10))
+          case 1 =>
+            val samples = new Array[Short](tb.length)
+            var i = 0
+            while (i < tb.length) {
+              samples(i) = (((tb(i) & 0xff) - 128) * 256).toShort
+              i += 1
+            }
+            MediaItem(id, "audio",
+              WavCodec.encodePcm16(AudioSampleRateHz, samples),
+              MediaMeta("audio/wav", 0, 0, AudioSampleRateHz,
+                tb.length * 1000L / AudioSampleRateHz))
           case _ => MediaItem(id, "video", tb,
             MediaMeta("fake/mp4", 320, 240, 0, nChars * 40))
         }
@@ -100,22 +129,46 @@ object Multimodal {
   }
 
   /** Decode + feature-extract, streaming each partition. Images take
-    * the REAL path ([[PngCodec.decode]] — parse, CRC-verify, inflate,
-    * unfilter) and their features are computed over the RECONSTRUCTED
-    * pixels; audio/video take the stub path (features over raw payload
-    * bytes). One item in flight at a time — lazy per-partition
-    * iterator, payloads never materialize wholesale. */
+    * the REAL PNG path ([[PngCodec.decode]] — parse, CRC-verify,
+    * inflate, unfilter; features over the RECONSTRUCTED pixels); audio
+    * takes the REAL WAV path ([[WavCodec.decode]] — RIFF walk, PCM
+    * parse; byte features over the extracted data chunk, amplitude
+    * stats over the signed 16-bit samples); video takes the stub path
+    * (features over raw payload bytes). One item in flight at a time —
+    * lazy per-partition iterator, payloads never materialize
+    * wholesale. */
   def decode(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     val spark = items.sparkSession
     import spark.implicits._
     items.mapPartitions { it: Iterator[MediaItem] =>
       it.map { m =>
-        if (m.media_type == "image") {
-          val img = PngCodec.decode(m.payload)
-          contentFeatures(m, img.pixels).copy(
-            width = img.width, height = img.height,
-            bit_depth = img.bitDepth, color_type = img.colorType)
-        } else contentFeatures(m, m.payload) // STUB: no audio/video codec
+        m.media_type match {
+          case "image" =>
+            val img = PngCodec.decode(m.payload)
+            contentFeatures(m, img.pixels).copy(
+              width = img.width, height = img.height,
+              bit_depth = img.bitDepth, color_type = img.colorType)
+          case "audio" =>
+            val wav = WavCodec.decode(m.payload)
+            val n = wav.numSamples
+            var mn = 32767; var mx = -32768; var sum = 0L
+            var i = 0
+            while (i < n) {
+              val s = wav.sample(i)
+              if (s < mn) mn = s
+              if (s > mx) mx = s
+              sum += s
+              i += 1
+            }
+            contentFeatures(m, wav.data).copy(
+              bit_depth = wav.bitsPerSample,
+              sample_rate = wav.sampleRate, n_samples = n.toLong,
+              amp_min = if (n == 0) 0 else mn,
+              amp_max = if (n == 0) 0 else mx,
+              amp_mean = if (n == 0) 0.0 else sum.toDouble / n)
+          case _ =>
+            contentFeatures(m, m.payload) // STUB: no video codec
+        }
       }
     }
   }
@@ -144,7 +197,9 @@ object Multimodal {
       checksum, hist, width = 0, height = 0, bit_depth = 0, color_type = 0,
       px_min = if (content.isEmpty) 0 else mn,
       px_max = if (content.isEmpty) 0 else mx,
-      px_mean = sum.toDouble / n)
+      px_mean = sum.toDouble / n,
+      sample_rate = 0, n_samples = 0L, amp_min = 0, amp_max = 0,
+      amp_mean = 0.0)
   }
 
   /** Sample every `every`-th fixed-size frame from each payload —

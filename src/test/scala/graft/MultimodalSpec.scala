@@ -5,7 +5,7 @@ import java.util.zip.{CRC32, Deflater}
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, PngCodec}
+import graft.operators.{Multimodal, PngCodec, WavCodec}
 
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -37,6 +37,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(img.pixels.toSeq == (0 until 185).map(i => tb(i % tb.length)))
     assert(byId(0L).meta.format == "image/png")
     assert(byId(1L).meta.sampleRateHz == 16000)
+    // the audio payload is an actual RIFF/WAVE container: magic
+    // present, and WavCodec round-trips it to the generation-rule
+    // samples ((b - 128) * 256 per text byte)
+    val wavBytes = byId(1L).payload
+    assert(new String(wavBytes.take(4), "US-ASCII") == "RIFF")
+    assert(byId(1L).meta.format == "audio/wav")
+    val wav = WavCodec.decode(wavBytes)
+    assert(wav.sampleRate == 16000 && wav.bitsPerSample == 16
+      && wav.channels == 1)
+    val ab = "tiny".getBytes("UTF-8")
+    assert(wav.numSamples == 4)
+    assert((0 until 4).map(wav.sample) ==
+      ab.toSeq.map(b => ((b & 0xff) - 128) * 256))
   }
 
   test("decode: image features are decoded out of the container " +
@@ -54,8 +67,18 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f(0L).px_min == 'a'.toInt && f(0L).px_max == 'b'.toInt)
     // 185 = 93 'a' + 92 'b' (cycling starts and ends on 'a')
     assert(f(0L).px_mean == (93.0 * 'a' + 92.0 * 'b') / 185.0)
-    // stub types: content is the raw payload
-    assert(f(1L).n_bytes == 4 && f(1L).width == 0 && f(1L).bit_depth == 0)
+    // audio: format fields read back from the fmt chunk; content is
+    // the extracted PCM data chunk (2 bytes per sample), amplitude
+    // stats over the signed samples. "tiny" = t,i,n,y → samples
+    // (116-128)*256=-3072, (105-128)*256=-5888, -4608, -1792
+    assert(f(1L).n_bytes == 8 && f(1L).width == 0)
+    assert(f(1L).bit_depth == 16 && f(1L).sample_rate == 16000)
+    assert(f(1L).n_samples == 4)
+    assert(f(1L).amp_min == -5888 && f(1L).amp_max == -1792)
+    assert(f(1L).amp_mean == -3840.0)
+    // stub type (video): content is the raw payload
+    assert(f(2L).n_bytes == 1500 && f(2L).width == 0 && f(2L).bit_depth == 0)
+    assert(f(2L).sample_rate == 0 && f(2L).n_samples == 0)
     assert(f.values.forall(_.histogram.length == Multimodal.HistogramBins))
     assert(f.values.forall(x => math.abs(x.histogram.sum - 1.0) < 1e-9))
     // deterministic: same input -> same checksum
@@ -71,8 +94,9 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // doc 2 (video, raw 1500 bytes): 6 frames, every 4 -> frames 0 and 4
     assert(frames(2L).map(_.frame_no).sorted.toSeq == Seq(0, 4))
     assert(frames(2L).find(_.frame_no == 4).get.offset == 1024)
-    // doc 1 (audio, 4 bytes): 1 frame, short tail preserved
-    assert(frames(1L).head.frame_bytes.length == 4)
+    // doc 1 (audio, 44-byte WAV header + 8 data bytes = 52-byte
+    // container): 1 frame, short tail preserved
+    assert(frames(1L).head.frame_bytes.length == 52)
   }
 
   test("resize: clamps image dims keeping aspect, non-images untouched") {
@@ -184,5 +208,71 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](
       PngCodec.decode(big, maxPixels = 64))
     assert(e.getMessage.contains("maxPixels"))
+  }
+
+  // ---- WavCodec unit coverage (no Spark involved) --------------------
+
+  test("WavCodec: encode/decode round trip on deterministic noise") {
+    var seed = 13L
+    def nextShort(): Short = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 33).toShort
+    }
+    for (n <- Seq(0, 1, 7, 1000)) {
+      val samples = Array.fill(n)(nextShort())
+      val wav = WavCodec.decode(WavCodec.encodePcm16(16000, samples))
+      assert(wav.sampleRate == 16000 && wav.bitsPerSample == 16)
+      assert(wav.numSamples == n)
+      assert((0 until n).forall(i => wav.sample(i) == samples(i).toInt),
+        s"round trip failed at n=$n")
+    }
+  }
+
+  test("WavCodec: ancillary chunks (incl. odd-length pad) are skipped") {
+    // hand-build RIFF with a LIST chunk of odd length between fmt and
+    // data — chunk bodies are word-aligned, so decode must skip the
+    // pad byte to land on the data chunk header
+    val base = WavCodec.encodePcm16(8000, Array[Short](100, -200))
+    val fmtChunk = base.slice(12, 12 + 8 + 16)
+    val dataChunk = base.drop(12 + 8 + 16)
+    val list = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 'a', 'b', 'c', 0)
+    val body = fmtChunk ++ list ++ dataChunk
+    val out = new ByteArrayOutputStream()
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    val sz = body.length + 4
+    out.write(sz & 0xff); out.write((sz >> 8) & 0xff)
+    out.write((sz >> 16) & 0xff); out.write((sz >> 24) & 0xff)
+    out.write('W'); out.write('A'); out.write('V'); out.write('E')
+    out.write(body)
+    val wav = WavCodec.decode(out.toByteArray)
+    assert(wav.sampleRate == 8000 && wav.numSamples == 2)
+    assert(wav.sample(0) == 100 && wav.sample(1) == -200)
+  }
+
+  test("WavCodec: corrupt and out-of-contract inputs fail loudly") {
+    val good = WavCodec.encodePcm16(16000, Array[Short](1, 2, 3, 4))
+    def expectFail(bytes: Array[Byte], msgPart: String): Unit = {
+      val e = intercept[IllegalArgumentException](WavCodec.decode(bytes))
+      assert(e.getMessage.contains(msgPart), s"got: ${e.getMessage}")
+    }
+    expectFail(Array.fill(30)(0.toByte), "bad RIFF signature")
+    expectFail(good.dropRight(3), "RIFF size") // declared size now wrong
+    val badForm = good.clone(); badForm(8) = 'X'.toByte
+    expectFail(badForm, "bad WAVE form type")
+    val nonPcm = good.clone(); nonPcm(20) = 2 // format code 2 (ADPCM)
+    expectFail(nonPcm, "format code")
+    val stereo = good.clone(); stereo(22) = 2
+    expectFail(stereo, "channels")
+    val eightBit = good.clone(); eightBit(34) = 8
+    expectFail(eightBit, "bits=8")
+    // data chunk len declared odd (7, with 8 payload bytes present):
+    // len field at offset 40 in the canonical 44-byte layout
+    val odd = good.clone(); odd(40) = 7
+    expectFail(odd, "odd data length")
+    // oversized: sample count exceeding the pre-allocation bound
+    val big = WavCodec.encodePcm16(16000, new Array[Short](1000))
+    val e = intercept[IllegalArgumentException](
+      WavCodec.decode(big, maxSamples = 64))
+    assert(e.getMessage.contains("maxSamples"))
   }
 }

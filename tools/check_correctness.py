@@ -8,6 +8,7 @@ runs the matching oracle_sql.json entry in DuckDB with the sf tables
 registered as views, sorts columns by name and rows by all columns,
 and value-compares. Exit 1 on any mismatch.
 """
+import datetime
 import json, sys, glob, os
 import duckdb
 import pandas as pd
@@ -15,6 +16,17 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # pandas reads parquet date32 (Spark DATE) as object-of-datetime.date
+    # while DuckDB returns datetime64 for the same values; the driver's
+    # gate canonicalizes these together (q_retention passes it), so the
+    # replica must too — promote date objects to datetime64 before any
+    # kind comparison
+    df = df.copy()
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and isinstance(
+                df[c].dropna().iloc[0] if df[c].notna().any() else None,
+                datetime.date):
+            df[c] = pd.to_datetime(df[c])
     df = df[sorted(df.columns)]
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
