@@ -76,13 +76,48 @@ object Bench {
   private val ExtraRunQueries = Set(
     "q_bfs_copurchase", "q1_agg", "q_corpus_prep_v2", "q_ann_ivf",
     "q_pagerank",
-    // new in r9 and the suite's two heaviest additions — no driver
-    // anchor yet, so give their first driver round the full spread
-    "q_corpus_prep_v3", "q_triangle_count")
+    "q_corpus_prep_v3", "q_triangle_count",
+    // r10 lesson: q_bfs_paths_golden got min-of-2 with both runs
+    // inside the same host stall and the round's headline number was
+    // an 18s phantom. Every multi-second iterative query gets the
+    // full spread so one load window can't decide a round.
+    "q_kcore", "q_label_prop", "q_sssp_copurchase", "q_bfs_paths_golden")
+
+  /** Tee for System.err: every byte still reaches the real stderr, and
+    * complete lines that look like operator round telemetry
+    * (`[bfs] round …`, `[kcore] …` — anything bracket-tagged except
+    * the bench's own `[bench]` lines) are collected into the
+    * self-artifact, attributed to the query running at the time. The
+    * lines are ASCII (operator printf output), so byte-at-a-time char
+    * assembly is safe. */
+  private final class TeeErr(real: java.io.PrintStream, sink: String => Unit)
+      extends java.io.OutputStream {
+    private val buf = new java.lang.StringBuilder
+    override def write(b: Int): Unit = {
+      real.write(b)
+      if (b == '\n') { val s = buf.toString; buf.setLength(0); sink(s) }
+      else if (b != '\r') buf.append(b.toChar)
+    }
+    override def flush(): Unit = real.flush()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Collect operator per-round telemetry ([bfs]/[kcore]/[labelprop]/
+    // [sssp]/[cc]/[pagerank] lines) for the self-artifact, attributed
+    // to whatever the bench is doing when the line is emitted. All
+    // operator telemetry goes through System.err.println, which
+    // resolves System.err dynamically — so swapping in the tee here
+    // captures it without touching any operator.
+    val bspLines =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    @volatile var benchPhase = "init"
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(new TeeErr(realErr, { line =>
+      if (line.startsWith("[") && !line.startsWith("[bench]"))
+        bspLines.synchronized { bspLines += ((benchPhase, line)) }
+    }), true))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -121,15 +156,15 @@ object Bench {
     // shape at negligible data cost; region.count() alone does not.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
+    benchPhase = "warmup"
     val tWarm = System.nanoTime()
     ordered.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
     }
     release()
-    System.err.println(
-      f"[bench] warmup sweep ${(System.nanoTime() - tWarm) / 1e9}%.2f " +
-        jvmStats())
+    val warmSec = (System.nanoTime() - tWarm) / 1e9
+    System.err.println(f"[bench] warmup sweep $warmSec%.2f " + jvmStats())
     // warmup, stage 2: touch every parquet file at the TIMED scale once.
     // The tiny-SF sweep warms JIT but not the sf0.1 OS page cache, and
     // AQE statistics are per-input-size — the r8 driver run showed the
@@ -137,6 +172,7 @@ object Bench {
     // order, the signature of cold inputs landing on the same queries
     // every round. A full-column noop read of each table pulls the
     // actual benched bytes through the page cache before any timing.
+    benchPhase = "touch"
     val tTouch = System.nanoTime()
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
@@ -146,9 +182,8 @@ object Bench {
       catch { case _: Throwable => }
     }
     release()
-    System.err.println(
-      f"[bench] input touch ${(System.nanoTime() - tTouch) / 1e9}%.2f " +
-        jvmStats())
+    val touchSec = (System.nanoTime() - tTouch) / 1e9
+    System.err.println(f"[bench] input touch $touchSec%.2f " + jvmStats())
 
     // calibration probe: a fixed trivial query (documents scan + per-row
     // hash + 3-group agg; constant plan, no pinning, one exchange) timed
@@ -159,6 +194,7 @@ object Bench {
     // the plan. q_hash_split per VERDICT r8 next-round #1c.
     val probeFn = SparkEntry.queries("q_hash_split")
     def calibrate(label: String): Double = {
+      benchPhase = s"calibration_$label"
       val t0 = System.nanoTime()
       // a failed probe must NOT record its near-zero wall time as a
       // "fast machine" reading — that silently corrupts the load
@@ -183,6 +219,7 @@ object Bench {
     var calMid = -1.0
     val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx == midpoint) calMid = calibrate("mid")
+      benchPhase = name
       val runs = if (ExtraRunQueries(name)) runsPerQuery.max(3) else runsPerQuery
       // min of N runs: steady-state throughput, insulated from one-off
       // JIT/GC/page-cache hiccups (OS cache of the parquet inputs stays
@@ -248,6 +285,69 @@ object Bench {
     println(s"""{"metric":"runs","value":$runsJson}""")
     println(s"""{"metric":"cpu","value":$cpuJson}""")
     println(s"""{"metric":"calibration","value":$cal}""")
+
+    // r10 lesson (third round running): the stdout tail capture
+    // truncates the big diagnostic lines, so the artifact could never
+    // attribute its own anomalies. The FULL artifact now goes to a
+    // JSON file inside the repo — BENCH_SELF_r{N}.json, committed with
+    // the round — and stdout keeps only the compact summary contract
+    // above. Round number: env override, else max existing BENCH_r*.json
+    // + 1 (the driver writes BENCH_r{N}.json AFTER this run, so at run
+    // time the highest committed artifact is round N-1).
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => ""
+      case c => c.toString
+    }
+    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
+    val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+      .getOrElse {
+        val re = "BENCH_r0*(\\d+)\\.json".r
+        val ns = Option(new java.io.File(repoDir).list())
+          .getOrElse(Array.empty[String])
+          .collect { case re(n) => n.toInt }
+        if (ns.isEmpty) 1 else ns.max + 1
+      }
+    val bspByPhase =
+      scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    bspLines.synchronized {
+      bspLines.foreach { case (p, l) =>
+        bspByPhase.getOrElseUpdate(
+          p, scala.collection.mutable.ArrayBuffer.empty[String]) += l
+      }
+    }
+    val bspJson = bspByPhase.map { case (p, ls) =>
+      "\"" + esc(p) + "\":[" +
+        ls.map(l => "\"" + esc(l) + "\"").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val selfPath = s"$repoDir/BENCH_SELF_r$round.json"
+    val selfJson =
+      s"""{
+         |"metric":"bench_self",
+         |"round":$round,
+         |"value":${fmt(total)},
+         |"unit":"sec",
+         |"sf":"$sfDir",
+         |"cpus":"$cpus",
+         |"runs_per_query":$runsPerQuery,
+         |"warmup":{"sweep_sec":${fmt(warmSec)},"touch_sec":${fmt(touchSec)}},
+         |"queries":$qs,
+         |"runs":$runsJson,
+         |"cpu":$cpuJson,
+         |"calibration":$cal,
+         |"rounds":$bspJson,
+         |"jvm_final":"${esc(jvmStats())}"
+         |}""".stripMargin
+    try {
+      val w = new java.io.PrintWriter(selfPath, "UTF-8")
+      try w.println(selfJson) finally w.close()
+      println(s"""{"metric":"self_artifact","value":"${esc(selfPath)}"}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] self-artifact write FAILED: ${e.getMessage}")
+    }
+
     println(summary)
     spark.stop()
   }
