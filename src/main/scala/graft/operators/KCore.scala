@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** k-core decomposition by iterative peeling: repeatedly delete every
   * vertex whose degree is below k; what survives is the k-core (the
@@ -88,18 +87,18 @@ object KCore {
         .join(keep.as("kd"), $"dst" === $"kd.id", "left_semi")
         .repartition($"src")
         .localCheckpoint(true)
+      // survivor count: a cheap distinct-count over the eagerly
+      // checkpointed (cached) survivor set. In convergence mode it IS
+      // the driver convergence probe; in bounded mode it buys the same
+      // per-round attribution line the other iterative ops emit (a
+      // bench host that inflates the query can be read round-by-round).
+      val nv = next.select($"src").distinct().count()
       if (toConvergence) {
-        // one cheap count on the checkpointed survivor set — the
-        // BFS-style driver convergence probe
-        val nv = next.select($"src").distinct().count()
         if (nv == lastVerts) done = true
         lastVerts = nv
-        System.err.println(f"[kcore] round $round verts=$nv " +
-          f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
-      } else {
-        System.err.println(
-          f"[kcore] round $round ${(System.nanoTime() - tRound) / 1e9}%.2fs")
       }
+      System.err.println(f"[kcore] round $round verts=$nv " +
+        f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
       e = next
     }
     e.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
