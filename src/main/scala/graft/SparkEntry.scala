@@ -38,6 +38,13 @@ object SparkEntry {
     * the layer count of its unrolled DuckDB oracle. */
   private val SsspCopurchaseHops = 6
 
+  /** Hop bound for q_bfs_paths_copurchase — shared by the Spark query
+    * and the layer count of its unrolled DuckDB oracle. Bounded BFS
+    * has well-defined semantics (the state after h rounds is EXACTLY
+    * the ≤h-hop BFS answer — each round settles one distance layer),
+    * which is what makes the oracle expressible as unrolled layers. */
+  private val BfsPathsCopurchaseHops = 6
+
   /** k and peel-round bound for q_kcore — shared by the Spark query
     * and the unrolled layers of its DuckDB oracle. k=6 is the largest
     * k whose core is non-empty on the copurchase graph AND whose peel
@@ -724,6 +731,23 @@ object SparkEntry {
       Bfs.run(GraphOps.symmetrize(edges), source = 0L,
           Bfs.Config(withPaths = true))
         .select(col("id"), col("dist"), array_join(col("path"), "->").as("path"))
+        .orderBy("id")
+    }),
+
+    // Path-carrying BFS at REAL scale: the copurchase graph (16,743
+    // vertices at sf0.01 vs the golden query's 13), hop-bounded at 6 so
+    // the array-payload-through-shuffle cost that Bfs.Config.withPaths
+    // warns about is exercised with real frontier sizes AND the oracle
+    // stays expressible (one min-merge layer per hop, lex-min path via
+    // DuckDB's lexicographic min over lists — the same argmin the
+    // engine's min(struct(dist, path)) computes). Path rendered as a
+    // string: arrays stay out of the driver hash (SURVEY §7.4).
+    "q_bfs_paths_copurchase" -> ((s, dir) => {
+      Bfs.run(copurchaseEdges(s, dir), source = 2L,
+          Bfs.Config(maxIterations = BfsPathsCopurchaseHops,
+            withPaths = true))
+        .select(col("id"), col("dist"),
+          array_join(col("path"), "->").as("path"))
         .orderBy("id")
     }),
 
@@ -1996,6 +2020,38 @@ object SparkEntry {
          |       GROUP BY w.id, b.dist)
          |SELECT id, dist, array_to_string(path, '->') AS path
          |FROM mp ORDER BY id""".stripMargin
+    },
+
+    // hop-bounded path-carrying BFS unrolled one min-merge layer per
+    // hop: layer h's candidates are layer h-1's rows plus every
+    // one-edge extension; min(dist) then min(path) among the min-dist
+    // rows replays the engine's min(struct(dist, path)) semilattice
+    // (equal-dist paths have equal length, so DuckDB's lexicographic
+    // list min IS the same argmin). Re-expanding already-settled
+    // vertices each layer only regenerates candidates earlier layers
+    // min-merged away — the min is idempotent, so p_h equals the
+    // engine's frontier-only state after h rounds.
+    "q_bfs_paths_copurchase" -> {
+      val layers = (1 to BfsPathsCopurchaseHops).map { h =>
+        s"""c$h AS (
+           |  SELECT id, dist, path FROM p${h - 1}
+           |  UNION ALL
+           |  SELECT e.dst, d.dist + 1, list_append(d.path, e.dst)
+           |  FROM p${h - 1} d JOIN edges e ON e.src = d.id),
+           |b$h AS (SELECT id, min(dist) AS dist FROM c$h GROUP BY id),
+           |p$h AS (SELECT c.id, b.dist, min(c.path) AS path
+           |        FROM c$h c JOIN b$h b
+           |          ON b.id = c.id AND c.dist = b.dist
+           |        GROUP BY c.id, b.dist)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $copurchaseEdgesSql,
+         |p0(id, dist, path) AS (
+         |  SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+         |         [CAST(2 AS BIGINT)]),
+         |$layers
+         |SELECT id, CAST(dist AS BIGINT) AS dist,
+         |       array_to_string(path, '->') AS path
+         |FROM p$BfsPathsCopurchaseHops ORDER BY id""".stripMargin
     },
 
     // weighted twin of the golden walk: same simple-path enumeration,
