@@ -60,6 +60,36 @@ object KCore {
     }
   }
 
+  /** One peel round: keep edges whose BOTH endpoints have degree ≥ k
+    * in the current subgraph, repartitioned back to `src` for the next
+    * round. Extracted (pre-checkpoint) so PlanShapeSpec can pin the
+    * round's physical shape: two shuffle-hash semi-joins — the
+    * |V|-sized keep-set must NOT broadcast — with the degree
+    * aggregation and the src-side join riding the input's src
+    * partitioning exchange-free. */
+  private[graft] def peelRound(e: DataFrame, k: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // Survivors of this round: degree ≥ k in the CURRENT subgraph.
+    val keep = e.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+      .filter($"deg" >= k)
+      .select($"id")
+    // Both endpoints must survive. src-side join reuses the src
+    // partitioning; dst-side is the round's one real exchange. The
+    // shuffle_hash hint goes on the KEEP side: a left-semi join builds
+    // its RIGHT side, so a hint on the left stream is unsupported and
+    // silently ignored (r10's hint placement) — leaving the strategy
+    // to size estimates, which broadcast the |V|-sized keep-set at
+    // small scale and sort-merge it at large. Hinting the build side
+    // pins shuffle-hash at every scale: no |V|-sized broadcast, no
+    // re-sort of the edge set.
+    e.join(keep.as("ks").hint("shuffle_hash"),
+        $"src" === $"ks.id", "left_semi")
+      .join(keep.as("kd").hint("shuffle_hash"),
+        $"dst" === $"kd.id", "left_semi")
+      .repartition($"src")
+  }
+
   private def runPeel(edges: DataFrame, k: Int, maxRounds: Int,
                       toConvergence: Boolean): DataFrame = {
     val spark = edges.sparkSession
@@ -75,18 +105,7 @@ object KCore {
     while (round < maxRounds && !done) {
       round += 1
       val tRound = System.nanoTime()
-      // Survivors of this round: degree ≥ k in the CURRENT subgraph.
-      val keep = e.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
-        .filter($"deg" >= k)
-        .select($"id")
-      // Both endpoints must survive. src-side join reuses the src
-      // partitioning; dst-side is the round's one real exchange.
-      val next = e.hint("shuffle_hash")
-        .join(keep.as("ks"), $"src" === $"ks.id", "left_semi")
-        .hint("shuffle_hash")
-        .join(keep.as("kd"), $"dst" === $"kd.id", "left_semi")
-        .repartition($"src")
-        .localCheckpoint(true)
+      val next = peelRound(e, k).localCheckpoint(true)
       // survivor count: a cheap distinct-count over the eagerly
       // checkpointed (cached) survivor set. In convergence mode it IS
       // the driver convergence probe; in bounded mode it buys the same

@@ -269,6 +269,95 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges.isEmpty, s"chunkDocs plans an exchange: $exchanges")
   }
 
+  // ---- iterative graph rounds: the per-round plans the 100 TB design
+  // claims. The round bodies are extracted (KCore.peelRound /
+  // LabelPropagation.lpRound) so the REAL loop code is under test, in
+  // the loop's context: AQE off (withLoopAqeDisabled), inputs
+  // checkpointed with their loop partitioning. Exchange counting needs
+  // the executedPlan — EnsureRequirements runs in preparations, so
+  // sparkPlan undercounts.
+
+  private def withAqeOff[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def copurchaseE = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.GraphOps.symmetrize(
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select((col("l_orderkey") * 2).as("src"),
+                (col("l_partkey") * 2 + 1).as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+  }
+
+  test("k-core round: two shuffle-hash semi-joins, degree agg and src " +
+       "side exchange-free — the |V|-sized keep-set never broadcasts") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    withAqeOff {
+      val plan = graft.operators.KCore.peelRound(copurchaseE, 6)
+        .queryExecution.executedPlan
+      val shj = plan.collect { case j: ShuffledHashJoinExec => j }
+      assert(shj.size == 2 && shj.forall(_.joinType.sql == "LEFT SEMI"),
+        s"expected 2 left-semi shuffle-hash joins, got: ${shj.map(_.joinType)}")
+      // broadcasting the keep-set is the 100 TB mistake (|V| ids to
+      // every executor); SMJ would re-sort the edge set every round.
+      // r10 shipped the shuffle_hash hint on the STREAM side of the
+      // semi-join where it is unsupported and silently dropped — size
+      // estimates then broadcast at test scale. This pins the fix.
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+        "keep-set is broadcast — |V|-sized build at scale")
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      // exactly 2 exchanges: the dst-side co-partition of the
+      // surviving edge set (the round's one real exchange) and the
+      // repartition back to src for the next round. NO exchange under
+      // either degree aggregation, the src-side join, or either
+      // keep-set build side — all ride the input's src partitioning.
+      val exchanges = plan.collect { case e: Exchange => e }
+      assert(exchanges.size == 2,
+        s"k-core round plans ${exchanges.size} exchanges:\n$plan")
+      assert(plan.collect { case a: SortAggregateExec => a }.isEmpty,
+        "degree aggregation fell back to SortAggregate")
+    }
+  }
+
+  test("label-propagation round: edge side never exchanges; messages " +
+       "shuffle once and both aggregations ride that partitioning") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.functions.col
+    withAqeOff {
+      val e = copurchaseE
+      val state = graft.operators.GraphOps.vertices(e)
+        .select(col("id"), col("id").as("label"))
+        .localCheckpoint(true)
+      val plan = graft.operators.LabelPropagation.lpRound(e, state)
+        .queryExecution.executedPlan
+      val shj = plan.collect { case j: ShuffledHashJoinExec => j }
+      assert(shj.size == 1, s"expected 1 shuffle-hash message join: $plan")
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        "message join re-sorts the cached edge table")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty)
+      // the edge table streams into the join with NO exchange — at
+      // 100 TB an |E| exchange here would double every round's cost
+      assert(shj.head.right.collect { case x: Exchange => x }.isEmpty,
+        "edge side of the message join is exchanged")
+      // exactly 2 exchanges in the whole round: the |V| state side of
+      // the join, and the ONE |E| message repartition on the receiver;
+      // the (id,lbl) count and per-id argmin add none (their keys
+      // contain the partition key)
+      val exchanges = plan.collect { case x: Exchange => x }
+      assert(exchanges.size == 2,
+        s"LP round plans ${exchanges.size} exchanges:\n$plan")
+    }
+  }
+
   test("redactPii is a pure per-row projection — zero exchanges, no UDFs") {
     import org.apache.spark.sql.execution.exchange.Exchange
     val d = spark.read.parquet(s"$dir/documents.parquet")
