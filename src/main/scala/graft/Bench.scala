@@ -82,8 +82,8 @@ object Bench {
     // an 18s phantom. Every multi-second iterative query gets the
     // full spread so one load window can't decide a round.
     "q_kcore", "q_label_prop", "q_sssp_copurchase", "q_bfs_paths_golden",
-    // r11 addition, first driver round — full spread from the start
-    "q_bfs_paths_copurchase")
+    // r11 additions, first driver round — full spread from the start
+    "q_bfs_paths_copurchase", "q_kcore_converged")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry
