@@ -691,19 +691,22 @@ object SparkEntry {
     }),
 
     // Multimodal plumbing: binary payload -> mapPartitions decode ->
-    // fixed-width features. The decode body is the documented stub,
-    // but a DETERMINISTIC one (byte histogram + rolling checksum), so
-    // the whole path — payload synthesis, partition-streaming decode,
-    // feature projection — is oracle-checked bit-for-bit (the oracle
-    // recomputes the features from the UTF-8 bytes via hex decoding).
+    // fixed-width features. ALL THREE decode paths are real codecs
+    // (PNG/WAV/AVI), and the whole path — payload synthesis,
+    // partition-streaming decode, feature projection — is
+    // oracle-checked bit-for-bit (the oracle recomputes the features
+    // from the UTF-8 bytes via hex decoding).
     "q_media_features" -> ((s, dir) => {
       // image rows take the REAL PNG decode path (payload built by
       // PngCodec; width/height/bit_depth/pixel stats parsed/inflated/
-      // unfiltered back OUT of the container) and audio rows the REAL
+      // unfiltered back OUT of the container), audio rows the REAL
       // WAV decode path (payload built by WavCodec; sample_rate/
-      // bit_depth/amplitude stats read back out of the RIFF chunks) —
-      // the oracle recomputes the same values from the generation
-      // rules (the encode→decode round trips cancel by construction)
+      // bit_depth/amplitude stats read back out of the RIFF chunks),
+      // and video rows the REAL AVI decode path (payload built by
+      // AviCodec; width/height/n_frames/fps/pixel stats read back out
+      // of the headers and reconstructed DIB scanlines) — the oracle
+      // recomputes the same values from the generation rules (the
+      // encode→decode round trips cancel by construction)
       val feats = Multimodal.decode(Multimodal.fromDocuments(t(s, dir, "documents")))
       feats.toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
@@ -713,8 +716,21 @@ object SparkEntry {
           col("width"), col("height"), col("bit_depth"), col("color_type"),
           col("px_min"), col("px_max"), col("px_mean"),
           col("sample_rate"), col("n_samples"),
-          col("amp_min"), col("amp_max"), col("amp_mean"))
+          col("amp_min"), col("amp_max"), col("amp_mean"),
+          col("n_frames"), col("fps"))
         .orderBy("media_id")
+    }),
+
+    // Real video frame demux: AVI payload -> per-codec-frame rows with
+    // pixel stats — the explode-shaped media op (1 row -> n rows) over
+    // true decoded frames. Frame pixels stay map-side; only the
+    // fixed-width stats rows move. The oracle replays the synthesis
+    // rule (frame f = text bytes cycled with phase shift f over the
+    // videoDims canvas) — the encode→decode round trip cancels.
+    "q_video_frames" -> ((s, dir) => {
+      Multimodal.videoFrameStats(Multimodal.fromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("media_id", "frame_no")
     }),
 
     // IVF-bucketed embedding near-dups — the scale path of
@@ -1813,23 +1829,32 @@ object SparkEntry {
          |  FROM b),
          |dims AS (
          |  SELECT doc_id, n, bs,
-         |    CASE WHEN doc_id % 3 = 0 THEN (n_chars % 64) + 1 ELSE 0 END AS w,
-         |    CASE WHEN doc_id % 3 = 0 THEN (n_chars % 48) + 1 ELSE 0 END AS h
+         |    CASE WHEN doc_id % 3 = 0 THEN (n_chars % 64) + 1
+         |         WHEN doc_id % 3 = 2 THEN (n_chars % 32) + 1
+         |         ELSE 0 END AS w,
+         |    CASE WHEN doc_id % 3 = 0 THEN (n_chars % 48) + 1
+         |         WHEN doc_id % 3 = 2 THEN (n_chars % 24) + 1
+         |         ELSE 0 END AS h,
+         |    CASE WHEN doc_id % 3 = 2 THEN (n_chars % 6) + 2 ELSE 0 END AS nf
          |  FROM bytes),
          |content AS (
-         |  SELECT doc_id, w, h,
+         |  SELECT doc_id, w, h, nf,
          |    CASE WHEN doc_id % 3 = 0 THEN
          |      list_transform(range(0, w*h), i ->
          |        CASE WHEN n = 0 THEN 0 ELSE bs[(i % n) + 1] END)
          |    WHEN doc_id % 3 = 1 THEN
          |      flatten(list_transform(bs, x -> [0, (x + 128) % 256]))
-         |    ELSE bs END AS cs,
+         |    ELSE
+         |      flatten(list_transform(range(0, nf), f ->
+         |        list_transform(range(0, w*h), i ->
+         |          CASE WHEN n = 0 THEN 0 ELSE bs[((i + f) % n) + 1] END)))
+         |    END AS cs,
          |    CASE WHEN doc_id % 3 = 1 THEN
          |      list_transform(bs, x -> (x - 128) * 256)
          |    ELSE [] END AS amps
          |  FROM dims),
          |f AS (
-         |  SELECT doc_id, w, h, len(cs) AS nb,
+         |  SELECT doc_id, w, h, nf, len(cs) AS nb,
          |    CASE WHEN len(cs) = 0 THEN 0 ELSE
          |      list_reduce(cs, (acc, x) -> (acc*31 + x) % 1000000007) END
          |      AS checksum,
@@ -1856,7 +1881,7 @@ object SparkEntry {
          |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
          |       CAST(CASE WHEN doc_id % 3 = 0 THEN 8
          |                 WHEN doc_id % 3 = 1 THEN 16
-         |                 ELSE 0 END AS INTEGER) AS bit_depth,
+         |                 ELSE 8 END AS INTEGER) AS bit_depth,
          |       CAST(0 AS INTEGER) AS color_type,
          |       CAST(mn AS INTEGER) AS px_min, CAST(mx AS INTEGER) AS px_max,
          |       px_mean,
@@ -1864,8 +1889,51 @@ object SparkEntry {
          |         AS INTEGER) AS sample_rate,
          |       CAST(n_samples AS BIGINT) AS n_samples,
          |       CAST(amp_min AS INTEGER) AS amp_min,
-         |       CAST(amp_max AS INTEGER) AS amp_max, amp_mean
+         |       CAST(amp_max AS INTEGER) AS amp_max, amp_mean,
+         |       CAST(nf AS INTEGER) AS n_frames,
+         |       CAST(CASE WHEN doc_id % 3 = 2 THEN 25 ELSE 0 END
+         |         AS INTEGER) AS fps
          |FROM f ORDER BY media_id""".stripMargin,
+
+    // Video frame demux oracle: replay the synthesis rule per frame
+    // (frame f's pixel i = text byte (i+f) mod n on the videoDims
+    // canvas) — the AVI encode→decode round trip cancels, so the
+    // engine's codec-decoded per-frame stats are hash-exact vs this.
+    "q_video_frames" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |bytes AS (
+         |  SELECT doc_id, n_chars, n,
+         |    list_transform(range(0, n), i ->
+         |      strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))*16
+         |      + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 17) AS bs
+         |  FROM b),
+         |dims AS (
+         |  SELECT doc_id, n, bs,
+         |    ((n_chars % 32) + 1) * ((n_chars % 24) + 1) AS fpx,
+         |    (n_chars % 6) + 2 AS nf
+         |  FROM bytes),
+         |frames AS (
+         |  SELECT doc_id, n, bs, fpx,
+         |         unnest(range(0, nf)) AS frame_no
+         |  FROM dims),
+         |fc AS (
+         |  SELECT doc_id, frame_no, fpx,
+         |    list_transform(range(0, fpx), i ->
+         |      CASE WHEN n = 0 THEN 0
+         |           ELSE bs[((i + frame_no) % n) + 1] END) AS cs
+         |  FROM frames)
+         |SELECT doc_id AS media_id,
+         |       CAST(frame_no AS INTEGER) AS frame_no,
+         |       CAST(fpx AS INTEGER) AS f_bytes,
+         |       CAST(list_min(cs) AS INTEGER) AS f_min,
+         |       CAST(list_max(cs) AS INTEGER) AS f_max,
+         |       CAST(list_sum(cs) AS DOUBLE) / fpx AS f_mean,
+         |       CAST(list_reduce(cs, (acc, x) ->
+         |         (acc*31 + x) % 1000000007) AS BIGINT) AS f_checksum
+         |FROM fc ORDER BY media_id, frame_no""".stripMargin,
 
     "q_pack_stats" ->
       s"""WITH d AS (

@@ -5,7 +5,7 @@ import java.util.zip.{CRC32, Deflater}
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, PngCodec, WavCodec}
+import graft.operators.{AviCodec, Multimodal, PngCodec, WavCodec}
 
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -50,6 +50,18 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(wav.numSamples == 4)
     assert((0 until 4).map(wav.sample) ==
       ab.toSeq.map(b => ((b & 0xff) - 128) * 256))
+    // the video payload is an actual RIFF/AVI container: magic present,
+    // and AviCodec round-trips it to the per-frame phase-shifted text
+    // bytes. n_chars=1500 → videoDims 29x13, (1500 % 6) + 2 = 2 frames
+    val avi = byId(2L).payload
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    assert(byId(2L).meta.format == "video/avi")
+    val vid = AviCodec.decode(avi)
+    assert(vid.width == 29 && vid.height == 13 && vid.fps == 25)
+    assert(vid.numFrames == 2)
+    // all-'x' text → every pixel of every frame is 'x'
+    assert(vid.frames.forall(_.forall(_ == 'x'.toByte)))
   }
 
   test("decode: image features are decoded out of the container " +
@@ -76,9 +88,15 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f(1L).n_samples == 4)
     assert(f(1L).amp_min == -5888 && f(1L).amp_max == -1792)
     assert(f(1L).amp_mean == -3840.0)
-    // stub type (video): content is the raw payload
-    assert(f(2L).n_bytes == 1500 && f(2L).width == 0 && f(2L).bit_depth == 0)
+    // video: REAL AVI decode — content is the concatenated decoded
+    // frames (2 frames of 29x13 = 754 px), format fields read back
+    // from avih/strh/strf, not copied from metadata
+    assert(f(2L).n_bytes == 754 && f(2L).width == 29 && f(2L).height == 13)
+    assert(f(2L).bit_depth == 8 && f(2L).n_frames == 2 && f(2L).fps == 25)
+    assert(f(2L).px_min == 'x'.toInt && f(2L).px_max == 'x'.toInt)
     assert(f(2L).sample_rate == 0 && f(2L).n_samples == 0)
+    // non-video rows carry no frame fields
+    assert(f(0L).n_frames == 0 && f(1L).n_frames == 0 && f(0L).fps == 0)
     assert(f.values.forall(_.histogram.length == Multimodal.HistogramBins))
     assert(f.values.forall(x => math.abs(x.histogram.sum - 1.0) < 1e-9))
     // deterministic: same input -> same checksum
@@ -91,12 +109,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val items = Multimodal.fromDocuments(docs)
     val frames = Multimodal.frameSample(items, frameSize = 256, every = 4)
       .collect().groupBy(_.media_id)
-    // doc 2 (video, raw 1500 bytes): 6 frames, every 4 -> frames 0 and 4
-    assert(frames(2L).map(_.frame_no).sorted.toSeq == Seq(0, 4))
+    // doc 2 (video, AVI container): windows derive from the container
+    // size — every 4th 256-byte window, short tail preserved
+    val vlen = items.filter(_.media_id == 2L).head().payload.length
+    val nWin = (vlen + 255) / 256
+    assert(frames(2L).map(_.frame_no).sorted.toSeq ==
+      (0 until nWin by 4).toSeq)
     assert(frames(2L).find(_.frame_no == 4).get.offset == 1024)
     // doc 1 (audio, 44-byte WAV header + 8 data bytes = 52-byte
     // container): 1 frame, short tail preserved
     assert(frames(1L).head.frame_bytes.length == 52)
+  }
+
+  test("videoFrameStats: real per-frame demux with per-frame stats") {
+    // doc 5 is video (5 % 3 == 2): n_chars=4 → 5x5 canvas, 6 frames;
+    // frame f's pixels cycle "abcd" with phase shift f
+    val vdocs = Seq((5L, "abcd", 4L)).toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+    val stats = Multimodal.videoFrameStats(Multimodal.fromDocuments(vdocs))
+      .collect().sortBy(_.frame_no)
+    assert(stats.map(_.frame_no).toSeq == (0 until 6))
+    val tb = "abcd".getBytes("UTF-8").map(_ & 0xff)
+    stats.foreach { s =>
+      assert(s.f_bytes == 25 && s.f_min == 'a'.toInt && s.f_max == 'd'.toInt)
+      // 25 px = 6 full abcd cycles + 1 extra byte at phase (24+f)%4
+      val expSum = 6 * tb.sum + tb(s.frame_no % 4)
+      assert(s.f_mean == expSum.toDouble / 25)
+    }
+    // the phase shift makes frames genuinely differ (period 4: frames
+    // 0..3 distinct, 4 and 5 repeat 0 and 1)
+    assert(stats.map(_.f_checksum).distinct.length == 4)
   }
 
   test("resize: clamps image dims keeping aspect, non-images untouched") {
@@ -274,5 +316,61 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val e = intercept[IllegalArgumentException](
       WavCodec.decode(big, maxSamples = 64))
     assert(e.getMessage.contains("maxSamples"))
+  }
+
+  // ---- AviCodec unit coverage (no Spark involved) --------------------
+
+  test("AviCodec: encode/decode round trip on deterministic noise") {
+    var seed = 21L
+    def nextByte(): Byte = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 33).toByte
+    }
+    // widths 1/5/29 exercise the stride padding (stride 4/8/32);
+    // width 32 is the no-pad case; nf=0 is a headers-only container
+    for ((w, h, nf) <- Seq((1, 1, 1), (5, 3, 4), (29, 13, 2),
+                           (32, 8, 3), (7, 2, 0))) {
+      val frames = Seq.fill(nf)(Array.fill(w * h)(nextByte()))
+      val vid = AviCodec.decode(AviCodec.encodeGray8(w, h, 25, frames))
+      assert(vid.width == w && vid.height == h && vid.fps == 25)
+      assert(vid.numFrames == nf, s"frame count at ${w}x$h")
+      frames.zipWithIndex.foreach { case (px, i) =>
+        assert(vid.frames(i).sameElements(px),
+          s"round trip failed at ${w}x$h frame $i")
+      }
+    }
+  }
+
+  test("AviCodec: corrupt and out-of-contract inputs fail loudly") {
+    val good = AviCodec.encodeGray8(5, 3, 25, Seq(Array.fill(15)(7.toByte)))
+    def expectFail(bytes: Array[Byte], msgPart: String): Unit = {
+      val e = intercept[IllegalArgumentException](AviCodec.decode(bytes))
+      assert(e.getMessage.contains(msgPart), s"got: ${e.getMessage}")
+    }
+    // locate a fourCC in the container (offsets are layout-derived,
+    // not hardcoded)
+    def idx(b: Array[Byte], s: String): Int = {
+      val pat = s.getBytes("US-ASCII")
+      val i = b.indices.indexWhere(i => i + 4 <= b.length &&
+        pat.indices.forall(j => b(i + j) == pat(j)))
+      assert(i >= 0, s"fourCC $s not found"); i
+    }
+    expectFail(Array.fill(30)(0.toByte), "bad RIFF signature")
+    expectFail(good.dropRight(3), "RIFF size")
+    val badForm = good.clone(); badForm(8) = 'X'.toByte
+    expectFail(badForm, "bad AVI form")
+    val comp = good.clone(); comp(idx(comp, "strf") + 8 + 16) = 1
+    expectFail(comp, "biCompression")
+    val bits = good.clone(); bits(idx(bits, "strf") + 8 + 14) = 24
+    expectFail(bits, "biBitCount")
+    val dc = good.clone(); dc(idx(dc, "00db") + 3) = 'c'.toByte
+    expectFail(dc, "compressed")
+    // header declares 2 frames, container carries 1
+    val fewer = good.clone(); fewer(idx(fewer, "avih") + 8 + 16) = 2
+    expectFail(fewer, "declared")
+    // oversized: dims exceeding the pre-allocation bound
+    val e = intercept[IllegalArgumentException](
+      AviCodec.decode(good, maxPixelsPerFrame = 8))
+    assert(e.getMessage.contains("maxPixelsPerFrame"))
   }
 }
