@@ -297,6 +297,16 @@ object SparkEntry {
         .orderBy("vec_id", "rank")
     }),
 
+    // Int8 scalar-quantized (SQ8) cosine top-k — the memory-bandwidth
+    // scale lever: per-vector-scaled codes in [-127, 127] are 4x
+    // smaller than float32, the scale cancels in cosine, and the
+    // ranking is deterministic, so this APPROXIMATE path is still
+    // hash-exact vs an oracle that replays the quantization rule.
+    "q_ann_q8" -> ((s, dir) => {
+      Similarity.bruteForceTopKQ8(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .orderBy("vec_id", "rank")
+    }),
+
     // IVF-partitioned approximate top-k — the similarity scale path
     // (broadcast centroid assign + cluster-local search).
     "q_ann_ivf" -> ((s, dir) => {
@@ -1552,6 +1562,37 @@ object SparkEntry {
          |  SELECT a.vec_id, b.vec_id AS neighbor_id,
          |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
          |  FROM nv a JOIN nv b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT vec_id, neighbor_id, sim,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY sim DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT vec_id, rank, neighbor_id, sim FROM r
+         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+
+    // SQ8 oracle: replay the per-vector int8 quantization (scale =
+    // max|x|, code = round(x * 127 / scale)) — multiplication and
+    // division are IEEE-exact in both engines and round is
+    // half-away-from-zero in both, so codes (and therefore sims and
+    // ranks) agree bit-for-bit.
+    "q_ann_q8" ->
+      s"""WITH e8 AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |    list_max(list_transform(embedding,
+         |      x -> abs(coalesce(CAST(x AS DOUBLE), 0)))) AS s
+         |  FROM embeddings),
+         |q8 AS (
+         |  SELECT vec_id, list_transform(e,
+         |    x -> CAST(coalesce(round(x * 127.0 / s), 0) AS BIGINT)) AS qe
+         |  FROM e8 WHERE s > 0),
+         |nv8 AS (SELECT vec_id, qe,
+         |          list_sum(list_transform(qe, v -> v*v)) AS nn
+         |        FROM q8
+         |        WHERE list_sum(list_transform(qe, v -> v*v)) > 0),
+         |p AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
+         |  FROM nv8 a JOIN nv8 b ON a.vec_id <> b.vec_id),
          |r AS (SELECT vec_id, neighbor_id, sim,
          |        row_number() OVER (PARTITION BY vec_id
          |                           ORDER BY sim DESC, neighbor_id) AS rank

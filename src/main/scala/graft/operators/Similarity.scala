@@ -123,8 +123,12 @@ object Similarity extends CachePinning {
     * partial aggregation collapses the pair stream to k rows per key
     * map-side instead of shuffling + sorting every candidate pair. */
   def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
-                     k: Int = 5): DataFrame = {
-    val base = pin(quantized(df, idCol, embCol))
+                     k: Int = 5): DataFrame =
+    topKOverBase(pin(quantized(df, idCol, embCol)), k)
+
+  /** All-pairs cosine + bounded top-k over a prepared (vec_id, qe, nn)
+    * base — shared by the exact and int8-quantized searchers. */
+  private def topKOverBase(base: DataFrame, k: Int): DataFrame = {
     val a = base.select(col("vec_id"), col("qe").as("qe_a"), col("nn").as("nn_a"))
     val b = base.select(col("vec_id").as("neighbor_id"), col("qe").as("qe_b"),
       col("nn").as("nn_b"))
@@ -134,6 +138,42 @@ object Similarity extends CachePinning {
     explodeRanked(pairs.groupBy(col("vec_id"))
       .agg(TopKBySim.top_k_by_sim(col("sim"), col("neighbor_id"), k).as("tk")))
   }
+
+  /** Per-vector int8 scalar quantization (the FAISS-style SQ8 shape):
+    * codes in [-127, 127] with per-vector scale s = max|x_i|. The
+    * scale cancels in cosine, so quantized search needs no
+    * dequantization — integer dot products over byte-range codes.
+    * At 100 TB this is the memory-bandwidth lever: an int8 code
+    * vector is 4x smaller than float32, the difference between an
+    * embedding table that fits the executors' page cache and one that
+    * re-reads storage every probe. Codes ride as array<long> (Spark's
+    * native integral array element width for codegen'd arithmetic);
+    * the VALUE RANGE is the int8 contract — a packed-byte storage
+    * layer drops in without changing any result. All-zero vectors
+    * (s = 0) are dropped, mirroring [[quantized]]'s nn > 0 rule; null
+    * coordinates quantize to 0 for the same plan-independence reason
+    * as [[quantize]]. */
+  def int8Codes(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        transform(col(embCol), x => x.cast("double")).as("e"))
+      .withColumn("s",
+        array_max(transform(col("e"), x => abs(coalesce(x, lit(0.0))))))
+      .filter(col("s") > 0)
+      .select(col("vec_id"), transform(col("e"),
+        x => coalesce(round(x * lit(127.0) / col("s")).cast("long"), lit(0L)))
+        .as("qe"))
+      .withColumn("nn", dotLong(col("qe"), col("qe")))
+      .filter(col("nn") > 0)
+
+  /** Int8-quantized brute-force cosine top-k — [[bruteForceTopK]]'s
+    * output contract over [[int8Codes]]. Approximate relative to the
+    * full-precision ranking (the spec bounds recall against
+    * [[bruteForceTopK]]); exact relative to its own definition, so the
+    * DuckDB oracle replays it hash-exactly. Composes with the IVF
+    * index unchanged (both paths consume a (vec_id, qe, nn) base). */
+  def bruteForceTopKQ8(df: DataFrame, idCol: String, embCol: String,
+                       k: Int = 5): DataFrame =
+    topKOverBase(pin(int8Codes(df, idCol, embCol)), k)
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * quantized cosine ≥ threshold — the embedding-space face of the

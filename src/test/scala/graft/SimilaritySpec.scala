@@ -169,6 +169,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.3, f"recall $recall%.3f below the ivfTopK floor")
   }
 
+  test("bruteForceTopKQ8: codes honor the int8 contract; recall vs " +
+       "full precision bounded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // every code is in [-127, 127] and at least one coordinate per
+    // vector saturates to ±127 (the max-|x| coordinate by construction)
+    val codes = Similarity.int8Codes(emb, "vec_id", "embedding")
+    val bounds = codes.select(
+      max(expr("array_max(transform(qe, x -> abs(x)))")).as("mx"),
+      min(expr("array_max(transform(qe, x -> abs(x)))")).as("mn"))
+      .as[(Long, Long)].head()
+    assert(bounds._1 == 127L && bounds._2 == 127L,
+      s"per-vector max |code| should saturate at 127, got $bounds")
+    // recall@5 vs the full-precision ranking: SQ8 keeps ~7 bits of
+    // per-coordinate precision — ranks move only among near-ties
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val q8 = Similarity.bruteForceTopKQ8(emb, "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & q8).size.toDouble / exact.size
+    info(f"SQ8 recall@5 vs full precision on sf0.001 = $recall%.3f")
+    assert(recall >= 0.85, f"SQ8 recall $recall%.3f below floor")
+  }
+
   test("ivfTopK: sf0.1 recall vs brute force (gated: SPARK_GRAFT_SF01_SPECS=1)") {
     // fixed-k seeding means the centroid GEOMETRY no longer changes
     // with the id space — but cluster occupancy does (sf0.1 packs ~50
