@@ -309,6 +309,14 @@ object SparkEntry {
 
     // IVF-partitioned approximate top-k — the similarity scale path
     // (broadcast centroid assign + cluster-local search).
+    // IVF over SQ8 codes — the two scale levers composed (nprobe
+    // cluster pruning x 4x-smaller vectors); same fixed-k hash-order
+    // seed ids as q_ann_ivf, so the oracle replays it hash-exactly.
+    "q_ann_ivf_q8" -> ((s, dir) => {
+      Similarity.ivfTopKQ8(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .orderBy("vec_id", "rank")
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("vec_id", "rank")
@@ -1186,6 +1194,27 @@ object SparkEntry {
        |       FROM qv
        |       WHERE list_sum(list_transform(qe, v -> v*v)) > 0)""".stripMargin
 
+  /** SQ8 embeddings + squared norms, emitted AS `nv` (mirrors
+    * Similarity.int8Codes): per-vector scale s = max|x|, codes
+    * round(x*127/s) in [-127,127]. Emitting the same relation name as
+    * [[quantCte]] lets [[centsSql]] and the IVF oracle bodies run
+    * unchanged over either base. */
+  private val quantCte8: String =
+    s"""e8 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+       |    list_max(list_transform(embedding,
+       |      x -> abs(coalesce(CAST(x AS DOUBLE), 0)))) AS s
+       |  FROM embeddings),
+       |q8 AS (
+       |  SELECT vec_id, list_transform(e,
+       |    x -> CAST(coalesce(round(x * 127.0 / s), 0) AS BIGINT)) AS qe
+       |  FROM e8 WHERE s > 0),
+       |nv AS (SELECT vec_id, qe,
+       |         list_sum(list_transform(qe, v -> v*v)) AS nn
+       |       FROM q8
+       |       WHERE list_sum(list_transform(qe, v -> v*v)) > 0)""".stripMargin
+
   private val fingerprintSql =
     """md5(trim(regexp_replace(regexp_replace(lower(text),
       |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))""".stripMargin
@@ -1575,24 +1604,41 @@ object SparkEntry {
     // half-away-from-zero in both, so codes (and therefore sims and
     // ranks) agree bit-for-bit.
     "q_ann_q8" ->
-      s"""WITH e8 AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-         |    list_max(list_transform(embedding,
-         |      x -> abs(coalesce(CAST(x AS DOUBLE), 0)))) AS s
-         |  FROM embeddings),
-         |q8 AS (
-         |  SELECT vec_id, list_transform(e,
-         |    x -> CAST(coalesce(round(x * 127.0 / s), 0) AS BIGINT)) AS qe
-         |  FROM e8 WHERE s > 0),
-         |nv8 AS (SELECT vec_id, qe,
-         |          list_sum(list_transform(qe, v -> v*v)) AS nn
-         |        FROM q8
-         |        WHERE list_sum(list_transform(qe, v -> v*v)) > 0),
+      s"""WITH $quantCte8,
          |p AS (
          |  SELECT a.vec_id, b.vec_id AS neighbor_id,
          |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
-         |  FROM nv8 a JOIN nv8 b ON a.vec_id <> b.vec_id),
+         |  FROM nv a JOIN nv b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT vec_id, neighbor_id, sim,
+         |        row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY sim DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT vec_id, rank, neighbor_id, sim FROM r
+         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+
+    // same construction as the q_ann_ivf oracle over the SQ8 base —
+    // quantCte8 emits the same `nv` relation name, so the IVF body
+    // (centroid ranks, nprobe probes, cluster-local search) is shared
+    // verbatim
+    "q_ann_ivf_q8" ->
+      s"""WITH $quantCte8,
+         |${centsSql()},
+         |asg AS (
+         |  SELECT vec_id, cid, qe, nn,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY csim DESC, cid) AS crank
+         |  FROM (SELECT v.vec_id, c.cid, v.qe, v.nn,
+         |          ${cosineQSql("v.qe", "c.cqe", "v.nn", "c.cnn")} AS csim
+         |        FROM nv v CROSS JOIN cents c)),
+         |idx AS (SELECT vec_id AS neighbor_id, cid AS cluster, qe, nn
+         |        FROM asg WHERE crank = 1),
+         |probes AS (SELECT vec_id, cid AS cluster, qe, nn
+         |           FROM asg WHERE crank <= 3),
+         |p AS (
+         |  SELECT a.vec_id, b.neighbor_id,
+         |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
+         |  FROM probes a JOIN idx b
+         |    ON a.cluster = b.cluster AND a.vec_id <> b.neighbor_id),
          |r AS (SELECT vec_id, neighbor_id, sim,
          |        row_number() OVER (PARTITION BY vec_id
          |                           ORDER BY sim DESC, neighbor_id) AS rank

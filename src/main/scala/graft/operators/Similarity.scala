@@ -204,8 +204,26 @@ object Similarity extends CachePinning {
     * force). */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String,
               k: Int = 5, seeding: CentroidSeeding = HashSampledCentroids(),
-              nprobe: Int = 3): DataFrame = {
-    val ranked = ivfAssignment(df, idCol, embCol, seeding, nprobe)
+              nprobe: Int = 3): DataFrame =
+    ivfTopKOverBase(pin(quantized(df, idCol, embCol)), k, seeding, nprobe)
+
+  /** IVF approximate top-k over SQ8 codes — [[ivfTopK]]'s search
+    * structure on [[int8Codes]]'s base: the 100 TB configuration of
+    * the similarity family, composing the two scale levers (IVF
+    * prunes the candidate set to nprobe clusters; SQ8 shrinks every
+    * vector touched 4x). Same fixed-k hash-order centroid seeding —
+    * the seed IDS are identical to the full-precision index (the
+    * hash ranks only ids), only their codes differ — so the DuckDB
+    * oracle replays the whole construction hash-exactly. */
+  def ivfTopKQ8(df: DataFrame, idCol: String, embCol: String,
+                k: Int = 5, seeding: CentroidSeeding = HashSampledCentroids(),
+                nprobe: Int = 3): DataFrame =
+    ivfTopKOverBase(pin(int8Codes(df, idCol, embCol)), k, seeding, nprobe)
+
+  private def ivfTopKOverBase(base: DataFrame, k: Int,
+                              seeding: CentroidSeeding,
+                              nprobe: Int): DataFrame = {
+    val ranked = ivfAssignmentOverBase(base, seeding, nprobe)
     val (index, probes) = ivfIndexAndProbes(ranked)
     val pairs = probes.join(index, Seq("cluster"))
       .filter(col("vec_id") =!= col("neighbor_id"))
@@ -223,8 +241,12 @@ object Similarity extends CachePinning {
     * sorting the full n×k stream). Shared by [[ivfTopK]],
     * [[kmeansStep]] and [[cosineNearDupsIvf]]. */
   private def ivfAssignment(df: DataFrame, idCol: String, embCol: String,
-                            seeding: CentroidSeeding, nprobe: Int): DataFrame = {
-    val base = pin(quantized(df, idCol, embCol))
+                            seeding: CentroidSeeding, nprobe: Int): DataFrame =
+    ivfAssignmentOverBase(pin(quantized(df, idCol, embCol)), seeding, nprobe)
+
+  private def ivfAssignmentOverBase(base: DataFrame,
+                                    seeding: CentroidSeeding,
+                                    nprobe: Int): DataFrame = {
     val cents = seeding match {
       case HashSampledCentroids(k) =>
         // smallest-k (rollingHash(id), id): TakeOrderedAndProject —

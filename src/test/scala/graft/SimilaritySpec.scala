@@ -192,6 +192,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.85, f"SQ8 recall $recall%.3f below floor")
   }
 
+  test("ivfTopKQ8: composed IVF+SQ8 recall vs the SQ8 brute-force base") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the IVF pruning is the only approximation layered on top of the
+    // SQ8 base, so recall vs bruteForceTopKQ8 should track the
+    // full-precision ivfTopK recall vs bruteForceTopK (~0.38 at this
+    // SF's centroid occupancy) — a collapse here would mean the Q8
+    // codes broke the centroid assignment, not just moved near-ties
+    val exact = Similarity.bruteForceTopKQ8(emb, "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopKQ8(emb, "vec_id", "embedding", k = 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF+SQ8 recall@5 vs SQ8 brute force on sf0.001 = $recall%.3f")
+    assert(recall >= 0.3, f"recall $recall%.3f below the ivfTopK floor")
+  }
+
   test("ivfTopK: sf0.1 recall vs brute force (gated: SPARK_GRAFT_SF01_SPECS=1)") {
     // fixed-k seeding means the centroid GEOMETRY no longer changes
     // with the id space — but cluster occupancy does (sf0.1 packs ~50
