@@ -83,7 +83,8 @@ object Bench {
     // full spread so one load window can't decide a round.
     "q_kcore", "q_label_prop", "q_sssp_copurchase", "q_bfs_paths_golden",
     // r11 additions, first driver round — full spread from the start
-    "q_bfs_paths_copurchase", "q_kcore_converged")
+    "q_bfs_paths_copurchase", "q_kcore_converged", "q_ann_q8",
+    "q_ann_ivf_q8")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

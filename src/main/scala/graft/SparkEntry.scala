@@ -5,9 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, CorpusOps, Dedup,
-  Funnel, GraphOps, KCore, LabelPropagation, Multimodal, PageRank, Profile,
-  RangeJoin, Redaction, Retention, SequencePacking, Similarity, SkewOps, Sssp,
-  TextAnalysis}
+  Funnel, GraphOps, Indexing, KCore, LabelPropagation, Multimodal, PageRank,
+  Profile, RangeJoin, Redaction, Retention, SequencePacking, Similarity,
+  SkewOps, Sssp, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.{SimHashExpr, TopKBySim}
 
@@ -924,6 +924,30 @@ object SparkEntry {
     "q_tfidf_top_terms" -> ((s, dir) => {
       CorpusOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "rank")
+    }),
+
+    // Inverted index with bounded posting lists: one exchange on term,
+    // postings capped INSIDE the aggregation buffer (TopKBySim keyed
+    // by -doc_id), hot terms keep only their count.
+    "q_inverted_index" -> ((s, dir) => {
+      Indexing.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+          dfCap = 40)
+        .orderBy("term")
+    }),
+
+    // Deterministic training shuffle: salted-hash sharding + stable
+    // intra-shard order — reproducible across runs and engines, and
+    // the window partitions on batch_id so no single-task global sort.
+    "q_corpus_shuffle" -> ((s, dir) => {
+      Indexing.corpusShuffle(t(s, dir, "documents"), "doc_id", nBatches = 8)
+        .orderBy("batch_id", "seq")
+    }),
+
+    // N-gram familiarity: mean corpus df of each doc's distinct
+    // bigrams — the LM-free fluency/typicality quality signal.
+    "q_ngram_familiarity" -> ((s, dir) => {
+      Indexing.ngramFamiliarity(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     // corpus_prep extended with the CorpusOps stages — the full
@@ -2547,6 +2571,57 @@ object SparkEntry {
          |SELECT token, doc_freq, n_docs,
          |       CAST(doc_freq AS DOUBLE) / n_docs AS df_frac
          |FROM df, nd ORDER BY token""".stripMargin,
+
+    // mirrors Indexing.invertedIndex: distinct (doc, term) pairs, df
+    // per term, ascending comma-joined postings only under the cap
+    "q_inverted_index" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+         |  FROM documents)
+         |SELECT term, count(*) AS doc_freq,
+         |  CASE WHEN count(*) <= 40
+         |       THEN array_to_string(list_sort(list(doc_id)), ',') END
+         |    AS postings
+         |FROM dt WHERE len(term) > 0
+         |GROUP BY term ORDER BY term""".stripMargin,
+
+    // mirrors Indexing.corpusShuffle: salted rolling hashes over the
+    // 12-digit-padded id, squared mod P for the nonlinear mix — ':b'
+    // suffix shards, ':o' orders within the shard
+    "q_corpus_shuffle" ->
+      s"""WITH sh0 AS (
+         |  SELECT doc_id,
+         |    ${rhSql("lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':b'")} AS hb,
+         |    ${rhSql("lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':o'")} AS ho
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST((hb * hb) % ${Dedup.P} % 8 AS INTEGER) AS batch_id,
+         |    (ho * ho) % ${Dedup.P} AS oh
+         |  FROM sh0)
+         |SELECT batch_id,
+         |  row_number() OVER (PARTITION BY batch_id ORDER BY oh, doc_id)
+         |    AS seq,
+         |  doc_id
+         |FROM sh ORDER BY batch_id, seq""".stripMargin,
+
+    // mirrors Indexing.ngramFamiliarity: repetitionCte's bigram
+    // contract (raw whitespace tokens, space-joined adjacent pairs,
+    // <2-token docs omitted), DISTINCT per doc, mean corpus df
+    "q_ngram_familiarity" ->
+      s"""WITH ft AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |            WHERE len($toksSql) >= 2),
+         |fb AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         range(1, len(toks)),
+         |         i -> array_to_string(list_slice(toks, i, i+1), ' '))))
+         |         AS bigram
+         |       FROM ft),
+         |fdf AS (SELECT bigram, count(*) AS bdf FROM fb GROUP BY bigram)
+         |SELECT b.doc_id,
+         |  count(*) AS n_distinct_bigrams,
+         |  CAST(sum(d.bdf) AS DOUBLE) / count(*) AS familiarity
+         |FROM fb b JOIN fdf d USING (bigram)
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     // mirrors CorpusOps.tfidfTopTerms: tf with multiplicity, doc_freq
     // as a row count over the tf relation, ratio idf in the same IEEE

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKBySim
+import graft.operators.TextAnalysis.rollingHash
+
+/** Corpus indexing and training-serving preparation: the operators
+  * that turn a curated corpus into the artifacts a retrieval or
+  * training stack consumes — an inverted index (term → postings), a
+  * deterministic global shuffle into training shards, and an n-gram
+  * familiarity score (a corpus-relative quality signal).
+  *
+  * The reference computes nothing in this family (its one query is
+  * BFS — `BFS_map_reduce.py:109`); these are beyond-parity operators
+  * the brief's LLM-pipeline bar demands. All three are
+  * oracle-replayable by construction: integer counts, rational
+  * divisions, and the same rolling hash the dedup family already
+  * mirrors in SQL.
+  */
+object Indexing {
+
+  /** Inverted index with BOUNDED posting lists: one row per term with
+    * its document frequency and, for terms with `doc_freq <= dfCap`,
+    * the full ascending posting list (comma-joined, so the row stays
+    * fixed-width-ish and engine-portable); hotter terms keep only the
+    * count — a stop-word's posting list is the whole corpus, and
+    * materializing it is the classic index-build OOM.
+    *
+    * Shape at 100 TB: ONE exchange on `term`. The bound is enforced
+    * INSIDE the aggregation buffer, not after it — postings ride the
+    * bounded [[TopKBySim]] accumulator (capped at dfCap+1 entries,
+    * keyed by sim = -doc_id so best-first order IS ascending doc id),
+    * so a hot term costs O(dfCap) memory map-side and reduce-side
+    * while still coming out exactly sorted. A collect_list + filter
+    * formulation would buffer every occurrence of every term before
+    * discarding the hot ones.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    dfCap: Int = 100): DataFrame = {
+    require(dfCap > 0, s"dfCap must be positive, got $dfCap")
+    val pairs = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+    pairs.groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"),
+        TopKBySim.top_k_by_sim(negate(col("doc_id").cast("double")),
+          col("doc_id"), dfCap + 1).as("tk"))
+      .select(col("term"), col("doc_freq"),
+        when(col("doc_freq") <= dfCap,
+          concat_ws(",", transform(col("tk"),
+            e => e.getField("neighbor_id").cast("string"))))
+          .as("postings"))
+  }
+
+  /** Deterministic global shuffle into training shards: every document
+    * lands in one of `nBatches` batches with a stable position — the
+    * "shuffle the training data" step, reproducible across runs and
+    * engines (no RNG: two independent salted rolling hashes drive
+    * sharding and intra-shard order).
+    *
+    * Shape at 100 TB: batch assignment is a pure projection; the only
+    * exchange is the window's hash partition on `batch_id`, and the
+    * per-partition sort is one batch (~|corpus|/nBatches rows) — size
+    * nBatches with the corpus and the shape never degenerates into a
+    * single-task global sort, which is what a row_number over a total
+    * order would be. Decorrelated salts matter: sharding and ordering
+    * off ONE hash would order every batch by a key that is constant
+    * modulo nBatches — still a permutation, but correlated with the
+    * shard structure.
+    *
+    * The rolling hash alone does NOT shuffle sequential ids: it is a
+    * LINEAR base-31 polynomial mod P, so consecutive ids hash to
+    * values a small constant apart and every batch would come out in
+    * ascending id order (the spec pins this failure mode). The fix is
+    * a nonlinear mix — square the hash mod P: the step between
+    * consecutive ids becomes ~2·961·h mod P with h ~uniform in
+    * [0, P), so the order wraps the modulus almost every step.
+    * h < P ≈ 1e9 keeps h² < 1e18 inside BIGINT in both engines, and
+    * the id is left-padded to 12 digits first so h itself spreads
+    * over [0, P) (an unpadded short id never overflows the modulus).
+    * Squares collide in pairs (x² = (P-x)²) — harmless here: the
+    * (oh, doc_id) sort key stays total.
+    */
+  def corpusShuffle(df: DataFrame, idCol: String,
+                    nBatches: Int = 8): DataFrame = {
+    require(nBatches > 0, s"nBatches must be positive, got $nBatches")
+    val id = col(idCol).cast("long")
+    val padded = lpad(id.cast("string"), 12, "0")
+    def mixed(salt: String) = {
+      val h = rollingHash(concat(padded, lit(salt)))
+      (h * h) % Dedup.P
+    }
+    val base = df.select(id.as("doc_id"),
+      (mixed(":b") % nBatches).cast("int").as("batch_id"),
+      mixed(":o").as("oh"))
+    val w = Window.partitionBy(col("batch_id"))
+      .orderBy(col("oh"), col("doc_id"))
+    base.withColumn("seq", row_number().over(w))
+      .select(col("batch_id"), col("seq"), col("doc_id"))
+  }
+
+  /** N-gram familiarity: per document, the mean corpus document
+    * frequency of its distinct bigrams — a language-model-free
+    * fluency/typicality signal (the high-resource cousin of a KenLM
+    * perplexity filter: boilerplate and fluent prose score high,
+    * gibberish and rare-script text score low). Exact by
+    * construction — integer df sums, ONE IEEE division — where a
+    * log-probability LM score would be libm-dependent and
+    * oracle-hostile (same trade as tfidfTopTerms' ratio idf).
+    *
+    * Token/bigram contract matches [[CorpusOps.repetitionStats]]'s
+    * oracle CTE: raw whitespace tokens, adjacent pairs joined with a
+    * space, documents with <2 tokens omitted.
+    *
+    * Shape at 100 TB: the bigram df aggregation and the df→doc probe
+    * join both exchange on `bigram`, so the join reuses the
+    * aggregation's partitioning; the per-doc rollup is one exchange on
+    * the doc id. Nothing broadcasts (the bigram vocabulary is
+    * corpus-scale) and nothing is quadratic.
+    */
+  def ngramFamiliarity(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bi = df.select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1))))).as("bigram"))
+    val bdf = bi.groupBy("bigram").agg(count(lit(1)).as("bdf"))
+    bi.join(bdf, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_bigrams"), sum("bdf").as("sum_df"))
+      .withColumn("familiarity",
+        col("sum_df").cast("double") / col("n_distinct_bigrams").cast("double"))
+      .select(col("doc_id"), col("n_distinct_bigrams"), col("familiarity"))
+  }
+}

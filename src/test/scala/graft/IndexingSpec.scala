@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Indexing
+
+class IndexingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("invertedIndex: postings ascending and complete under the cap; " +
+       "hot terms keep only their count") {
+    val docs = Seq(
+      (10L, "alpha beta"),
+      (2L, "beta gamma alpha"),
+      (7L, "beta beta beta"), // multiplicity inside a doc counts once
+      (5L, "gamma")).toDF("doc_id", "text")
+    val idx = Indexing.invertedIndex(docs, "doc_id", "text", dfCap = 2)
+      .orderBy("term")
+      .as[(String, Long, Option[String])].collect().toSeq
+    assert(idx == Seq(
+      // beta: df=3 > cap → no postings, count kept
+      ("alpha", 2L, Some("2,10")), // ascending NUMERIC doc order
+      ("beta", 3L, None),
+      ("gamma", 2L, Some("2,5"))))
+  }
+
+  test("invertedIndex: empty tokens dropped; cap boundary inclusive") {
+    val docs = Seq((1L, "  x "), (2L, "x")).toDF("doc_id", "text")
+    val idx = Indexing.invertedIndex(docs, "doc_id", "text", dfCap = 2)
+      .as[(String, Long, Option[String])].collect().toSeq
+    assert(idx == Seq(("x", 2L, Some("1,2"))))
+  }
+
+  test("corpusShuffle: a permutation — every doc exactly once, seq " +
+       "contiguous per batch, deterministic across runs") {
+    val docs = (1L to 400L).map(i => Tuple1(i)).toDF("doc_id")
+    val a = Indexing.corpusShuffle(docs, "doc_id", nBatches = 8)
+      .as[(Int, Int, Long)].collect().toSeq.sorted
+    // every doc exactly once
+    assert(a.map(_._3).sorted == (1L to 400L))
+    // per batch: seq is 1..|batch| with no gaps
+    a.groupBy(_._1).foreach { case (b, rows) =>
+      assert(rows.map(_._2).sorted == (1 to rows.size),
+        s"batch $b seq not contiguous")
+    }
+    // all batches in range and used (400 docs over 8 hash shards)
+    assert(a.map(_._1).toSet.subsetOf((0 to 7).toSet))
+    assert(a.map(_._1).distinct.size == 8)
+    // deterministic: a second evaluation is identical
+    val b = Indexing.corpusShuffle(docs, "doc_id", nBatches = 8)
+      .as[(Int, Int, Long)].collect().toSeq.sorted
+    assert(a == b)
+  }
+
+  test("corpusShuffle: intra-batch order is not doc-id order (it is " +
+       "a shuffle, not a sort)") {
+    val docs = (1L to 400L).map(i => Tuple1(i)).toDF("doc_id")
+    val rows = Indexing.corpusShuffle(docs, "doc_id", nBatches = 2)
+      .orderBy("batch_id", "seq")
+      .as[(Int, Int, Long)].collect().toSeq
+    val someBatch = rows.filter(_._1 == rows.head._1).map(_._3)
+    assert(someBatch != someBatch.sorted,
+      "intra-batch order degenerated to ascending doc_id")
+  }
+
+  test("ngramFamiliarity: hand-computed on a fixture; <2-token docs omitted") {
+    // bigrams (distinct per doc):
+    //   d1 "a b c"  -> {a b, b c}
+    //   d2 "a b"    -> {a b}
+    //   d3 "b c a b"-> {b c, c a, a b}
+    //   d4 "x"      -> omitted (no bigrams)
+    // df: "a b" -> 3, "b c" -> 2, "c a" -> 1
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "b c a b"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = Indexing.ngramFamiliarity(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, (3.0 + 2.0) / 2),
+      (2L, 1L, 3.0),
+      (3L, 3L, (2.0 + 1.0 + 3.0) / 3)))
+  }
+}

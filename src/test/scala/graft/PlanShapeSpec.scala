@@ -54,14 +54,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("similarity/dedup joins never go cartesian") {
+    val centroidCross = Set("q_ann_ivf", "q_ann_ivf_q8", "q_kmeans_step")
     for (q <- Seq("q_jaccard_near_dups", "q_lsh_near_dups",
-        "q_simhash_near_dups", "q_ann_ivf", "q_edit_near_dups",
-        "q_kmeans_step")) {
+        "q_simhash_near_dups", "q_ann_ivf", "q_ann_ivf_q8",
+        "q_edit_near_dups", "q_kmeans_step")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       // BroadcastNestedLoopJoin appears only for the tiny centroid
       // cross in IVF/kmeans (bounded by numCentroids) — ban it elsewhere
-      if (q != "q_ann_ivf" && q != "q_kmeans_step")
+      if (!centroidCross(q))
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans an NLJ")
     }
   }
@@ -356,6 +357,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       assert(exchanges.size == 2,
         s"LP round plans ${exchanges.size} exchanges:\n$plan")
     }
+  }
+
+  test("q_inverted_index bounds postings inside the aggregation " +
+       "buffer — bounded ObjectHashAggregate, no window, no collect_list") {
+    val p = planOf("q_inverted_index")
+    assert(p.contains("ObjectHashAggregate"),
+      "bounded top_k_by_sim accumulator missing — postings are unbounded")
+    assert(!p.contains("collect_list"),
+      "collect_list buffers every occurrence of hot terms before the cap")
+    val windowNodes = SparkEntry.queries("q_inverted_index")(spark, dir)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windowNodes.isEmpty)
+  }
+
+  test("q_corpus_shuffle window partitions on batch_id — never a " +
+       "single-task global sort") {
+    val plan = SparkEntry.queries("q_corpus_shuffle")(spark, dir)
+      .queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "row_number window missing")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "shuffle window lost its batch partitioning — a global-order " +
+        "window runs in ONE task regardless of cluster size")
+    assert(!plan.toString.contains("SinglePartition"),
+      "plan routes the corpus through a single partition")
   }
 
   test("redactPii is a pure per-row projection — zero exchanges, no UDFs") {
