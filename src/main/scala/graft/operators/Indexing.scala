@@ -115,11 +115,19 @@ object Indexing {
     * oracle CTE: raw whitespace tokens, adjacent pairs joined with a
     * space, documents with <2 tokens omitted.
     *
-    * Shape at 100 TB: the bigram df aggregation and the df→doc probe
-    * join both exchange on `bigram`, so the join reuses the
-    * aggregation's partitioning; the per-doc rollup is one exchange on
-    * the doc id. Nothing broadcasts (the bigram vocabulary is
-    * corpus-scale) and nothing is quadratic.
+    * Shape at 100 TB: the text is scanned and tokenized ONCE — the
+    * per-(doc, bigram) stream passes through an explicit distinct
+    * exchange, and both consumers (the df aggregation and the df→doc
+    * probe join) hang off that same subtree, so exchange reuse serves
+    * them from one materialization instead of two corpus scans (at
+    * this scale the scan dominates, plan-asserted in PlanShapeSpec).
+    * The df→doc join shuffles on `bigram` — both sides are
+    * vocabulary-scale, neither broadcasts, and a hot bigram ("of
+    * the" is in most documents) is join skew AQE can split, which is
+    * why this is a join and NOT a count-over-window (a window
+    * partition cannot be split; the hottest bigram would serialize
+    * into one task). The per-doc rollup is one exchange on the doc
+    * id. Nothing is quadratic.
     */
   def ngramFamiliarity(df: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
@@ -130,6 +138,10 @@ object Indexing {
         transform(sequence(lit(1), size(col("toks")) - 1),
           i => concat_ws(" ", element_at(col("toks"), i),
             element_at(col("toks"), i + 1))))).as("bigram"))
+      // rows are already unique per doc (array_distinct) — this
+      // distinct exists for its EXCHANGE: both consumers below share
+      // the shuffled subtree, collapsing two text scans into one
+      .distinct()
     val bdf = bi.groupBy("bigram").agg(count(lit(1)).as("bdf"))
     bi.join(bdf, "bigram")
       .groupBy("doc_id")

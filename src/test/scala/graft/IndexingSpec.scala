@@ -64,6 +64,21 @@ class IndexingSpec extends AnyFunSuite with SparkTestBase {
       "intra-batch order degenerated to ascending doc_id")
   }
 
+  test("ngramFamiliarity: the corpus is scanned once — the df side " +
+       "reuses the (doc, bigram) distinct exchange at runtime") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fam = graft.operators.Indexing.ngramFamiliarity(docs, "doc_id", "text")
+    fam.collect()
+    // AQE's stage cache must serve the bigram-df branch from the same
+    // shuffle the probe side wrote — otherwise the text is tokenized
+    // twice, a second full corpus pass at 100 TB
+    val finalPlan = fam.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(finalPlan.contains("ReusedExchange"),
+      "bigram-df branch re-derived the corpus instead of reusing the " +
+        "distinct exchange")
+  }
+
   test("ngramFamiliarity: hand-computed on a fixture; <2-token docs omitted") {
     // bigrams (distinct per doc):
     //   d1 "a b c"  -> {a b, b c}
