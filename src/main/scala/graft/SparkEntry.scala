@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, CorpusOps, Dedup,
   Funnel, GraphOps, Indexing, KCore, LabelPropagation, Multimodal, PageRank,
   Profile, RangeJoin, Redaction, Retention, SequencePacking, Similarity,
-  SkewOps, Sssp, TextAnalysis}
+  SkewOps, Snapshot, Sssp, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.{SimHashExpr, TopKBySim}
 
@@ -947,6 +947,33 @@ object SparkEntry {
     // bigrams — the LM-free fluency/typicality quality signal.
     "q_ngram_familiarity" -> ((s, dir) => {
       Indexing.ngramFamiliarity(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // CDC-style snapshot upsert: current corpus (v1) merged with a
+    // deterministic update stream — re-processed docs (v2), takedown
+    // tombstones (v3, dropped post-merge), and brand-new ids. ONE
+    // exchange on doc_id; provenance breaks version ties toward the
+    // update stream.
+    "q_snapshot_upsert" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val current = d.withColumn("version", lit(1L))
+        .withColumn("deleted", lit(false))
+      val reproc = d.filter(col("doc_id") % 5 === 0)
+        .withColumn("lang", lit("und"))
+        .withColumn("version", lit(2L))
+        .withColumn("deleted", lit(false))
+      val takedown = d.filter(col("doc_id") % 17 === 0)
+        .withColumn("version", lit(3L))
+        .withColumn("deleted", lit(true))
+      val fresh = d.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("version", lit(1L))
+        .withColumn("deleted", lit(false))
+      Snapshot.upsert(current,
+          reproc.unionByName(takedown).unionByName(fresh),
+          "doc_id", "version", deletedCol = "deleted")
         .orderBy("doc_id")
     }),
 
@@ -2571,6 +2598,30 @@ object SparkEntry {
          |SELECT token, doc_freq, n_docs,
          |       CAST(doc_freq AS DOUBLE) / n_docs AS df_frac
          |FROM df, nd ORDER BY token""".stripMargin,
+
+    // mirrors Snapshot.upsert over the same deterministic update
+    // streams: highest (version, provenance) wins per id, tombstones
+    // win first and erase the id after the merge
+    "q_snapshot_upsert" ->
+      s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
+         |tagged AS (
+         |  SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS version,
+         |         false AS deleted, 0 AS prov FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 'und', source, 2, false, 1 FROM d
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, lang, source, 3, true, 1 FROM d
+         |  WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, source, 1, false, 1 FROM d
+         |  WHERE doc_id % 13 = 0),
+         |won AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY version DESC, prov DESC) AS rn
+         |  FROM tagged)
+         |SELECT doc_id, lang, source, version FROM won
+         |WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
 
     // mirrors Indexing.invertedIndex: distinct (doc, term) pairs, df
     // per term, ascending comma-joined postings only under the cap

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snapshot maintenance for a versioned corpus: the CDC-style
+  * latest-wins merge that keeps a training corpus current as crawl
+  * batches, re-processing runs, and takedown requests land — the
+  * MERGE INTO of a lakehouse, expressed as a pure relational
+  * operator (no table-format dependency).
+  *
+  * The reference has no notion of updates (its graph is read once —
+  * `Graph.py:4-8`); this is a beyond-parity component of the
+  * LLM-pipeline bar: at 100 TB you never rebuild the corpus from
+  * scratch, you upsert the delta.
+  */
+object Snapshot {
+
+  /** Latest-wins upsert of `updates` into `current`.
+    *
+    * Winner per id = highest `(version, provenance)` — provenance
+    * breaks version ties in favor of the update stream (a re-emitted
+    * row with the same version must not resurrect the old payload).
+    * Rows whose winning version carries `deletedCol = true` are
+    * dropped AFTER the merge: a tombstone must beat older versions
+    * first, then erase the id; filtering tombstones early would
+    * resurrect the stale current row.
+    *
+    * Shape at 100 TB: ONE exchange on the id — the row_number window
+    * partitions on `idCol` (cardinality = |corpus|, partition size =
+    * that id's version count — the windowing shape that scales). A
+    * max(struct(version, payload…)) aggregation would avoid the sort
+    * but drops the whole chain into SortAggregate the moment the
+    * payload includes a string (the r3 lesson in BASELINE.md);
+    * per-id-tiny window sorts beat a corpus-wide SortAggregate.
+    */
+  def upsert(current: DataFrame, updates: DataFrame, idCol: String,
+             versionCol: String, deletedCol: String = ""): DataFrame = {
+    require(current.columns.toSeq == updates.columns.toSeq,
+      s"snapshot and update schemas differ: ${current.columns.toSeq} " +
+        s"vs ${updates.columns.toSeq}")
+    val tagged = current.withColumn("_prov", lit(0))
+      .unionByName(updates.withColumn("_prov", lit(1)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col(versionCol).desc, col("_prov").desc)
+    val won = tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_prov")
+    if (deletedCol.isEmpty) won
+    else won.filter(!coalesce(col(deletedCol), lit(false))).drop(deletedCol)
+  }
+}
