@@ -977,6 +977,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SCD2 history over the same version log as q_snapshot_upsert:
+    // each version becomes an interval row valid until the next
+    // version of the id; tombstones stay in history (time travel must
+    // see the takedown). One id-partitioned exchange; the dedup
+    // row_number and both lags ride a single window sort.
+    "q_scd2_history" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val log = d.withColumn("version", lit(1L))
+        .withColumn("deleted", lit(false))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .withColumn("lang", lit("und"))
+          .withColumn("version", lit(2L))
+          .withColumn("deleted", lit(false)))
+        .unionByName(d.filter(col("doc_id") % 17 === 0)
+          .withColumn("version", lit(3L))
+          .withColumn("deleted", lit(true)))
+      Snapshot.scd2History(log, "doc_id", "version")
+        .orderBy(col("doc_id"), col("valid_from"))
+    }),
+
     // corpus_prep extended with the CorpusOps stages — the full
     // Gopher-style funnel end-to-end: language verification, exact +
     // transitive near-dup dedup, eval-slice exclusion + benchmark
@@ -2622,6 +2643,37 @@ object SparkEntry {
          |  FROM tagged)
          |SELECT doc_id, lang, source, version FROM won
          |WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
+
+    // mirrors Snapshot.scd2History over the same version log:
+    // version-desc window per id, first-of-version dedup (a no-op on
+    // this collision-free log), valid_to = the successor's version
+    "q_scd2_history" ->
+      s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
+         |log AS (
+         |  SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS version,
+         |         false AS deleted FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 'und', source, 2, false FROM d
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, lang, source, 3, true FROM d
+         |  WHERE doc_id % 17 = 0),
+         |t1 AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY version DESC) AS rn,
+         |    lag(version) OVER (PARTITION BY doc_id
+         |                       ORDER BY version DESC) AS pv
+         |  FROM log),
+         |t2 AS (SELECT doc_id, lang, source, version, deleted FROM t1
+         |       WHERE rn = 1 OR pv <> version)
+         |SELECT doc_id, lang, source, version, deleted,
+         |  version AS valid_from,
+         |  lag(version) OVER (PARTITION BY doc_id
+         |                     ORDER BY version DESC) AS valid_to,
+         |  lag(version) OVER (PARTITION BY doc_id
+         |                     ORDER BY version DESC) IS NULL AS is_current
+         |FROM t2 ORDER BY doc_id, valid_from""".stripMargin,
 
     // mirrors Indexing.invertedIndex: distinct (doc, term) pairs, df
     // per term, ascending comma-joined postings only under the cap

@@ -50,4 +50,39 @@ object Snapshot {
     if (deletedCol.isEmpty) won
     else won.filter(!coalesce(col(deletedCol), lit(false))).drop(deletedCol)
   }
+
+  /** SCD-type-2 history build: turn a stream of versioned rows into
+    * interval rows — each version valid from its own `versionCol`
+    * until the next version of the same id (`valid_to` null on the
+    * current row, `is_current` flagging it). The time-travel
+    * counterpart of [[upsert]]: upsert answers "what is the corpus
+    * NOW", the SCD2 table answers "what was it as of version v"
+    * (`WHERE valid_from <= v AND (valid_to IS NULL OR valid_to > v)`).
+    *
+    * Duplicate (id, version) rows are collapsed to one winner first —
+    * provenance via `tieBreakCol` descending if given — because two
+    * open intervals for one version would make as-of lookups
+    * ambiguous.
+    *
+    * Shape at 100 TB: same single id-partitioned exchange as
+    * [[upsert]]; `lead` rides the same window sort that `row_number`
+    * uses, so the dedup and the interval build cost ONE shuffle
+    * together. */
+  def scd2History(versions: DataFrame, idCol: String, versionCol: String,
+                  tieBreakCol: String = ""): DataFrame = {
+    val order =
+      if (tieBreakCol.isEmpty) Seq(col(versionCol).desc)
+      else Seq(col(versionCol).desc, col(tieBreakCol).desc)
+    val w = Window.partitionBy(col(idCol)).orderBy(order: _*)
+    val winners = versions
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_prev_v", lag(col(versionCol), 1).over(w))
+      // the row ABOVE in version-desc order is the successor version
+      .filter(col("_rn") === 1 || col("_prev_v") =!= col(versionCol))
+    winners
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lag(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_rn", "_prev_v")
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Snapshot
 
@@ -47,6 +48,40 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     val got = Snapshot.upsert(cur, upd, "doc_id", "version")
       .as[(Long, Long, String)].collect().toSeq
     assert(got == Seq((1L, 2L, "b")))
+  }
+
+  test("scd2History: intervals chain, current row open, duplicate " +
+       "version collapsed by tie-break") {
+    val log = Seq(
+      (1L, 1L, "a", 0), (1L, 2L, "b-low", 0), (1L, 2L, "b-high", 1),
+      (1L, 3L, "c", 0),
+      (2L, 5L, "only", 0))
+      .toDF("doc_id", "version", "payload", "prov")
+    val got = Snapshot.scd2History(log, "doc_id", "version", "prov")
+      .select("doc_id", "version", "payload", "valid_from", "valid_to",
+        "is_current")
+      .orderBy("doc_id", "valid_from")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, "a", 1L, Some(2L), false),
+      (1L, 2L, "b-high", 2L, Some(3L), false), // prov=1 wins the tie
+      (1L, 3L, "c", 3L, None, true),
+      (2L, 5L, "only", 5L, None, true)))
+  }
+
+  test("scd2History: an as-of lookup at each version returns that " +
+       "version's row") {
+    val log = Seq((1L, 10L, "v10"), (1L, 20L, "v20"), (1L, 30L, "v30"))
+      .toDF("doc_id", "version", "payload")
+    val hist = Snapshot.scd2History(log, "doc_id", "version")
+    for ((asOf, want) <- Seq(10L -> "v10", 15L -> "v10", 20L -> "v20",
+        99L -> "v30")) {
+      val r = hist.filter(col("valid_from") <= asOf &&
+          (col("valid_to").isNull || col("valid_to") > asOf))
+        .select("payload").as[String].collect().toSeq
+      assert(r == Seq(want), s"as-of $asOf")
+    }
   }
 
   test("upsert rejects mismatched schemas loudly") {
