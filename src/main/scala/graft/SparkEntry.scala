@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, CorpusOps, Dedup,
   Funnel, GraphOps, Indexing, KCore, LabelPropagation, Multimodal, PageRank,
-  Profile, RangeJoin, Redaction, Retention, SequencePacking, Similarity,
-  SkewOps, Snapshot, Sssp, TextAnalysis}
+  Profile, RandomWalk, RangeJoin, Redaction, Retention, SequencePacking,
+  Similarity, SkewOps, Snapshot, Sssp, TextAnalysis}
 import graft.streaming.EventStream
 import graft.functions.{SimHashExpr, TopKBySim}
 
@@ -44,6 +44,11 @@ object SparkEntry {
     * the ≤h-hop BFS answer — each round settles one distance layer),
     * which is what makes the oracle expressible as unrolled layers. */
   private val BfsPathsCopurchaseHops = 6
+
+  /** Step count and walks-per-vertex for q_random_walks — shared by
+    * the Spark query and the unrolled layers of its DuckDB oracle. */
+  private val RandomWalkSteps = 4
+  private val RandomWalksPerVertex = 2
 
   /** k and peel-round bound for q_kcore — shared by the Spark query
     * and the unrolled layers of its DuckDB oracle. k=6 is the largest
@@ -823,6 +828,15 @@ object SparkEntry {
             greatest(col("src"), col("dst")).cast("string"))), lit(9L)))
       Sssp.runBounded(edges, source = 2L, hops = SsspCopurchaseHops)
         .orderBy("id")
+    }),
+
+    // Deterministic random walks on the copurchase graph — the
+    // walk-corpus generator for graph embeddings; hash-driven edge
+    // choice makes a sampling operator hash-exact under the oracle.
+    "q_random_walks" -> ((s, dir) => {
+      RandomWalk.walks(copurchaseEdges(s, dir),
+          walksPerVertex = RandomWalksPerVertex, steps = RandomWalkSteps)
+        .orderBy("walk_id")
     }),
 
     // Community detection: synchronous label propagation, 2 fixed
@@ -2351,6 +2365,36 @@ object SparkEntry {
          |$layers
          |SELECT id, CAST(dist AS BIGINT) AS dist
          |FROM d$SsspCopurchaseHops ORDER BY id""".stripMargin
+    },
+
+    // unrolled walk steps: each layer joins the walk heads to the
+    // edge table and keeps the candidate with the smallest mixed hash
+    // of (walk, step, dst) — row_number ORDER BY ((h*h)%P, dst)
+    // replays the engine's min(struct(score, dst, …)) exactly
+    "q_random_walks" -> {
+      val layers = (1 to RandomWalkSteps).map { i =>
+        val rh = rhSql("lpad(CAST(s.walk_id AS VARCHAR), 12, '0') || " +
+          s"':$i:' || lpad(CAST(e.dst AS VARCHAR), 12, '0')")
+        s"""c$i AS MATERIALIZED (
+           |  SELECT s.walk_id, s.seed, e.dst, s.path, $rh AS h
+           |  FROM s${i - 1} s JOIN edges e ON s.cur = e.src),
+           |s$i AS MATERIALIZED (
+           |  SELECT walk_id, seed, dst AS cur,
+           |    path || ',' || CAST(dst AS VARCHAR) AS path
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY walk_id
+           |          ORDER BY (h * h) % ${Dedup.P}, dst) AS rn
+           |        FROM c$i)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $copurchaseEdgesSql,
+         |s0 AS (
+         |  SELECT v * $RandomWalksPerVertex + w AS walk_id, v AS seed,
+         |         v AS cur, CAST(v AS VARCHAR) AS path
+         |  FROM (SELECT DISTINCT src AS v FROM edges)
+         |  CROSS JOIN (SELECT unnest(range($RandomWalksPerVertex)) AS w)),
+         |$layers
+         |SELECT walk_id, seed, cur AS final_vertex, path
+         |FROM s$RandomWalkSteps ORDER BY walk_id""".stripMargin
     },
 
     // two unrolled label-propagation rounds: round 1's messages are

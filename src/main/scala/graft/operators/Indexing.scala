@@ -84,18 +84,26 @@ object Indexing {
     * Squares collide in pairs (x² = (P-x)²) — harmless here: the
     * (oh, doc_id) sort key stays total.
     */
+  /** Nonlinearly-mixed deterministic hash of a string column: the
+    * rolling hash squared mod P. The rolling hash alone is LINEAR —
+    * see [[corpusShuffle]]'s scaladoc for why that breaks
+    * order-by-hash shuffling of sequential keys; squaring restores
+    * avalanche while staying BIGINT-safe (h < P ≈ 1e9 ⇒ h² < 1e18)
+    * and trivially SQL-replayable. Shared by the shuffle and the
+    * random-walk family. */
+  def mixHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = rollingHash(c)
+    (h * h) % Dedup.P
+  }
+
   def corpusShuffle(df: DataFrame, idCol: String,
                     nBatches: Int = 8): DataFrame = {
     require(nBatches > 0, s"nBatches must be positive, got $nBatches")
     val id = col(idCol).cast("long")
     val padded = lpad(id.cast("string"), 12, "0")
-    def mixed(salt: String) = {
-      val h = rollingHash(concat(padded, lit(salt)))
-      (h * h) % Dedup.P
-    }
     val base = df.select(id.as("doc_id"),
-      (mixed(":b") % nBatches).cast("int").as("batch_id"),
-      mixed(":o").as("oh"))
+      (mixHash(concat(padded, lit(":b"))) % nBatches).cast("int").as("batch_id"),
+      mixHash(concat(padded, lit(":o"))).as("oh"))
     val w = Window.partitionBy(col("batch_id"))
       .orderBy(col("oh"), col("doc_id"))
     base.withColumn("seq", row_number().over(w))

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Indexing.mixHash
+
+/** Deterministic random-walk generation: the walk-corpus operator a
+  * graph-embedding pipeline consumes (DeepWalk/node2vec train on walk
+  * sequences the way a language model trains on sentences; walks are
+  * also the sampling primitive for graph-context features).
+  *
+  * The reference iterates BFS frontiers (`BFS_map_reduce.py:25-56`);
+  * walks reuse that BSP shape — per step one frontier⋈edges join and
+  * one per-walk argmin reduce — but each walk follows ONE edge per
+  * step instead of all of them, chosen by a salted mixed hash of
+  * (walk, step, candidate). No RNG: the same graph always yields the
+  * same corpus, across runs AND engines, which is what makes an
+  * approximate-looking sampler hash-exact under the DuckDB oracle.
+  *
+  * Scale design (the 100 TB story):
+  *  - edges are repartitioned on `src` once and persisted; every
+  *    step's join reuses that co-location (the Bfs discipline).
+  *  - per step: one exchange to move walk heads to their vertex
+  *    partition, one partial-agg'd exchange for the per-walk argmin.
+  *    State is one row per walk — O(|V|·walksPerVertex), independent
+  *    of step count.
+  *  - the hash choice is per-candidate-edge work, fully map-side; the
+  *    argmin is `min(struct(score, dst, …))` — the same semilattice
+  *    reduce the BFS/SSSP family uses, so ties are impossible-by-
+  *    construction deterministic (equal scores break by dst).
+  *  - each step localCheckpoints eagerly: bounded lineage, one job
+  *    per step, AQE disabled inside the loop (per-round re-planning
+  *    costs more than it saves at this shape — measured on BFS).
+  */
+object RandomWalk {
+
+  /** One walk of `steps` steps from every vertex, `walksPerVertex`
+    * times. Output: (walk_id, seed, final_vertex, path) — path is the
+    * comma-joined vertex sequence starting at the seed. Walks whose
+    * head reaches a vertex with no outgoing edges stop contributing
+    * (dropped by the inner join — on a symmetrized graph this cannot
+    * happen). */
+  def walks(edges: DataFrame, walksPerVertex: Int = 1,
+            steps: Int = 4): DataFrame = {
+    require(walksPerVertex > 0 && steps >= 0,
+      s"need walksPerVertex > 0 and steps >= 0, got $walksPerVertex/$steps")
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val e = edges.select($"src", $"dst")
+      .repartition($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var state = e.select($"src".as("seed")).distinct()
+      .select($"seed", explode(sequence(lit(0), lit(walksPerVertex - 1)))
+        .as("w"))
+      .select(($"seed" * walksPerVertex + $"w").as("walk_id"), $"seed",
+        $"seed".as("cur"), lit(0).as("step"),
+        $"seed".cast("string").as("path"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    GraphOps.withLoopAqeDisabled(spark, keepAqe = false) {
+      for (i <- 1 to steps) {
+        val tRound = System.nanoTime()
+        val s = state.as("s")
+        // step derives from the carried column (`s.step + 1`), not
+        // lit(i): the per-step plan stays byte-identical, so codegen
+        // caches across steps (the Bfs `dist + 1` lesson)
+        val cand = s.join(e.as("e"), col("s.cur") === col("e.src"))
+          .select(col("s.walk_id"), col("s.seed"),
+            (col("s.step") + 1).as("step"),
+            col("e.dst"),
+            concat(col("s.path"), lit(","), col("e.dst").cast("string"))
+              .as("path"),
+            mixHash(concat(
+              lpad(col("s.walk_id").cast("string"), 12, "0"),
+              lit(":"), (col("s.step") + 1).cast("string"), lit(":"),
+              lpad(col("e.dst").cast("string"), 12, "0"))).as("score"))
+        val next = cand.groupBy($"walk_id")
+          .agg(min(struct($"score", $"dst", $"seed", $"step", $"path"))
+            .as("m"))
+          .select($"walk_id", $"m.seed".as("seed"), $"m.dst".as("cur"),
+            $"m.step".as("step"), $"m.path".as("path"))
+          .localCheckpoint(true)
+        System.err.println(
+          f"[walk] step $i ${(System.nanoTime() - tRound) / 1e9}%.2fs")
+        toRelease += state
+        state = next
+      }
+    }
+    toRelease.foreach(_.unpersist(false))
+    e.unpersist(false)
+    state.select($"walk_id", $"seed", $"cur".as("final_vertex"), $"path")
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphOps, RandomWalk}
+
+class RandomWalkSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // a 12-vertex cycle with chords: every vertex has degree >= 4, so
+  // walks always have real choices to make
+  private def graph() = {
+    val n = 12L
+    val edges = (0L until n).flatMap { i =>
+      Seq((i, (i + 1) % n), (i, (i + 3) % n))
+    }.toDF("src", "dst")
+    GraphOps.symmetrize(edges)
+  }
+
+  test("walks: every step follows a real edge, paths start at the " +
+       "seed and have steps+1 vertices") {
+    val e = graph()
+    val edgeSet = e.as[(Long, Long)].collect().toSet
+    val got = RandomWalk.walks(e, walksPerVertex = 2, steps = 3)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.size == 24) // 12 vertices x 2 walks
+    got.foreach { case (walkId, seed, fin, path) =>
+      val vs = path.split(",").map(_.toLong).toSeq
+      assert(vs.size == 4, s"walk $walkId length")
+      assert(vs.head == seed && vs.last == fin, s"walk $walkId endpoints")
+      vs.sliding(2).foreach { case Seq(a, b) =>
+        assert(edgeSet((a, b)), s"walk $walkId uses non-edge ($a,$b)")
+      }
+    }
+  }
+
+  test("walks: deterministic across runs; the two walks of a seed " +
+       "diverge; choices are not just the minimum neighbor") {
+    val e = graph()
+    def run() = RandomWalk.walks(e, walksPerVertex = 2, steps = 3)
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    val a = run()
+    assert(a == run(), "walks are not deterministic")
+    // per seed, walk 0 and walk 1 should not all be identical — the
+    // walk id salts the choice hash
+    val bySeed = a.groupBy(_._2).values.map(_.map(_._4).distinct.size)
+    assert(bySeed.count(_ > 1) >= 6,
+      "walks of the same seed almost never diverge — walk_id not mixing")
+    // and the choices must not collapse to 'always the smallest
+    // neighbor' (the linear-hash failure corpusShuffle hit)
+    val minGreedy = a.count { case (_, seed, _, path) =>
+      val vs = path.split(",").map(_.toLong).toSeq
+      vs.sliding(2).forall { case Seq(u, v) =>
+        v == Seq((u + 1) % 12, (u + 3) % 12, (u + 11) % 12, (u + 9) % 12)
+          .min
+      }
+    }
+    assert(minGreedy < a.size / 4,
+      s"$minGreedy/${a.size} walks are min-neighbor-greedy — hash not mixing")
+  }
+}
