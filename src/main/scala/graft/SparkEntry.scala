@@ -839,6 +839,15 @@ object SparkEntry {
         .orderBy("walk_id")
     }),
 
+    // Deterministic negative sampling on the same graph — the
+    // contrastive counterpart of q_random_walks (walk pairs are the
+    // positives, hash-best non-neighbors the negatives).
+    "q_negative_samples" -> ((s, dir) => {
+      RandomWalk.negativeSamples(copurchaseEdges(s, dir), k = 5,
+          candidatePool = 32)
+        .orderBy("id", "rank")
+    }),
+
     // Community detection: synchronous label propagation, 2 fixed
     // rounds on the copurchase graph. Deterministic by construction
     // (neighbor-majority with min-label tie-break via one
@@ -2395,6 +2404,34 @@ object SparkEntry {
          |$layers
          |SELECT walk_id, seed, cur AS final_vertex, path
          |FROM s$RandomWalkSteps ORDER BY walk_id""".stripMargin
+    },
+
+    // mirrors RandomWalk.negativeSamples: fixed hash-order candidate
+    // pool, per-vertex non-neighbor filter, hash-ranked top-k
+    "q_negative_samples" -> {
+      val poolH = rhSql("lpad(CAST(id AS VARCHAR), 12, '0') || ':cand'")
+      val pairH = rhSql("lpad(CAST(id AS VARCHAR), 12, '0') || ':' || " +
+        "lpad(CAST(cand AS VARCHAR), 12, '0')")
+      s"""WITH $copurchaseEdgesSql,
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |pool AS (
+         |  SELECT id AS cand FROM (
+         |    SELECT id, ($poolH) * ($poolH) % ${Dedup.P} AS ch FROM verts)
+         |  ORDER BY ch, cand LIMIT 32),
+         |pairs AS (
+         |  SELECT v.id, p.cand FROM verts v CROSS JOIN pool p
+         |  WHERE p.cand <> v.id
+         |    AND NOT EXISTS (SELECT 1 FROM edges e
+         |                    WHERE e.src = v.id AND e.dst = p.cand)),
+         |scored AS (
+         |  SELECT id, cand, ($pairH) * ($pairH) % ${Dedup.P} AS score
+         |  FROM pairs),
+         |r AS (SELECT id, cand,
+         |        row_number() OVER (PARTITION BY id
+         |                           ORDER BY score, cand) AS rank
+         |      FROM scored)
+         |SELECT id, rank, cand AS neg_id FROM r
+         |WHERE rank <= 5 ORDER BY id, rank""".stripMargin
     },
 
     // two unrolled label-propagation rounds: round 1's messages are

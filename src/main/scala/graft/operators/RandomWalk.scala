@@ -95,4 +95,53 @@ object RandomWalk {
     e.unpersist(false)
     state.select($"walk_id", $"seed", $"cur".as("final_vertex"), $"path")
   }
+
+  /** Deterministic negative sampling: for every vertex, the k
+    * hash-best candidates from a fixed global candidate pool that are
+    * NOT neighbors — the negative pairs a contrastive embedding /
+    * link-prediction objective trains against ([[walks]] supplies the
+    * positives). No RNG, same reproducibility contract as the walks.
+    *
+    * Shape at 100 TB:
+    *  - the candidate pool is a fixed-size hash-order sample of the
+    *    vertex set via distributed take-ordered (the IVF seeding
+    *    shape: O(|V| log M) map-side, M rows to the driver,
+    *    broadcast) — NEVER |V|² pairs.
+    *  - each vertex checks the M broadcast candidates against its own
+    *    adjacency list map-side (degree·M work, no edge shuffle; an
+    *    anti-join against the edge table would exchange every edge on
+    *    a composite key).
+    *  - per-vertex top-k rides the bounded [[graft.functions.TopKBySim]]
+    *    accumulator: O(k) state per vertex, one exchange on the id
+    *    (the adjacency aggregation's own exchange — the candidate
+    *    probe and rank are map-side after it).
+    *
+    * A vertex adjacent to the whole pool emits fewer than k rows
+    * (document, don't pad: padding would fabricate negatives). */
+  def negativeSamples(edges: DataFrame, k: Int = 5,
+                      candidatePool: Int = 32): DataFrame = {
+    require(k > 0 && candidatePool > 0,
+      s"need k > 0 and candidatePool > 0, got $k/$candidatePool")
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val adj = GraphOps.adjacency(edges)
+    val cands = adj.select($"id".as("cand"),
+        mixHash(concat(lpad($"id".cast("string"), 12, "0"), lit(":cand")))
+          .as("ch"))
+      .orderBy($"ch", $"cand")
+      .limit(candidatePool)
+      .select($"cand")
+    val scored = adj.join(broadcast(cands), lit(true))
+      .filter($"cand" =!= $"id" && !array_contains($"neighbours", $"cand"))
+      .withColumn("score", mixHash(concat(
+        lpad($"id".cast("string"), 12, "0"), lit(":"),
+        lpad($"cand".cast("string"), 12, "0"))))
+    scored.groupBy($"id")
+      .agg(graft.functions.TopKBySim.top_k_by_sim(
+        -$"score".cast("double"), $"cand", k).as("tk"))
+      .select($"id", posexplode($"tk").as(Seq("pos", "nb")))
+      .select($"id", ($"pos" + 1).cast("int").as("rank"),
+        $"nb.neighbor_id".as("neg_id"))
+  }
 }

@@ -34,6 +34,29 @@ class RandomWalkSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("negativeSamples: never an edge, never self, <= k per vertex, " +
+       "deterministic; a vertex adjacent to the pool emits fewer") {
+    val e = graph()
+    val edgeSet = e.as[(Long, Long)].collect().toSet
+    def run() = RandomWalk.negativeSamples(e, k = 3, candidatePool = 8)
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    val got = run()
+    assert(got == run(), "negative samples are not deterministic")
+    got.foreach { case (id, _, neg) =>
+      assert(neg != id, s"self-pair for $id")
+      assert(!edgeSet((id, neg)), s"($id,$neg) is a real edge")
+    }
+    val perVertex = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perVertex.values.forall(_ <= 3))
+    assert(perVertex.size == 12, "every vertex got negatives")
+    // degree 4 out of 12 vertices, pool 8: some vertex must see part
+    // of its pool eaten by its own neighborhood yet still find 3 — and
+    // the rank column is contiguous from 1
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted == (1 to rows.size))
+    }
+  }
+
   test("walks: deterministic across runs; the two walks of a seed " +
        "diverge; choices are not just the minimum neighbor") {
     val e = graph()
