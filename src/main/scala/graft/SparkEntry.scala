@@ -973,6 +973,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE merge-candidate counts: adjacent char pairs weighted by
+    // word frequency, computed over the vocabulary table so every
+    // tokenizer-training iteration costs |vocab|, not |corpus|.
+    "q_bpe_pair_counts" -> ((s, dir) => {
+      Indexing.bpePairCounts(t(s, dir, "documents"), "text", topK = 50)
+    }),
+
     // CDC-style snapshot upsert: current corpus (v1) merged with a
     // deterministic update stream — re-processed docs (v2), takedown
     // tombstones (v3, dropped post-merge), and brand-new ids. ONE
@@ -2700,6 +2707,21 @@ object SparkEntry {
          |SELECT token, doc_freq, n_docs,
          |       CAST(doc_freq AS DOUBLE) / n_docs AS df_frac
          |FROM df, nd ORDER BY token""".stripMargin,
+
+    // mirrors Indexing.bpePairCounts: word-frequency table first,
+    // then char-pair counts weighted by word freq
+    "q_bpe_pair_counts" ->
+      s"""WITH wf AS (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest($toksSql) AS word FROM documents)
+         |  WHERE len(word) >= 2 GROUP BY word),
+         |pc AS (
+         |  SELECT unnest(list_transform(range(1, len(word)),
+         |           i -> substr(word, CAST(i AS INTEGER), 2))) AS pair,
+         |         freq
+         |  FROM wf)
+         |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+         |FROM pc GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     // mirrors Snapshot.upsert over the same deterministic update
     // streams: highest (version, provenance) wins per id, tombstones

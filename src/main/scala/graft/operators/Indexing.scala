@@ -110,6 +110,37 @@ object Indexing {
       .select(col("batch_id"), col("seq"), col("doc_id"))
   }
 
+  /** BPE merge-candidate counting — the first step of byte-pair-
+    * encoding tokenizer training: corpus-weighted counts of adjacent
+    * character pairs, ranked. A full BPE trainer iterates this count
+    * (merge the top pair, re-count); one exact step is the primitive,
+    * and its shape is the whole trick:
+    *
+    * Shape at 100 TB: pairs are counted over the WORD-FREQUENCY TABLE,
+    * not the raw corpus — the corpus is touched once (tokenize +
+    * word count, one vocabulary-keyed exchange), after which every
+    * BPE iteration runs on |vocab| rows (millions) instead of |corpus|
+    * tokens (trillions). That is precisely how production BPE
+    * trainers scale, and why this operator composes with
+    * [[CorpusOps.docFrequency]]'s family rather than re-reading text.
+    * The pair rollup is a second small exchange; top-k is a
+    * distributed TakeOrdered, never a full sort. */
+  def bpePairCounts(df: DataFrame, textCol: String,
+                    topK: Int = 50): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val words = df.select(
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+          "i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** N-gram familiarity: per document, the mean corpus document
     * frequency of its distinct bigrams — a language-model-free
     * fluency/typicality signal (the high-resource cousin of a KenLM

@@ -32,6 +32,17 @@ class IndexingSpec extends AnyFunSuite with SparkTestBase {
     assert(idx == Seq(("x", 2L, Some("1,2"))))
   }
 
+  test("bpePairCounts: pair counts weighted by word frequency; " +
+       "single-char words excluded; ties rank by pair") {
+    // word freqs: "abc" x2, "ab" x1, "a" excluded (len 1)
+    // pairs: abc -> ab,bc (x2 each); ab -> ab (x1)
+    // totals: ab=3, bc=2
+    val docs = Seq((1L, "abc ab a"), (2L, "ABC")).toDF("doc_id", "text")
+    val got = Indexing.bpePairCounts(docs, "text")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 3L), ("bc", 2L)))
+  }
+
   test("corpusShuffle: a permutation — every doc exactly once, seq " +
        "contiguous per batch, deterministic across runs") {
     val docs = (1L to 400L).map(i => Tuple1(i)).toDF("doc_id")
