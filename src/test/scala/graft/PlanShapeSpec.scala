@@ -384,6 +384,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "plan routes the corpus through a single partition")
   }
 
+  test("snapshot family windows partition on the id — never a " +
+       "single-task global sort") {
+    for (q <- Seq("q_snapshot_upsert", "q_scd2_history")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.sparkPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$q: merge window missing")
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$q: a window lost its id partitioning — the merge would " +
+          "run in ONE task regardless of cluster size")
+    }
+  }
+
   test("redactPii is a pure per-row projection — zero exchanges, no UDFs") {
     import org.apache.spark.sql.execution.exchange.Exchange
     val d = spark.read.parquet(s"$dir/documents.parquet")
