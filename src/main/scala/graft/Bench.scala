@@ -106,7 +106,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default = the driver contract (local[32]). The r11 baseline was
+    // accidentally pinned from a local[4] run because this defaulted to
+    // 4 — every BASELINE-feeding artifact must run at (and record) the
+    // configuration the driver measures at.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Collect operator per-round telemetry ([bfs]/[kcore]/[labelprop]/
     // [sssp]/[cc]/[pagerank] lines) for the self-artifact, attributed
     // to whatever the bench is doing when the line is emitted. All
@@ -124,6 +128,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // event-time queries cast TIMESTAMP_NTZ parquet via the session
+      // TZ — pin UTC so bench plans match Verify's exactly
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -325,7 +332,18 @@ object Bench {
       "\"" + esc(p) + "\":[" +
         ls.map(l => "\"" + esc(l) + "\"").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val selfPath = s"$repoDir/BENCH_SELF_r$round.json"
+    // Per-origin artifact naming (r11 advice): the driver's run keeps
+    // the plain contract filename; a builder-side run sets
+    // SPARK_GRAFT_ORIGIN=builder and gets its own file, so one round's
+    // driver artifact can never silently overwrite the builder evidence
+    // (or vice versa). The origin/cpus/host fields make each artifact
+    // self-describing — a BASELINE table can only cite an artifact
+    // whose own cpus field matches the configuration it claims.
+    val origin = sys.env.get("SPARK_GRAFT_ORIGIN")
+    val selfPath = origin match {
+      case Some(o) => s"$repoDir/BENCH_SELF_r${round}_${o}.json"
+      case None    => s"$repoDir/BENCH_SELF_r$round.json"
+    }
     val selfJson =
       s"""{
          |"metric":"bench_self",
@@ -334,6 +352,9 @@ object Bench {
          |"unit":"sec",
          |"sf":"$sfDir",
          |"cpus":"$cpus",
+         |"origin":"${esc(origin.getOrElse("driver-default"))}",
+         |"host_threads":${Runtime.getRuntime.availableProcessors()},
+         |"wall_utc":"${java.time.Instant.now()}",
          |"runs_per_query":$runsPerQuery,
          |"warmup":{"sweep_sec":${fmt(warmSec)},"touch_sec":${fmt(touchSec)}},
          |"queries":$qs,

@@ -40,20 +40,47 @@ object EventStream extends Serializable {
   final case class SessionState(start: Long, last: Long, n: Long,
                                 total: Double)
 
-  /** `events.parquet` stores ts as TIMESTAMP(NANOS), which Spark reads
-    * only as a nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`).
-    * Truncating integer division to microseconds matches DuckDB's
-    * ns→µs cast, so oracle SQL and Spark agree bit-for-bit. */
+  /** ns-as-long → µs event time (legacy TIMESTAMP(NANOS) parquet read
+    * under `spark.sql.legacy.parquet.nanosAsLong`). Truncating integer
+    * division to microseconds matches DuckDB's ns→µs cast, so oracle
+    * SQL and Spark agree bit-for-bit. */
   def eventTime(tsNanos: Column): Column =
     // decimal division keeps all 19 digits (a double round-trip would
     // lose sub-µs precision above 2^53) and its long-cast truncates
     // like DuckDB's ns→µs conversion
     timestamp_micros((tsNanos.cast("decimal(20,0)") / lit(1000)).cast("long"))
 
-  /** Read the events table with a proper µs event-time column. */
-  def eventsTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", eventTime(col("ts")))
+  /** Read the events table with a proper µs event-time column,
+    * negotiating the timestamp unit from the FILE schema rather than
+    * assuming one producer: `timestamp[us]` (the current testdata
+    * shape — read as TIMESTAMP or TIMESTAMP_NTZ) passes through as a
+    * session-TZ timestamp, a nanosecond LONG (legacy TIMESTAMP(NANOS)
+    * under `nanosAsLong`) takes the truncating ns→µs path, and a
+    * ms/µs epoch long is rejected loudly rather than mis-scaled. A
+    * real ingest layer must do this negotiation — upstream producers
+    * change units without warning (exactly what happened between
+    * rounds 10 and 11). */
+  def eventsTable(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts", adaptTs(raw.schema("ts").dataType))
+  }
+
+  /** The unit-negotiating `ts` adapter, shared by the batch reader
+    * above and the streaming reader ([[StreamHarness.eventsStream]]). */
+  def adaptTs(dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    dt match {
+      case TimestampType    => col("ts")
+      case TimestampNTZType =>
+        // session TZ is UTC in every entry point, so this cast is a
+        // pure type adaptation: the wall-clock digits become the same
+        // µs instant DuckDB's no-TZ TIMESTAMP carries
+        col("ts").cast(TimestampType)
+      case LongType         => eventTime(col("ts"))
+      case other => sys.error(
+        s"events.ts: unsupported type $other (expected timestamp or ns-long)")
+    }
+  }
 
   /** Tumbling-window counts and value totals per event type. Works on
     * a streaming OR batch frame; with streaming input the watermark
