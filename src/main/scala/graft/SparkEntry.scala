@@ -8,7 +8,7 @@ import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, CorpusOps, Dedup,
   Funnel, GraphOps, Indexing, KCore, LabelPropagation, Multimodal, PageRank,
   Profile, RandomWalk, RangeJoin, Redaction, Retention, SequencePacking,
   Similarity, SkewOps, Snapshot, Sssp, TextAnalysis}
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, StreamHarness}
 import graft.functions.{SimHashExpr, TopKBySim}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -463,6 +463,38 @@ object SparkEntry {
     "q_events_window" -> ((s, dir) => {
       EventStream.windowedCounts(EventStream.eventsTable(s, dir))
         .orderBy("window_start", "event_type")
+    }),
+
+    // ---- Streaming faces under the driver's gate: each runs a REAL
+    // Structured Streaming query (file source → state-store operator →
+    // sink) to completion and returns the drained result. ----
+
+    // Complete-mode streaming twin of q_events_window — identical
+    // result by construction (complete mode emits every window).
+    "q_streaming_window" -> ((s, dir) => {
+      StreamHarness.boundedWindowedCounts(s, dir)
+        .orderBy("window_start", "event_type")
+    }),
+
+    // dropDuplicatesWithinWatermark over the (user_id, event_type)
+    // key; deterministic surviving-key-set contract.
+    "q_streaming_dedup" -> ((s, dir) => {
+      StreamHarness.boundedDedupKeys(s, dir)
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Stream-stream interval join (purchase ⋈ preceding views ≤1h).
+    "q_streaming_attribution" -> ((s, dir) => {
+      StreamHarness.boundedAttribution(s, dir)
+        .orderBy("event_id", "v_ts")
+    }),
+
+    // flatMapGroupsWithState sessionization with event-time timeout,
+    // compared on the watermark-closed region (see boundedSessions).
+    "q_streaming_sessionize" -> ((s, dir) => {
+      StreamHarness.boundedSessions(s, dir,
+          gapMs = 6L * 3600000, delaySec = 600)
+        .orderBy("user_id", "session_start")
     }),
 
     // Ordered-funnel conversion (view → click → purchase): per step,
@@ -2596,6 +2628,68 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM b GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // complete-mode streaming twin: every window reaches the sink, so
+    // the oracle is q_events_window's verbatim
+    "q_streaming_window" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |           AS window_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM b GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // surviving-key-set contract of the streaming dedup (which row
+    // survives is arrival-order dependent; the key set is not)
+    "q_streaming_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // pair-level interval join: strict bounds on both ends, matching
+    // streamAttribution's (p_ts - 1h, p_ts) window
+    "q_streaming_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  value, event_type FROM events),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, value FROM e WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts AS p_ts, v.ts AS v_ts, v.value
+        |FROM p JOIN v
+        |  ON p.user_id = v.user_id AND v.ts < p.ts
+        | AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000
+        |ORDER BY p.event_id, v.ts""".stripMargin,
+
+    // batch sessions restricted to the watermark-closed region the
+    // bounded stream provably emitted: session_end + gap(6h) + 1s
+    // margin <= max(ts) - delay(10min) — see StreamHarness
+    // .boundedSessions for the rounding analysis behind the margin
+    "q_streaming_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |x AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                     > 21600000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS session_no
+        |      FROM x),
+        |g AS (SELECT user_id, session_no,
+        |             min(ts) AS session_start, max(ts) AS session_end,
+        |             count(*) AS n_events
+        |      FROM s GROUP BY user_id, session_no),
+        |m AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx FROM events)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM g, m
+        |WHERE epoch_us(session_end)
+        |      <= mx - 600000000 - 21600000000 - 1000000
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bounded-run harness that puts the STREAMING faces of the event
+  * family under the driver's correctness gate. Each `q_streaming_*`
+  * entry in [[graft.SparkEntry]] reads `events.parquet` through the
+  * real Structured Streaming file source, runs the same operator the
+  * production stream would, drains it to completion, and returns the
+  * materialized result as a batch frame the DuckDB oracle can check.
+  *
+  * Why a memory sink: the driver's compare collects every query's
+  * output to a single parquet file anyway, so the harness face
+  * collecting to the driver adds no scale hazard the gate didn't
+  * already have. A production deployment uses
+  * [[EventStream.startParquetSink]] (exactly-once, partitioned) —
+  * that path is spec-covered; THIS path exists so the state-store
+  * operators (dropDuplicatesWithinWatermark, stream-stream join,
+  * flatMapGroupsWithState) execute under the driver's eye rather than
+  * only inside ScalaTest.
+  */
+object StreamHarness {
+
+  private val nameCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `events.parquet` as a STREAMING frame. The streaming parquet
+    * source cannot infer a schema, so it comes from a batch footer
+    * read; `ts` goes through the same unit negotiation as the batch
+    * face ([[EventStream.adaptTs]]), so a producer-side unit change
+    * hits both faces identically instead of skewing one. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file-stream source monitors a DIRECTORY (the production
+    // layout — files arrive over time); testdata ships a single file,
+    // so shim it with an O(1) symlink directory rather than a copy
+    val streamDir = java.nio.file.Paths.get(
+      "/tmp", s"graft-stream-events-${Integer.toHexString(dir.hashCode)}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events-0.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(path))
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", EventStream.adaptTs(schema("ts").dataType))
+  }
+
+  /** Start `df` into a uniquely-named memory sink, drain all available
+    * input, and return the sink table as a batch frame.
+    *
+    * @param awaitNoDataBatch wait (bounded) for a zero-input-row
+    *        micro-batch to have run after the data batches. Event-time
+    *        timeouts (sessionize) fire only in a batch AFTER the one
+    *        that advanced the watermark; `processAllAvailable` alone
+    *        returns once the data offsets are committed, which can be
+    *        before that no-data batch ran. Stateless/append emissions
+    *        (dedup, stream-stream join, complete-mode aggs) don't need
+    *        it. */
+  def runBounded(df: DataFrame, mode: String,
+                 awaitNoDataBatch: Boolean = false,
+                 settleTimeoutMs: Long = 60000L): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"stream_face_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      q.processAllAvailable()
+      if (awaitNoDataBatch) {
+        val deadline = System.nanoTime() + settleTimeoutMs * 1000000L
+        def noDataBatchRan: Boolean =
+          q.recentProgress.exists(p => p.batchId > 0 && p.numInputRows == 0L)
+        while (!noDataBatchRan && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          q.processAllAvailable()
+        }
+        if (!noDataBatchRan) sys.error(
+          s"$name: no-data micro-batch did not run within ${settleTimeoutMs}ms" +
+            " — event-time timeouts were never evaluated")
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming windowed counts, complete mode: every window is in the
+    * sink when the stream drains, so the bounded run equals the batch
+    * [[EventStream.windowedCounts]] bit-for-bit — no watermark-cutoff
+    * bookkeeping needed. */
+  def boundedWindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    runBounded(EventStream.windowedCounts(eventsStream(spark, dir)), "complete")
+
+  /** Streaming exact-dedup, reduced to the DETERMINISTIC part of its
+    * contract: the surviving key set. (Which physical row survives is
+    * arrival-order dependent — not oracle-checkable; set membership
+    * is, so only the key columns are projected.) The key is the
+    * (user_id, event_type) pair — heavily duplicated in the data, so
+    * the op genuinely drops rows. All events arrive in the first
+    * micro-batch, where the watermark is still at its initial value,
+    * so nothing is dropped as late and the surviving key set equals
+    * batch `SELECT DISTINCT`. */
+  def boundedDedupKeys(spark: SparkSession, dir: String): DataFrame =
+    runBounded(
+      EventStream.streamingDedup(
+        eventsStream(spark, dir)
+          .withColumn("dk", concat_ws(":", col("user_id"), col("event_type"))),
+        "dk", "ts")
+        .select(col("user_id"), col("event_type")),
+      "append")
+
+  /** Stream-stream interval join (purchase ⋈ preceding views within
+    * one hour), drained bounded. Inner-join pairs emit in the batch
+    * where both sides are in state — one data batch emits everything,
+    * and the pair SET is deterministic, so the bounded run is
+    * oracle-exact with no cutoff filter. */
+  def boundedAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    runBounded(
+      EventStream.streamAttribution(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view")),
+      "append")
+  }
+
+  /** Streaming sessionization (flatMapGroupsWithState, event-time
+    * timeout), drained bounded, then restricted to sessions the final
+    * watermark PROVABLY closed.
+    *
+    * The stream's append contract withholds a user's trailing session
+    * while it could still grow: at end-of-input the watermark rests at
+    * `max(ts) - delay`, and only sessions whose gap-timeout precedes
+    * it were emitted. So the bounded result is compared on the closed
+    * region: keep sessions with
+    * `session_end + gap + 1s <= max(ts) - delay`
+    * — the 1 s margin strictly covers the ms-rounding of both the
+    * watermark (ms-truncated event-time stats) and the timeout
+    * timestamp (rounded UP to the next ms), making "emitted" certain
+    * for every kept session. The SAME predicate is applied to the
+    * batch oracle, so both sides describe the identical closed region.
+    * Every session emitted: gap-closed mid-batch OR timed out once the
+    * no-data batch evaluated timeouts against the final watermark
+    * ([[runBounded]] waits for that batch).
+    */
+  def boundedSessions(spark: SparkSession, dir: String,
+                      gapMs: Long, delaySec: Long): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStream.Event]
+    val sessions = runBounded(
+      EventStream.sessionize(ev, gapMs, s"$delaySec seconds").toDF(),
+      "append", awaitNoDataBatch = true)
+    // the closed-region cutoff, computed from the BATCH table (same
+    // max(ts) the stream saw — single bounded input)
+    val maxUs = EventStream.eventsTable(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoffUs = maxUs - delaySec * 1000000L - gapMs * 1000L - 1000000L
+    // total_value is a per-session DOUBLE fold in event order; the
+    // oracle's decimal sum is exact — the two can differ in ulps, so
+    // the hash-compared face carries only the µs-exact and integral
+    // columns (the specs cover value totals stream-vs-batch)
+    sessions.filter(unix_micros(col("session_end")) <= cutoffUs)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+  }
+}

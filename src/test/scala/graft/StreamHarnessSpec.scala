@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{EventStream, StreamHarness}
+
+/** The bounded streaming faces must equal their batch twins on real
+  * testdata — the same equivalences the driver's oracle checks at
+  * sf0.01, pinned here at sf0.001 so `sbt test` catches a drift
+  * without the DuckDB harness. */
+class StreamHarnessSpec extends AnyFunSuite with SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bounded streaming windowed counts == batch windowedCounts") {
+    val streamed = StreamHarness.boundedWindowedCounts(spark, dir)
+    val batch = EventStream.windowedCounts(EventStream.eventsTable(spark, dir))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("bounded streaming dedup keys == batch DISTINCT") {
+    val streamed = StreamHarness.boundedDedupKeys(spark, dir)
+    val batch = EventStream.eventsTable(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("bounded stream-stream attribution == batch interval join") {
+    val ev = EventStream.eventsTable(spark, dir)
+    val batch = EventStream.streamAttribution(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "view"))
+    val streamed = StreamHarness.boundedAttribution(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("bounded streaming sessions == batch sessions on the closed region") {
+    val gapMs = 6L * 3600000
+    val delaySec = 600L
+    val streamed = StreamHarness.boundedSessions(spark, dir, gapMs, delaySec)
+    val maxUs = EventStream.eventsTable(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoffUs = maxUs - delaySec * 1000000L - gapMs * 1000L - 1000000L
+    val batch = EventStream.sessionizeBatch(
+        EventStream.eventsTable(spark, dir), gapMs)
+      .filter(unix_micros(col("session_end")) <= cutoffUs)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    assert(streamed.count() > 0, "closed region must be non-empty")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
