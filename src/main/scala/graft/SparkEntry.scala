@@ -1060,6 +1060,59 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("valid_from"))
     }),
 
+    // Change-data feed between the v1 snapshot and the upserted
+    // corpus (same log as q_snapshot_upsert): one row per id that was
+    // added / removed / changed — |delta| output, one full-outer
+    // exchange on the id.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val current = d.withColumn("version", lit(1L))
+        .withColumn("deleted", lit(false))
+      val reproc = d.filter(col("doc_id") % 5 === 0)
+        .withColumn("lang", lit("und"))
+        .withColumn("version", lit(2L))
+        .withColumn("deleted", lit(false))
+      val takedown = d.filter(col("doc_id") % 17 === 0)
+        .withColumn("version", lit(3L))
+        .withColumn("deleted", lit(true))
+      val fresh = d.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("version", lit(1L))
+        .withColumn("deleted", lit(false))
+      val after = Snapshot.upsert(current,
+        reproc.unionByName(takedown).unionByName(fresh),
+        "doc_id", "version", deletedCol = "deleted")
+      Snapshot.diff(current.drop("deleted"), after, "doc_id")
+        .select(col("doc_id"), col("change"),
+          col("before.lang").as("lang_before"),
+          col("after.lang").as("lang_after"),
+          col("after.version").as("version_after"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-vertex triangle counts + local clustering coefficient over
+    // the part co-occurrence graph — same oriented wedge machinery as
+    // q_triangle_count, keeping the intersection elements so each
+    // corner gets credited.
+    "q_clustering_coeff" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      GraphOps.clusteringCoefficients(edges).orderBy("id")
+    }),
+
+    // Sparse lexical retrieval: top-5 cosine-similar documents per
+    // document through the df-capped posting self-join (all-integer
+    // dot/norms — bit-exact cosine).
+    "q_sparse_cosine_topk" -> ((s, dir) => {
+      Indexing.sparseCosineTopK(t(s, dir, "documents"), "doc_id", "text",
+          dfMax = 50, k = 5)
+        .orderBy("doc_id", "rank")
+    }),
+
     // corpus_prep extended with the CorpusOps stages — the full
     // Gopher-style funnel end-to-end: language verification, exact +
     // transitive near-dup dedup, eval-slice exclusion + benchmark
@@ -2871,6 +2924,113 @@ object SparkEntry {
          |  lag(version) OVER (PARTITION BY doc_id
          |                     ORDER BY version DESC) IS NULL AS is_current
          |FROM t2 ORDER BY doc_id, valid_from""".stripMargin,
+
+    // replays both snapshots (v1 and the upsert result), FULL JOINs
+    // on the id, and keeps only added/removed/changed rows
+    "q_snapshot_diff" ->
+      s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
+         |tagged AS (
+         |  SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS version,
+         |         false AS deleted, 0 AS prov FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 'und', source, 2, false, 1 FROM d
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, lang, source, 3, true, 1 FROM d
+         |  WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, source, 1, false, 1 FROM d
+         |  WHERE doc_id % 13 = 0),
+         |won AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY version DESC, prov DESC) AS rn
+         |  FROM tagged),
+         |aft AS (SELECT doc_id, lang, source, version FROM won
+         |        WHERE rn = 1 AND NOT deleted),
+         |bef AS (SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS version
+         |        FROM d)
+         |SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+         |  CASE WHEN b.doc_id IS NULL THEN 'added'
+         |       WHEN a.doc_id IS NULL THEN 'removed'
+         |       WHEN b.lang IS DISTINCT FROM a.lang
+         |         OR b.source IS DISTINCT FROM a.source
+         |         OR b.version IS DISTINCT FROM a.version THEN 'changed'
+         |  END AS change,
+         |  b.lang AS lang_before, a.lang AS lang_after,
+         |  a.version AS version_after
+         |FROM bef b FULL JOIN aft a ON a.doc_id = b.doc_id
+         |WHERE CASE WHEN b.doc_id IS NULL THEN 'added'
+         |           WHEN a.doc_id IS NULL THEN 'removed'
+         |           WHEN b.lang IS DISTINCT FROM a.lang
+         |             OR b.source IS DISTINCT FROM a.source
+         |             OR b.version IS DISTINCT FROM a.version THEN 'changed'
+         |      END IS NOT NULL
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors GraphOps.clusteringCoefficients: canonical edges,
+    // triangles enumerated once at x<y<z, corners credited via UNION
+    // ALL, coeff = one double division of exact integers
+    "q_clustering_coeff" ->
+      """WITH pp AS (
+        |  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |dg AS (
+        |  SELECT id, count(*) AS d FROM (
+        |    SELECT lo AS id FROM pp UNION ALL SELECT hi FROM pp)
+        |  GROUP BY id),
+        |tr AS (
+        |  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+        |  FROM pp a JOIN pp b ON b.lo = a.hi
+        |  JOIN pp c ON c.lo = a.lo AND c.hi = b.hi),
+        |tc AS (
+        |  SELECT id, count(*) AS t FROM (
+        |    SELECT x AS id FROM tr UNION ALL SELECT y FROM tr
+        |    UNION ALL SELECT z FROM tr)
+        |  GROUP BY id)
+        |SELECT dg.id, dg.d AS degree,
+        |       coalesce(tc.t, 0) AS n_triangles,
+        |       CASE WHEN dg.d >= 2
+        |            THEN CAST(2 * coalesce(tc.t, 0) AS DOUBLE)
+        |                 / CAST(dg.d * (dg.d - 1) AS DOUBLE)
+        |            ELSE 0.0 END AS clustering_coeff
+        |FROM dg LEFT JOIN tc ON tc.id = dg.id
+        |ORDER BY dg.id""".stripMargin,
+
+    // mirrors Indexing.sparseCosineTopK: df-capped posting self-join,
+    // all-integer dot/norms, cosine as dot/(√na·√nb)
+    "q_sparse_cosine_topk" ->
+      s"""WITH tt AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token AS term, count(*) AS tf FROM tt
+         |       WHERE len(token) > 0 GROUP BY doc_id, token),
+         |dfr AS (SELECT term FROM (
+         |          SELECT term, count(*) AS doc_freq FROM tf GROUP BY term)
+         |        WHERE doc_freq BETWEEN 2 AND 50),
+         |kept AS (SELECT f.doc_id, f.term, f.tf
+         |         FROM tf f JOIN dfr USING (term)),
+         |norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM kept
+         |          GROUP BY doc_id),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                sum(a.tf * b.tf) AS dot
+         |         FROM kept a JOIN kept b
+         |           ON a.term = b.term AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |sim AS (SELECT doc_a, doc_b,
+         |          CAST(dot AS DOUBLE)
+         |            / (sqrt(CAST(na.n2 AS DOUBLE))
+         |               * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+         |        FROM dots
+         |        JOIN norms na ON na.doc_id = doc_a
+         |        JOIN norms nb ON nb.doc_id = doc_b),
+         |sym AS (SELECT doc_a AS doc_id, doc_b AS nbr_id, cos FROM sim
+         |        UNION ALL SELECT doc_b, doc_a, cos FROM sim),
+         |r AS (SELECT doc_id, nbr_id, cos,
+         |        row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY cos DESC, nbr_id) AS rank
+         |      FROM sym)
+         |SELECT doc_id, rank, nbr_id, cos FROM r
+         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     // mirrors Indexing.invertedIndex: distinct (doc, term) pairs, df
     // per term, ascending comma-joined postings only under the cap

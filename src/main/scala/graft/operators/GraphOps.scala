@@ -119,6 +119,66 @@ object GraphOps {
     nV.crossJoin(nE).crossJoin(nTri)
   }
 
+  /** Per-vertex triangle counts and local clustering coefficient —
+    * the standard graph-local density signal (community detection
+    * features, spam/bot scoring, graph-embedding features).
+    *
+    * Same degree-ordered orientation as [[triangleCount]] (each
+    * triangle generated exactly once, at its lowest-ranked corner;
+    * wedge work O(m^1.5)-bounded, hot-degree-proof), but the closure
+    * step keeps the intersection ELEMENTS, not just the size: every
+    * common out-neighbour `w` of an oriented edge (u,v) names one
+    * triangle {u,v,w}, and all three corners get credited. The credit
+    * stream is 3·|triangles| rows — the inherent output size of
+    * per-vertex counting — aggregated in ONE exchange on the vertex
+    * id.
+    *
+    * `coeff = 2·t / (d·(d-1))` computed as a single double division
+    * of two exact integers, so the oracle replays it bit-for-bit.
+    * Degree-0/1 vertices have no closable wedge: coeff = 0. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val canon = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long").as("lo"),
+        greatest(col("src"), col("dst")).cast("long").as("hi"))
+      .distinct()
+    val deg = canon.select(col("lo").as("id"))
+      .union(canon.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val oriented = canon
+      .join(deg.select(col("id").as("lo"), col("d").as("d_lo")), "lo")
+      .join(deg.select(col("id").as("hi"), col("d").as("d_hi")), "hi")
+      .select(
+        when(col("d_lo") < col("d_hi") ||
+             (col("d_lo") === col("d_hi") && col("lo") < col("hi")),
+          col("lo")).otherwise(col("hi")).as("src"),
+        when(col("d_lo") < col("d_hi") ||
+             (col("d_lo") === col("d_hi") && col("lo") < col("hi")),
+          col("hi")).otherwise(col("lo")).as("dst"))
+    val adjOut = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // triangles at their (u,v) edge; ws = the third corners
+    val tri = oriented
+      .join(adjOut.select(col("src"), col("nbrs").as("nu")), "src")
+      .join(adjOut.select(col("src").as("dst"), col("nbrs").as("nv")),
+        Seq("dst"))
+      .select(col("src").as("u"), col("dst").as("v"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val credits = tri
+      .select(explode(array(col("u"), col("v"))).as("id"),
+        size(col("ws")).cast("long").as("c"))
+      .union(tri.select(explode(col("ws")).as("id"), lit(1L).as("c")))
+    val triPerV = credits.groupBy(col("id"))
+      .agg(sum(col("c")).as("n_triangles"))
+    deg.join(triPerV, Seq("id"), "left")
+      .select(col("id"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          (coalesce(col("n_triangles"), lit(0L)) * 2L).cast("double") /
+            (col("d") * (col("d") - 1L)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+  }
+
   /** Run an iterative driver loop with AQE disabled, restoring the
     * session's setting afterwards.
     *

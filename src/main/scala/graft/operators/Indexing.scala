@@ -189,4 +189,72 @@ object Indexing {
         col("sum_df").cast("double") / col("n_distinct_bigrams").cast("double"))
       .select(col("doc_id"), col("n_distinct_bigrams"), col("familiarity"))
   }
+
+  /** Sparse-vector document similarity through the inverted index:
+    * per document, the top-k most cosine-similar other documents over
+    * term-frequency vectors — the lexical-retrieval counterpart of
+    * the dense ANN family ([[Similarity]]), and the semantic-dedup
+    * primitive that catches near-copies sharing vocabulary but not
+    * shingle order.
+    *
+    * Pairs are generated ONLY through shared terms with document
+    * frequency in `[2, dfMax]` — the posting-list self-join. This is
+    * the scale lever: a term above the cap is a stop word whose
+    * posting list pairs O(corpus²) documents (the all-pairs explosion
+    * designed out of every dedup op in this engine); a term below 2
+    * can't pair anything. Work is bounded by Σ_kept df² ≤ dfMax ·
+    * Σ df — linear in corpus token count for a fixed cap.
+    *
+    * Exactness: the dot product and both norms are BIGINT sums of
+    * integer tf products over the kept vocabulary — exact — and the
+    * cosine is the single expression `dot / (√na · √nb)` on exact
+    * integers (sqrt/mul/div are each correctly-rounded IEEE ops), so
+    * DuckDB replays the score bit-for-bit. Note the norms are over
+    * the KEPT vocabulary (cap-relative cosine) — the operator's
+    * contract, and the one an index-only retrieval stack can actually
+    * compute without a second corpus pass.
+    *
+    * Shape at 100 TB: tokenize once → one exchange to (doc, term) tf;
+    * one exchange on term for df; the posting self-join shuffles on
+    * term (skew bounded by the cap, AQE-splittable); the pair rollup
+    * is one exchange on (doc_a, doc_b); the top-k is a window
+    * PARTITIONED BY the doc id (cardinality = |corpus|, per-partition
+    * = that doc's candidate list — the windowing shape that scales).
+    */
+  def sparseCosineTopK(df: DataFrame, idCol: String, textCol: String,
+                       dfMax: Int = 50, k: Int = 5): DataFrame = {
+    require(dfMax >= 2 && k > 0, s"need dfMax >= 2, k > 0; got $dfMax, $k")
+    val tf = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq").between(2, dfMax))
+    val kept = tf.join(dfr.select("term"), "term")
+    val norms = kept.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val dots = kept.as("a")
+      .join(kept.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val sim = dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos"))
+    val sym = sim.select(col("doc_a").as("doc_id"),
+        col("doc_b").as("nbr_id"), col("cos"))
+      .union(sim.select(col("doc_b"), col("doc_a"), col("cos")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
 }

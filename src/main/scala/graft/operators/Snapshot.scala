@@ -85,4 +85,37 @@ object Snapshot {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("_rn", "_prev_v")
   }
+
+  /** Change-data feed between two snapshots of the same table: one
+    * row per id whose payload was `added`, `removed`, or `changed`
+    * from `before` to `after` — the diff a downstream consumer reads
+    * to process only the delta (re-embed changed docs, retract
+    * removed ones) instead of re-reading 100 TB. Identical rows are
+    * NOT emitted: the whole point is that the output is |delta|, not
+    * |corpus|.
+    *
+    * Payload equality is null-safe over all non-id columns. Output:
+    * the id, `change`, and the full before/after payloads as structs
+    * (null on the absent side), so the consumer needs no join back.
+    *
+    * Shape at 100 TB: ONE full-outer shuffle join on the id — both
+    * sides exchange once on the same key and the comparison is a
+    * pure projection. With both snapshots bucketed by id on disk
+    * (the layout [[graft.sources]] bucketed tables provide) even
+    * that exchange disappears. */
+  def diff(before: DataFrame, after: DataFrame, idCol: String): DataFrame = {
+    require(before.columns.toSeq == after.columns.toSeq,
+      s"snapshot schemas differ: ${before.columns.toSeq} " +
+        s"vs ${after.columns.toSeq}")
+    val payload = before.columns.filterNot(_ == idCol).map(col).toSeq
+    val b = before.select(col(idCol), struct(payload: _*).as("before"))
+    val a = after.select(col(idCol), struct(payload: _*).as("after"))
+    b.join(a, Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("before").isNull, lit("added"))
+          .when(col("after").isNull, lit("removed"))
+          .when(!(col("before") <=> col("after")), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col(idCol), col("change"), col("before"), col("after"))
+  }
 }

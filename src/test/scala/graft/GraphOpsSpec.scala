@@ -52,4 +52,25 @@ class GraphOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(e == Set((0L, 5L), (4L, 3L), (7L, 8L), (9L, 11L)))
     Files.delete(f)
   }
+
+  test("clusteringCoefficients: triangle+pendant and K4; agrees with " +
+       "triangleCount") {
+    // triangle {1,2,3} + pendant edge (3,4)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.clusteringCoefficients(g)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 1.0 / 3), (4L, 1L, 0L, 0.0)))
+    // K4: every vertex closes all 3 of its wedges
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val k4got = GraphOps.clusteringCoefficients(k4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(k4got.forall { case (_, d, t, c) => d == 3 && t == 3 && c == 1.0 })
+    // per-vertex credits sum to 3x the global count
+    val tot = GraphOps.triangleCount(k4).collect()(0).getLong(2)
+    assert(k4got.map(_._3).sum == 3 * tot)
+  }
+
 }

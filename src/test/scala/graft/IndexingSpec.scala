@@ -106,4 +106,30 @@ class IndexingSpec extends AnyFunSuite with SparkTestBase {
       (2L, 1L, 3.0),
       (3L, 3L, (2.0 + 1.0 + 3.0) / 3)))
   }
+
+  test("sparseCosineTopK: hand-computed fixture; df cap prunes; ties " +
+       "break on nbr id") {
+    val docs = Seq((1L, "apple banana"), (2L, "apple banana"),
+      (3L, "apple cherry"), (4L, "zebra")).toDF("doc_id", "text")
+    // df: apple 3, banana 2 (kept); cherry/zebra df=1 (unpairable)
+    val got = Indexing.sparseCosineTopK(docs, "doc_id", "text",
+        dfMax = 50, k = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    val r2 = 1.0 / math.sqrt(2.0)
+    // the contract is the exact IEEE chain dot/(sqrt(na)*sqrt(nb)) —
+    // the same expression the oracle replays — NOT the algebraic
+    // value: sqrt(2)*sqrt(2) rounds to 2.0000000000000004
+    val self = 2.0 / (math.sqrt(2.0) * math.sqrt(2.0))
+    assert(got == Seq(
+      (1L, 1, 2L, self), (1L, 2, 3L, r2),
+      (2L, 1, 1L, self), (2L, 2, 3L, r2),
+      // d3 ties at r2 with both; nbr id breaks the tie
+      (3L, 1, 1L, r2), (3L, 2, 2L, r2)).sorted)
+    // dfMax=2 drops apple (df=3): only banana pairs d1-d2
+    val capped = Indexing.sparseCosineTopK(docs, "doc_id", "text",
+        dfMax = 2, k = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    assert(capped == Seq((1L, 1, 2L, 1.0), (2L, 1, 1L, 1.0)).sorted)
+  }
+
 }

@@ -92,4 +92,28 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("schemas differ"))
   }
+
+  test("diff: added/removed/changed emitted, unchanged suppressed") {
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
+    val after = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "v")
+    val got = Snapshot.diff(before, after, "doc_id")
+      .select(col("doc_id"), col("change"),
+        col("before.v").as("vb"), col("after.v").as("va"))
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (2L, "changed", Some("b"), Some("B")),
+      (3L, "removed", Some("c"), None),
+      (4L, "added", None, Some("d"))))
+  }
+
+  test("diff rejects mismatched schemas loudly") {
+    val b = Seq((1L, "a")).toDF("doc_id", "v")
+    val a = Seq((1L, "a", 1L)).toDF("doc_id", "v", "extra")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.diff(b, a, "doc_id")
+    }
+    assert(e.getMessage.contains("schemas differ"))
+  }
+
 }
