@@ -406,4 +406,48 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges.isEmpty, s"redactPii plans an exchange: $exchanges")
     assert(!plan.toString.contains("ScalaUDF"))
   }
+
+  test("q_sparse_cosine_topk: windows stay doc-partitioned, top-k is " +
+       "group-limited, no cartesian pairing") {
+    val plan = SparkEntry.queries("q_sparse_cosine_topk")(spark, dir)
+      .queryExecution.sparkPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "top-k window lost its doc_id partitioning")
+    assert(plan.collect { case g: WindowGroupLimitExec => g }.nonEmpty,
+      "rank<=k no longer pushes a WindowGroupLimit — every candidate " +
+        "list is fully sorted before the filter")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "posting self-join degenerated into an all-pairs join")
+  }
+
+  test("q_snapshot_diff is ONE id-keyed full-outer join — no cartesian, " +
+       "no extra corpus exchange") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = SparkEntry.queries("q_snapshot_diff")(spark, dir)
+      .queryExecution.sparkPlan
+    val fullOuter = plan.collect {
+      case j: SortMergeJoinExec if j.joinType.toString == "FullOuter" => j
+    }
+    assert(fullOuter.size == 1, s"expected exactly one full-outer merge " +
+      s"join, got ${fullOuter.size}")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_clustering_coeff aggregates stay hash-based with map-side " +
+       "partials; closure never goes cartesian") {
+    val plan = SparkEntry.queries("q_clustering_coeff")(spark, dir)
+      .queryExecution.sparkPlan
+    val s = plan.toString
+    assert(s.contains("partial_count") || s.contains("partial_sum"),
+      "credit rollup lost its map-side combine")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "triangle closure degenerated into an all-pairs join")
+  }
+
 }
