@@ -379,6 +379,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Forward as-of: for each view, the NEXT purchase strictly after
+    // it per user ("time to conversion") — same one-exchange
+    // union-window machinery run in reverse time order.
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = EventStream.eventsTable(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.asof(views, purchases, Seq("user_id"), "ts", Seq(),
+          direction = "forward")
+        .filter(col("asof_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"))
+        .orderBy("event_id")
+    }),
+
     // Rollup (grouping-sets family — subtotals + grand total).
     "q_rollup" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1012,6 +1028,15 @@ object SparkEntry {
       Indexing.bpePairCounts(t(s, dir, "documents"), "text", topK = 50)
     }),
 
+    // Full BPE merge learning: 8 iterations of count → argmax →
+    // greedy merge over the word-frequency vocabulary (corpus scanned
+    // once; each round costs |vocab|). The oracle replays the whole
+    // loop with a generated 8-stage CTE chain.
+    "q_bpe_learn" -> ((s, dir) => {
+      Indexing.bpeLearn(t(s, dir, "documents"), "text", numMerges = 8)
+        .orderBy("rank")
+    }),
+
     // CDC-style snapshot upsert: current corpus (v1) merged with a
     // deterministic update stream — re-processed docs (v2), takedown
     // tombstones (v3, dropped post-merge), and brand-new ids. ONE
@@ -1263,6 +1288,47 @@ object SparkEntry {
   // row (legal in real corpora) diverges cross-engine
   private val toksSql =
     "string_split_regex(lower(coalesce(text, '')), '\\s+')"
+
+  /** Generated oracle for [[graft.operators.Indexing.bpeLearn]]: an
+    * unrolled `n`-stage CTE chain — stage i computes pair counts over
+    * vocabulary v(i-1), picks the argmax pair b(i) (ties
+    * lexicographic), and rewrites the vocabulary with the same greedy
+    * left-to-right `list_reduce` fold the engine's `aggregate` HOF
+    * runs. DuckDB list slices are INCLUSIVE at both ends, so
+    * drop-last is `acc[:-2]`. The last stage skips the rewrite (its
+    * result is never read). */
+  private def bpeLearnOracleSql(n: Int): String = {
+    val base =
+      s"""w AS (SELECT token AS word, count(*) AS freq FROM (
+         |    SELECT unnest($toksSql) AS token FROM documents)
+         |  WHERE len(token) >= 2 GROUP BY token),
+         |v0 AS (SELECT string_split(word, '') AS syms, freq FROM w)""".stripMargin
+    val rounds = (1 to n).map { i =>
+      val count =
+        s"""pc$i AS (
+           |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS n FROM (
+           |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |      j -> {'l': syms[j], 'r': syms[j+1]})) AS p FROM v${i - 1})
+           |  GROUP BY p.l, p.r),
+           |b$i AS (SELECT l, r, n FROM pc$i ORDER BY n DESC, l, r LIMIT 1)"""
+          .stripMargin
+      if (i == n) count
+      else count + s""",
+           |v$i AS (
+           |  SELECT list_reduce([CAST([] AS VARCHAR[])] ||
+           |      list_transform(syms, x -> [x]),
+           |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l
+           |                      AND x[1] = b.r
+           |                     THEN acc[:-2] || [b.l || b.r]
+           |                     ELSE acc || x END) AS syms, freq
+           |  FROM v${i - 1}, b$i b)""".stripMargin
+    }
+    val finals = (1 to n).map(i =>
+      s"""SELECT $i AS rank, l AS "left", r AS "right",
+         |       l || r AS merged, n FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"WITH $base,\n${rounds.mkString(",\n")}\n$finals\nORDER BY rank"
+  }
   private def stopCountSql(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter($toksSql, t -> list_contains($lst, t)))"
@@ -2869,6 +2935,24 @@ object SparkEntry {
          |  FROM wf)
          |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
          |FROM pc GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // replays Indexing.bpeLearn's full 8-iteration loop as a
+    // generated CTE chain: per round, pair counts over the current
+    // vocabulary, argmax (ties lexicographic), greedy left-to-right
+    // merge via list_reduce
+    "q_bpe_learn" -> bpeLearnOracleSql(8),
+
+    // mirrors AsOfJoin.asof(direction=forward): nearest purchase
+    // strictly AFTER each view per user, matched rows only
+    "q_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type FROM events),
+        |v AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase')
+        |SELECT v.event_id, v.user_id, v.ts, min(p.ts) AS asof_ts
+        |FROM v JOIN p ON p.user_id = v.user_id AND p.ts > v.ts
+        |GROUP BY v.event_id, v.user_id, v.ts
+        |ORDER BY v.event_id""".stripMargin,
 
     // mirrors Snapshot.upsert over the same deterministic update
     // streams: highest (version, provenance) wins per id, tombstones

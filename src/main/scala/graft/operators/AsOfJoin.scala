@@ -31,15 +31,24 @@ object AsOfJoin {
     * @param tsCol  event-time column name (both sides)
     * @param valueCols right-side columns to carry (emitted as
     *                  `asof_<name>`, null when no prior right row)
-    * @param toleranceUs max lookback in µs (pandas merge_asof
-    *                    semantics): a prior row older than
-    *                    `ts - toleranceUs` does NOT match — the row is
-    *                    kept with null asof columns. None = unbounded.
+    * @param direction "backward" (default): greatest right ts
+    *                  strictly BEFORE the left row's; "forward": the
+    *                  smallest right ts strictly AFTER it (pandas
+    *                  merge_asof directions).
+    * @param toleranceUs max lookback (look-ahead when forward) in µs,
+    *                    pandas merge_asof semantics: a matched row
+    *                    farther than the tolerance does NOT match —
+    *                    the row is kept with null asof columns.
+    *                    None = unbounded.
     * @return left rows + matched right ts (`asof_ts`) + carried values */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            tsCol: String, valueCols: Seq[String],
-           toleranceUs: Option[Long] = None): DataFrame = {
+           toleranceUs: Option[Long] = None,
+           direction: String = "backward"): DataFrame = {
     require(toleranceUs.forall(_ > 0), "tolerance must be positive")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     // loud failure instead of silent clobbering: "__"-prefixed names
     // are internal here, and asof_* are the outputs
     require(!(left.columns ++ right.columns).exists(_.startsWith("__")),
@@ -91,8 +100,14 @@ object AsOfJoin {
       struct(col("__asof_ts").as("__pts") +:
         valueCols.filter(c => orderable(right.schema(c).dataType))
           .map(c => col(s"__v_$c").as(c)): _*))
+    // forward = the same one-exchange union-window machinery run in
+    // REVERSE time order: rows "before" the current one in the frame
+    // are those with strictly LATER ts, so last(ignoreNulls) picks the
+    // nearest following right row. Left rows still order before right
+    // rows at equal ts (side asc), preserving strict inequality.
+    val tsOrd = if (fwd) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"), tieBreak)
+      .orderBy(tsOrd, col("__side"), tieBreak)
       .rowsBetween(Window.unboundedPreceding, -1)
     val matched = lTagged.unionByName(rTagged)
       .withColumn("__m", last(payload, ignoreNulls = true).over(w))
@@ -102,8 +117,10 @@ object AsOfJoin {
     val bounded = toleranceUs match {
       case None => matched
       case Some(tol) =>
-        val ok = col("__m").isNotNull &&
-          unix_micros(col("__ts")) - unix_micros(col("__m.__pts")) <= tol
+        val gap =
+          if (fwd) unix_micros(col("__m.__pts")) - unix_micros(col("__ts"))
+          else unix_micros(col("__ts")) - unix_micros(col("__m.__pts"))
+        val ok = col("__m").isNotNull && gap <= tol
         matched.withColumn("__m", when(ok, col("__m")))
     }
     bounded.filter(col("__side") === 0)

@@ -257,4 +257,75 @@ object Indexing {
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("nbr_id"), col("cos"))
   }
+
+  /** Full BPE merge learning: iterate [[bpePairCounts]]' counting
+    * step `numMerges` times, each round selecting the most frequent
+    * adjacent symbol pair (ties broken lexicographically — the
+    * determinism a reproducible tokenizer needs) and applying it
+    * greedily left-to-right across the vocabulary. Returns the
+    * learned merge table `(rank, left, right, merged, n)` — the
+    * artifact a BPE tokenizer ships.
+    *
+    * Shape at 100 TB: the corpus is scanned ONCE, into the
+    * word-frequency vocabulary; every subsequent iteration costs
+    * O(|vocab|) — the classic reason BPE trainers run on the vocab
+    * table, not the corpus. The per-round argmax is a 1-row
+    * TakeOrdered collected to the driver (the same BSP driver-loop
+    * shape as the BFS convergence check); the merge application is a
+    * pure per-row array fold, no exchange. Each round's vocab is
+    * eagerly localCheckpoint'ed — the fold expression differs per
+    * round (its pair literals change), so lineage would otherwise
+    * stack `numMerges` interpreted folds onto every later round.
+    *
+    * The greedy fold merges non-overlapping occurrences left to
+    * right ("aaaa" + (a,a) → [aa][aa]), matching the reference BPE
+    * formulation and the generated DuckDB oracle. */
+  def bpeLearn(df: DataFrame, textCol: String,
+               numMerges: Int): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Column
+    var vocab = df.select(
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(expr("transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1))").as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var prev = vocab
+    var done = false
+    for (r <- 1 to numMerges if !done) {
+      val best = vocab
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, " +
+            "element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, rr, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val m = l + rr
+        merges += ((r, l, rr, m, n))
+        val fold = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc: Column, x: Column) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(rr),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+              .otherwise(concat(acc, array(x))))
+        prev = vocab
+        vocab = vocab.withColumn("syms", fold).localCheckpoint(true)
+        prev.unpersist(false)
+      }
+    }
+    vocab.unpersist(false)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "n")
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, timestamp_micros, unix_micros}
 import graft.operators.AsOfJoin
 
 class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
@@ -89,4 +90,30 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       assert(ats.map(_.getTime) == expected, s"user=$u purchase=$pts")
     }
   }
+
+  test("forward direction: nearest strictly-later right row; tolerance " +
+       "bounds look-ahead; equal ts excluded") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "us", "tag")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("tag"))
+    val right = Seq((1L, 100L, 9.0), (1L, 150L, 1.0), (1L, 400L, 2.0))
+      .toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    val got = graft.operators.AsOfJoin.asof(left, right, Seq("k"), "ts",
+        Seq("v"), direction = "forward")
+      .select(col("tag"), unix_micros(col("asof_ts")), col("asof_v"))
+      .as[(String, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // a@100: right@100 excluded (strict), next is 150
+    assert(got("a") == ((Some(150L), Some(1.0))))
+    assert(got("b") == ((Some(400L), Some(2.0))))
+    assert(got("c") == ((None, None)))
+    // tolerance 100us: b's match at 400 (gap 200) is out of range
+    val tol = graft.operators.AsOfJoin.asof(left, right, Seq("k"), "ts",
+        Seq("v"), toleranceUs = Some(100L), direction = "forward")
+      .select(col("tag"), unix_micros(col("asof_ts")))
+      .as[(String, Option[Long])].collect().toMap
+    assert(tol("a") == Some(150L) && tol("b").isEmpty)
+  }
+
 }

@@ -132,4 +132,37 @@ class IndexingSpec extends AnyFunSuite with SparkTestBase {
     assert(capped == Seq((1L, 1, 2L, 1.0), (2L, 1, 1L, 1.0)).sorted)
   }
 
+
+  test("bpeLearn matches a serial BPE trainer on a fixture") {
+    // corpus: "low low low lower lower newest newest newest newest"
+    val docs = Seq((1L, "low low low lower"),
+      (2L, "lower newest newest"), (3L, "newest newest")).toDF("doc_id", "text")
+    // serial reference: same vocab -> pair-count -> argmax -> greedy
+    def serial(words: Map[String, Long], n: Int) = {
+      var vocab = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      var out = Vector.empty[(Int, String, String, String, Long)]
+      for (r <- 1 to n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- vocab; Vector(a, b) <- syms.sliding(2))
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+        val ((l, rr), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out :+= ((r, l, rr, l + rr, c))
+        vocab = vocab.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- syms)
+            if (acc.nonEmpty && acc.last == l && x == rr)
+              acc(acc.size - 1) = l + rr
+            else acc += x
+          (acc.toVector, f)
+        }
+      }
+      out
+    }
+    val words = Map("low" -> 3L, "lower" -> 2L, "newest" -> 4L)
+    val want = serial(words, 6)
+    val got = Indexing.bpeLearn(docs, "text", 6)
+      .as[(Int, String, String, String, Long)].collect().toVector
+    assert(got == want)
+  }
+
 }
