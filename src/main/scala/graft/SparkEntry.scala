@@ -505,6 +505,12 @@ object SparkEntry {
         .orderBy("event_id", "v_ts")
     }),
 
+    // Stream-static enrichment: streaming views pick up a static
+    // per-user purchase-LTV dimension (broadcast per micro-batch).
+    "q_streaming_enrich" -> ((s, dir) => {
+      StreamHarness.boundedEnrichment(s, dir).orderBy("event_id")
+    }),
+
     // flatMapGroupsWithState sessionization with event-time timeout,
     // compared on the watermark-closed region (see boundedSessions).
     "q_streaming_sessionize" -> ((s, dir) => {
@@ -1037,6 +1043,19 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Serving-time BPE: learn 8 merges, then encode the corpus with
+    // them and emit the top-30 encoded-token distribution — the
+    // learn → apply handoff a tokenizer deployment runs.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Indexing.bpeLearn(docs, "text", numMerges = 8)
+        .orderBy("rank")
+        .select("left", "right", "merged")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSeq
+      Indexing.bpeEncode(docs, "text", merges, topK = 30)
+    }),
+
     // CDC-style snapshot upsert: current corpus (v1) merged with a
     // deterministic update stream — re-processed docs (v2), takedown
     // tombstones (v3, dropped post-merge), and brand-new ids. ONE
@@ -1297,7 +1316,7 @@ object SparkEntry {
     * runs. DuckDB list slices are INCLUSIVE at both ends, so
     * drop-last is `acc[:-2]`. The last stage skips the rewrite (its
     * result is never read). */
-  private def bpeLearnOracleSql(n: Int): String = {
+  private def bpeChainSql(n: Int, rewriteLast: Boolean): String = {
     val base =
       s"""w AS (SELECT token AS word, count(*) AS freq FROM (
          |    SELECT unnest($toksSql) AS token FROM documents)
@@ -1312,7 +1331,7 @@ object SparkEntry {
            |  GROUP BY p.l, p.r),
            |b$i AS (SELECT l, r, n FROM pc$i ORDER BY n DESC, l, r LIMIT 1)"""
           .stripMargin
-      if (i == n) count
+      if (i == n && !rewriteLast) count
       else count + s""",
            |v$i AS (
            |  SELECT list_reduce([CAST([] AS VARCHAR[])] ||
@@ -1323,12 +1342,24 @@ object SparkEntry {
            |                     ELSE acc || x END) AS syms, freq
            |  FROM v${i - 1}, b$i b)""".stripMargin
     }
+    s"WITH $base,\n${rounds.mkString(",\n")}"
+  }
+
+  private def bpeLearnOracleSql(n: Int): String = {
     val finals = (1 to n).map(i =>
       s"""SELECT $i AS rank, l AS "left", r AS "right",
          |       l || r AS merged, n FROM b$i""".stripMargin)
       .mkString("\nUNION ALL\n")
-    s"WITH $base,\n${rounds.mkString(",\n")}\n$finals\nORDER BY rank"
+    s"${bpeChainSql(n, rewriteLast = false)}\n$finals\nORDER BY rank"
   }
+
+  /** Oracle for q_bpe_encode: run the full chain INCLUDING the last
+    * rewrite, then count the encoded symbols corpus-wide. */
+  private def bpeEncodeOracleSql(n: Int, topK: Int): String =
+    s"""${bpeChainSql(n, rewriteLast = true)}
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM (
+       |  SELECT unnest(syms) AS token, freq FROM v$n)
+       |GROUP BY token ORDER BY n DESC, token LIMIT $topK""".stripMargin
   private def stopCountSql(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"len(list_filter($toksSql, t -> list_contains($lst, t)))"
@@ -2762,6 +2793,17 @@ object SparkEntry {
         |FROM b GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
 
+    // stream-static left join replayed batch-side: per-user purchase
+    // LTV onto every view event
+    "q_streaming_enrich" ->
+      """WITH l AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS ltv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, CAST(l.ltv AS DOUBLE) AS user_ltv
+        |FROM events e LEFT JOIN l ON l.user_id = e.user_id
+        |WHERE e.event_type = 'view'
+        |ORDER BY e.event_id""".stripMargin,
+
     // surviving-key-set contract of the streaming dedup (which row
     // survives is arrival-order dependent; the key set is not)
     "q_streaming_dedup" ->
@@ -2941,6 +2983,10 @@ object SparkEntry {
     // vocabulary, argmax (ties lexicographic), greedy left-to-right
     // merge via list_reduce
     "q_bpe_learn" -> bpeLearnOracleSql(8),
+
+    // replays learn-then-encode end-to-end: the 8-round chain with
+    // the final rewrite applied, then the corpus-wide token rollup
+    "q_bpe_encode" -> bpeEncodeOracleSql(8, 30),
 
     // mirrors AsOfJoin.asof(direction=forward): nearest purchase
     // strictly AFTER each view per user, matched rows only

@@ -328,4 +328,43 @@ object Indexing {
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "merged", "n")
   }
+
+  /** BPE encoding with a LEARNED merge table — the serving-time
+    * counterpart of [[bpeLearn]]: tokenize, split words to
+    * characters, apply each merge rule in rank order (greedy
+    * left-to-right, same fold), and return the corpus-wide token
+    * distribution `(token, n)` of the top `topK` encoded symbols.
+    *
+    * Shape at 100 TB: encoding is rank-ordered folds over the
+    * word-frequency vocabulary — |vocab| rows through `|merges|`
+    * per-row array folds, zero exchanges between folds — then ONE
+    * exchange for the token rollup and a TakeOrdered top-k. The
+    * corpus text is scanned exactly once (into the vocab); per-word
+    * work is independent of corpus size, which is why BPE serving
+    * vectorizes trivially on a 1000-executor cluster. */
+  def bpeEncode(df: DataFrame, textCol: String,
+                merges: Seq[(String, String, String)],
+                topK: Int = 30): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.Column
+    val vocab = df.select(
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(expr("transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1))").as("syms"), col("freq"))
+    val encoded = merges.foldLeft(vocab) { case (v, (l, r, m)) =>
+      v.withColumn("syms", aggregate(col("syms"),
+        array().cast("array<string>"),
+        (acc: Column, x: Column) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+            .otherwise(concat(acc, array(x)))))
+    }
+    encoded.select(explode(col("syms")).as("token"), col("freq"))
+      .groupBy("token").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topK)
+  }
 }

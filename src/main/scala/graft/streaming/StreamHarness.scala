@@ -121,6 +121,27 @@ object StreamHarness {
       "append")
   }
 
+  /** Stream-static enrichment join — the remaining streaming join
+    * kind after the stream-stream face: each streaming view event
+    * picks up its user's lifetime purchase value from a STATIC
+    * batch-computed dimension. The static side broadcasts (it is
+    * re-evaluated per micro-batch, not held in the state store), so
+    * the stream side never exchanges — the shape that holds when the
+    * stream is 100 TB/day and the dimension is millions of rows. */
+  def boundedEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val ltv = EventStream.eventsTable(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("ltv"))
+    runBounded(
+      eventsStream(spark, dir)
+        .filter(col("event_type") === "view")
+        .join(broadcast(ltv), Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          col("ltv").cast("double").as("user_ltv")),
+      "append")
+  }
+
   /** Streaming sessionization (flatMapGroupsWithState, event-time
     * timeout), drained bounded, then restricted to sessions the final
     * watermark PROVABLY closed.

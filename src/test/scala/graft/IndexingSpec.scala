@@ -165,4 +165,21 @@ class IndexingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+
+  test("bpeEncode applies learned merges greedily; counts the encoded " +
+       "distribution") {
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    // vocab: aaab freq 2, ab freq 1. merge 1: (a,a) n=4 -> "aa"
+    // aaab -> [aa,a,b]; ab -> [a,b]
+    val m1 = Seq(("a", "a", "aa"))
+    val got1 = Indexing.bpeEncode(docs, "text", m1, topK = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got1 == Map("aa" -> 2L, "a" -> 3L, "b" -> 3L))
+    // adding merge (a,b): aaab -> [aa,ab]; ab -> [ab]
+    val m2 = m1 :+ (("a", "b", "ab"))
+    val got2 = Indexing.bpeEncode(docs, "text", m2, topK = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got2 == Map("aa" -> 2L, "ab" -> 3L))
+  }
+
 }

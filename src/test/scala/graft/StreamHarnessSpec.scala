@@ -53,4 +53,19 @@ class StreamHarnessSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("bounded stream-static enrichment == batch left join") {
+    val ev = EventStream.eventsTable(spark, dir)
+    val ltv = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("ltv"))
+    val batch = ev.filter(col("event_type") === "view")
+      .join(ltv, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        col("ltv").cast("double").as("user_ltv"))
+    val streamed = StreamHarness.boundedEnrichment(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
 }
