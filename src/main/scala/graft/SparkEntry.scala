@@ -395,6 +395,37 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Salted skew join under the gate: fact×dim equi-join through the
+    // deterministic-salt replication (the fixed-plan answer when AQE
+    // is off or a downstream stage must inherit the salted
+    // distribution), then a rollup that must agree with a plain join.
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"))
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_size"))
+      SkewOps.saltedJoin(li, p, Seq("l_partkey"), saltBuckets = 8)
+        .groupBy("p_size")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("p_size")
+    }),
+
+    // Analytic-function family: ntile / percent_rank / cume_dist over
+    // a unique (totalprice, orderkey) ordering per priority class —
+    // every value is a rational of exact integers, oracle-exact.
+    "q_analytic_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    }),
+
     // Rollup (grouping-sets family — subtotals + grand total).
     "q_rollup" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -2987,6 +3018,26 @@ object SparkEntry {
     // replays learn-then-encode end-to-end: the 8-round chain with
     // the final rewrite applied, then the corpus-wide token rollup
     "q_bpe_encode" -> bpeEncodeOracleSql(8, 30),
+
+    // plain join + rollup — must equal the salted-replication plan
+    "q_salted_join" ->
+      """SELECT p_size, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY p_size ORDER BY p_size""".stripMargin,
+
+    // identical OVER clauses; the unique (totalprice, orderkey)
+    // ordering makes rank == row_number in both engines
+    "q_analytic_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // mirrors AsOfJoin.asof(direction=forward): nearest purchase
     // strictly AFTER each view per user, matched rows only
