@@ -798,6 +798,27 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Sketch QUALITY under the hash gate: the HLL++ estimate itself is
+    // implementation-defined (q_sketch_stats stays rows-only by
+    // design), but its ERROR BOUND is checkable — emit the exact NDV
+    // plus a boolean asserting the estimate landed within 3x the
+    // configured 5% rsd. The oracle predicts `true`: if the sketch
+    // ever drifts out of tolerance the flag flips and the driver's
+    // hash compare fails, which turns "rows-only" into a real gate on
+    // the approximation contract without replaying the sketch.
+    "q_sketch_quality" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_extendedprice")).as("exact_prices"),
+          approx_count_distinct(col("l_extendedprice"), 0.05)
+            .as("approx_prices"))
+        .select(col("l_returnflag"), col("exact_prices"),
+          (abs(col("approx_prices") - col("exact_prices"))
+            .cast("double") / col("exact_prices").cast("double") <= 0.15)
+            .as("within_rsd"))
+        .orderBy("l_returnflag")
+    }),
+
     // Multimodal plumbing: binary payload -> mapPartitions decode ->
     // fixed-width features. ALL THREE decode paths are real codecs
     // (PNG/WAV/AVI), and the whole path — payload synthesis,
@@ -3018,6 +3039,16 @@ object SparkEntry {
     // replays learn-then-encode end-to-end: the 8-round chain with
     // the final rewrite applied, then the corpus-wide token rollup
     "q_bpe_encode" -> bpeEncodeOracleSql(8, 30),
+
+    // the oracle asserts the sketch's error contract: exact NDV per
+    // group, and within_rsd MUST be true (a drifting sketch flips the
+    // boolean and fails the hash compare)
+    "q_sketch_quality" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_extendedprice) AS exact_prices,
+        |       true AS within_rsd
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // plain join + rollup — must equal the salted-replication plan
     "q_salted_join" ->
