@@ -426,6 +426,23 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Arbitrary GROUPING SETS (the general form cube/rollup
+    // specialize): per-flag totals, per-status totals, and the grand
+    // total in ONE Expand pass, with grouping() flags disambiguating
+    // real nulls from subtotal rows.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // Rollup (grouping-sets family — subtotals + grand total).
     "q_rollup" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -3039,6 +3056,18 @@ object SparkEntry {
     // replays learn-then-encode end-to-end: the 8-round chain with
     // the final rewrite applied, then the corpus-wide token rollup
     "q_bpe_encode" -> bpeEncodeOracleSql(8, 30),
+
+    // identical grouping sets + grouping() flags
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // the oracle asserts the sketch's error contract: exact NDV per
     // group, and within_rsd MUST be true (a drifting sketch flips the
