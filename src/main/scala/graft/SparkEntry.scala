@@ -867,6 +867,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Real thumbnail pipeline: PNG decode → box-filter average-pool to
+    // maxDim 8 → PNG re-encode → decode AGAIN for the emitted stats —
+    // two full codec round trips, so the oracle's replay of the
+    // pooling arithmetic also proves the re-encoded container is
+    // byte-valid.
+    "q_image_resize" -> ((s, dir) => {
+      val imgs = Multimodal.fromDocuments(t(s, dir, "documents"))
+        .filter(_.media_type == "image")
+      Multimodal.decode(Multimodal.resize(imgs, maxDim = 8))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("px_min"), col("px_max"), col("px_mean"))
+        .orderBy("media_id")
+    }),
+
     // Real video frame demux: AVI payload -> per-codec-frame rows with
     // pixel stats — the explode-shaped media op (1 row -> n rows) over
     // true decoded frames. Frame pixels stay map-side; only the
@@ -2256,6 +2271,53 @@ object SparkEntry {
     // [0, (b+128)%256]) — the encode→decode round trips cancel by
     // construction, which is exactly the property the codec specs'
     // round-trip tests pin down
+    // replays the synthesis rule + the box-pool arithmetic: output
+    // pixel (ox,oy) = floor(sum of box / area) with integer-division
+    // box edges — exactly the engine's pooling; pass-through branch
+    // for images already within the clamp
+    "q_image_resize" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |bytes AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(0, n), i ->
+         |      strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))*16
+         |      + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 17) AS bs,
+         |    (n_chars % 64) + 1 AS w, (n_chars % 48) + 1 AS h
+         |  FROM b),
+         |tgt AS (
+         |  SELECT doc_id, n, bs, w, h,
+         |    CASE WHEN greatest(w, h) <= 8 THEN w
+         |         ELSE greatest(1, CAST(round(w * (CAST(8 AS DOUBLE)
+         |              / greatest(w, h))) AS BIGINT)) END AS nw,
+         |    CASE WHEN greatest(w, h) <= 8 THEN h
+         |         ELSE greatest(1, CAST(round(h * (CAST(8 AS DOUBLE)
+         |              / greatest(w, h))) AS BIGINT)) END AS nh
+         |  FROM bytes),
+         |px AS (
+         |  SELECT doc_id, nw, nh,
+         |    CASE WHEN greatest(w, h) <= 8 THEN
+         |      list_transform(range(0, w*h), i ->
+         |        CASE WHEN n = 0 THEN 0 ELSE bs[(i % n) + 1] END)
+         |    ELSE
+         |      list_transform(range(0, nw*nh), o ->
+         |        list_sum(flatten(list_transform(
+         |          range((o // nw) * h // nh, ((o // nw) + 1) * h // nh),
+         |          y -> list_transform(
+         |            range((o % nw) * w // nw, ((o % nw) + 1) * w // nw),
+         |            x -> CASE WHEN n = 0 THEN 0
+         |                      ELSE bs[((y * w + x) % n) + 1] END))))
+         |        // ((((o // nw) + 1) * h // nh - (o // nw) * h // nh)
+         |           * (((o % nw) + 1) * w // nw - (o % nw) * w // nw)))
+         |    END AS ps
+         |  FROM tgt)
+         |SELECT doc_id AS media_id, nw AS width, nh AS height,
+         |       list_min(ps) AS px_min, list_max(ps) AS px_max,
+         |       CAST(list_sum(ps) AS DOUBLE) / len(ps) AS px_mean
+         |FROM px ORDER BY media_id""".stripMargin,
+
     "q_media_features" ->
       s"""WITH b AS (
          |  SELECT doc_id, n_chars, hex(encode(text)) AS hx,

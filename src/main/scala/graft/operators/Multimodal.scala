@@ -304,19 +304,56 @@ object Multimodal {
     }
   }
 
-  /** Metadata-level resize: clamp the longer image side to `maxDim`,
-    * keeping aspect ratio. STUB: payload passes through untouched (a
-    * real build re-encodes); the metadata contract is real. */
+  /** REAL pixel resize: clamp the longer image side to `maxDim`
+    * keeping aspect ratio, box-filter average-pool the decoded pixels
+    * into the target grid, and RE-ENCODE through the PNG codec — the
+    * full decode → transform → encode round trip a thumbnail pipeline
+    * runs (formerly a metadata stub; the stub boundary is closed).
+    *
+    * Pooling is exact integer arithmetic: output pixel (ox, oy)
+    * averages the box `x ∈ [ox·w/w', (ox+1)·w/w')` (integer-division
+    * boundaries, non-empty because w' ≤ maxDim < w), value =
+    * `sum / area` floored — so the DuckDB oracle can replay the whole
+    * transform from the synthesis rule without a PNG parser.
+    * Non-images and already-small images pass through untouched.
+    *
+    * Scale shape: pure per-row map; pixels decode, pool, and
+    * re-encode inside one task — payload bytes never cross an
+    * exchange. */
   def resize(items: Dataset[MediaItem], maxDim: Int): Dataset[MediaItem] = {
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
     val spark = items.sparkSession
     import spark.implicits._
     items.map { m =>
-      if (m.media_type != "image" || math.max(m.meta.width, m.meta.height) <= maxDim) m
+      if (m.media_type != "image" ||
+          math.max(m.meta.width, m.meta.height) <= maxDim) m
       else {
-        val scale = maxDim.toDouble / math.max(m.meta.width, m.meta.height)
-        m.copy(meta = m.meta.copy(
-          width = math.max(1, math.round(m.meta.width * scale).toInt),
-          height = math.max(1, math.round(m.meta.height * scale).toInt)))
+        val img = PngCodec.decode(m.payload)
+        val (w, h) = (img.width, img.height)
+        val scale = maxDim.toDouble / math.max(w, h)
+        val nw = math.max(1, math.round(w * scale).toInt)
+        val nh = math.max(1, math.round(h * scale).toInt)
+        val out = new Array[Byte](nw * nh)
+        var oy = 0
+        while (oy < nh) {
+          val y0 = oy * h / nh; val y1 = (oy + 1) * h / nh
+          var ox = 0
+          while (ox < nw) {
+            val x0 = ox * w / nw; val x1 = (ox + 1) * w / nw
+            var sum = 0L; var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { sum += img.pixels(y * w + x) & 0xff; x += 1 }
+              y += 1
+            }
+            val area = (y1 - y0).toLong * (x1 - x0)
+            out(oy * nw + ox) = (sum / area).toByte
+            ox += 1
+          }
+          oy += 1
+        }
+        m.copy(payload = PngCodec.encodeGray8(nw, nh, out),
+          meta = m.meta.copy(width = nw, height = nh))
       }
     }
   }

@@ -141,13 +141,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.map(_.f_checksum).distinct.length == 4)
   }
 
-  test("resize: clamps image dims keeping aspect, non-images untouched") {
+  test("resize: real pixel pooling, valid re-encoded PNG, aspect kept, " +
+       "non-images untouched") {
     val items = Multimodal.fromDocuments(docs)
+    val orig = items.filter($"media_id" === 0L).head()
     val resized = Multimodal.resize(items, maxDim = 20)
       .collect().map(m => m.media_id -> m).toMap
     val img = resized(0L) // image, 37x5
     assert(math.max(img.meta.width, img.meta.height) == 20)
     assert(img.meta.width > img.meta.height) // aspect preserved
+    // the payload is a REAL re-encoded PNG whose pixels are the exact
+    // integer box-pool of the original decoded pixels
+    val out = PngCodec.decode(img.payload)
+    assert((out.width, out.height) == (img.meta.width, img.meta.height))
+    val in = PngCodec.decode(orig.payload)
+    val (w, h, nw, nh) = (in.width, in.height, out.width, out.height)
+    for (oy <- 0 until nh; ox <- 0 until nw) {
+      val (y0, y1) = (oy * h / nh, (oy + 1) * h / nh)
+      val (x0, x1) = (ox * w / nw, (ox + 1) * w / nw)
+      val box = for (y <- y0 until y1; x <- x0 until x1)
+        yield (in.pixels(y * w + x) & 0xff).toLong
+      assert((out.pixels(oy * nw + ox) & 0xff) == box.sum / box.size,
+        s"pixel ($ox,$oy)")
+    }
     assert(resized(1L).meta == Multimodal.fromDocuments(docs)
       .filter($"media_id" === 1L).head().meta)
   }
