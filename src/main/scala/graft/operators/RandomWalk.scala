@@ -69,21 +69,29 @@ object RandomWalk {
         // step derives from the carried column (`s.step + 1`), not
         // lit(i): the per-step plan stays byte-identical, so codegen
         // caches across steps (the Bfs `dist + 1` lesson)
+        // the candidate stream is Σ deg(cur) rows per step (~150× the
+        // walk count on this graph) — keep it NARROW: only
+        // (walk_id, score, dst) flow into the argmin; the seed/step/
+        // path payload is re-attached afterwards by a walk-keyed join
+        // of two |walks|-sized frames. Building the path string per
+        // CANDIDATE (the old shape) did ~150× the string work and
+        // dragged it through the aggregation sort. Tie behavior is
+        // unchanged: min(struct(score, dst)) breaks score ties on
+        // dst exactly as the wide struct did.
         val cand = s.join(e.as("e"), col("s.cur") === col("e.src"))
-          .select(col("s.walk_id"), col("s.seed"),
-            (col("s.step") + 1).as("step"),
-            col("e.dst"),
-            concat(col("s.path"), lit(","), col("e.dst").cast("string"))
-              .as("path"),
+          .select(col("s.walk_id"),
             mixHash(concat(
               lpad(col("s.walk_id").cast("string"), 12, "0"),
               lit(":"), (col("s.step") + 1).cast("string"), lit(":"),
-              lpad(col("e.dst").cast("string"), 12, "0"))).as("score"))
-        val next = cand.groupBy($"walk_id")
-          .agg(min(struct($"score", $"dst", $"seed", $"step", $"path"))
-            .as("m"))
-          .select($"walk_id", $"m.seed".as("seed"), $"m.dst".as("cur"),
-            $"m.step".as("step"), $"m.path".as("path"))
+              lpad(col("e.dst").cast("string"), 12, "0"))).as("score"),
+            col("e.dst"))
+        val win = cand.groupBy($"walk_id")
+          .agg(min(struct($"score", $"dst")).as("m"))
+          .select($"walk_id", $"m.dst".as("nxt"))
+        val next = state.join(win, "walk_id")
+          .select($"walk_id", $"seed", $"nxt".as("cur"),
+            ($"step" + 1).as("step"),
+            concat($"path", lit(","), $"nxt".cast("string")).as("path"))
           .localCheckpoint(true)
         System.err.println(
           f"[walk] step $i ${(System.nanoTime() - tRound) / 1e9}%.2fs")
