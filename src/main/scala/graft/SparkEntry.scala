@@ -882,6 +882,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Real audio decimation: WAV decode → 2:1 window-average →
+    // re-encode at 8 kHz → decode again for the emitted stats. Same
+    // two-round-trip proof shape as q_image_resize.
+    "q_audio_downsample" -> ((s, dir) => {
+      val aud = Multimodal.fromDocuments(t(s, dir, "documents"))
+        .filter(_.media_type == "audio")
+      Multimodal.decode(Multimodal.downsampleAudio(aud, factor = 2))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("amp_min"), col("amp_max"), col("amp_mean"))
+        .orderBy("media_id")
+    }),
+
     // Real video frame demux: AVI payload -> per-codec-frame rows with
     // pixel stats — the explode-shaped media op (1 row -> n rows) over
     // true decoded frames. Frame pixels stay map-side; only the
@@ -975,6 +988,17 @@ object SparkEntry {
       RandomWalk.walks(copurchaseEdges(s, dir),
           walksPerVertex = RandomWalksPerVertex, steps = RandomWalkSteps)
         .orderBy("walk_id")
+    }),
+
+    // Skip-gram (center, context) pair counts from the same walk
+    // corpus — the word2vec/DeepWalk training-example step; window 2
+    // over every path position, one exchange for the pair rollup.
+    "q_walk_pairs" -> ((s, dir) => {
+      RandomWalk.skipGramPairs(
+          RandomWalk.walks(copurchaseEdges(s, dir),
+            walksPerVertex = RandomWalksPerVertex, steps = RandomWalkSteps),
+          window = 2)
+        .orderBy("center", "context")
     }),
 
     // Deterministic negative sampling on the same graph — the
@@ -1400,6 +1424,33 @@ object SparkEntry {
     * runs. DuckDB list slices are INCLUSIVE at both ends, so
     * drop-last is `acc[:-2]`. The last stage skips the rewrite (its
     * result is never read). */
+  /** Shared WITH-body replaying RandomWalk.walks: edges, the walk
+    * seeds, and one (candidate, argmin) layer per step — used by both
+    * the walks oracle and the skip-gram pairs oracle. */
+  private def walkChainSql: String = {
+    val layers = (1 to RandomWalkSteps).map { i =>
+      val rh = rhSql("lpad(CAST(s.walk_id AS VARCHAR), 12, '0') || " +
+        s"':$i:' || lpad(CAST(e.dst AS VARCHAR), 12, '0')")
+      s"""c$i AS MATERIALIZED (
+         |  SELECT s.walk_id, s.seed, e.dst, s.path, $rh AS h
+         |  FROM s${i - 1} s JOIN edges e ON s.cur = e.src),
+         |s$i AS MATERIALIZED (
+         |  SELECT walk_id, seed, dst AS cur,
+         |    path || ',' || CAST(dst AS VARCHAR) AS path
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY walk_id
+         |          ORDER BY (h * h) % ${Dedup.P}, dst) AS rn
+         |        FROM c$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$copurchaseEdgesSql,
+       |s0 AS (
+       |  SELECT v * $RandomWalksPerVertex + w AS walk_id, v AS seed,
+       |         v AS cur, CAST(v AS VARCHAR) AS path
+       |  FROM (SELECT DISTINCT src AS v FROM edges)
+       |  CROSS JOIN (SELECT unnest(range($RandomWalksPerVertex)) AS w)),
+       |$layers""".stripMargin
+  }
+
   private def bpeChainSql(n: Int, rewriteLast: Boolean): String = {
     val base =
       s"""w AS (SELECT token AS word, count(*) AS freq FROM (
@@ -2271,6 +2322,35 @@ object SparkEntry {
     // [0, (b+128)%256]) — the encode→decode round trips cancel by
     // construction, which is exactly the property the codec specs'
     // round-trip tests pin down
+    // replays synthesis + the 2:1 byte-domain window average: sample
+    // g = ((b[2g]+b[2g+1]) // 2 - 128) * 256, trailing sample alone
+    "q_audio_downsample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |bytes AS (
+         |  SELECT doc_id, n,
+         |    list_transform(range(0, n), i ->
+         |      strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))*16
+         |      + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 17) AS bs
+         |  FROM b),
+         |amps AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, (n + 1) // 2), g ->
+         |      ((CASE WHEN 2*g + 1 < n
+         |             THEN (bs[2*g + 1] + bs[2*g + 2]) // 2
+         |             ELSE bs[2*g + 1] END) - 128) * 256) AS am
+         |  FROM bytes)
+         |SELECT doc_id AS media_id, 8000 AS sample_rate,
+         |       len(am) AS n_samples,
+         |       CASE WHEN len(am) = 0 THEN 0 ELSE list_min(am) END AS amp_min,
+         |       CASE WHEN len(am) = 0 THEN 0 ELSE list_max(am) END AS amp_max,
+         |       CASE WHEN len(am) = 0 THEN 0.0
+         |            ELSE CAST(list_sum(am) AS DOUBLE) / len(am) END
+         |         AS amp_mean
+         |FROM amps ORDER BY media_id""".stripMargin,
+
     // replays the synthesis rule + the box-pool arithmetic: output
     // pixel (ox,oy) = floor(sum of box / area) with integer-division
     // box edges — exactly the engine's pooling; pass-through branch
@@ -2700,31 +2780,26 @@ object SparkEntry {
     // edge table and keeps the candidate with the smallest mixed hash
     // of (walk, step, dst) — row_number ORDER BY ((h*h)%P, dst)
     // replays the engine's min(struct(score, dst, …)) exactly
-    "q_random_walks" -> {
-      val layers = (1 to RandomWalkSteps).map { i =>
-        val rh = rhSql("lpad(CAST(s.walk_id AS VARCHAR), 12, '0') || " +
-          s"':$i:' || lpad(CAST(e.dst AS VARCHAR), 12, '0')")
-        s"""c$i AS MATERIALIZED (
-           |  SELECT s.walk_id, s.seed, e.dst, s.path, $rh AS h
-           |  FROM s${i - 1} s JOIN edges e ON s.cur = e.src),
-           |s$i AS MATERIALIZED (
-           |  SELECT walk_id, seed, dst AS cur,
-           |    path || ',' || CAST(dst AS VARCHAR) AS path
-           |  FROM (SELECT *, row_number() OVER (PARTITION BY walk_id
-           |          ORDER BY (h * h) % ${Dedup.P}, dst) AS rn
-           |        FROM c$i)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $copurchaseEdgesSql,
-         |s0 AS (
-         |  SELECT v * $RandomWalksPerVertex + w AS walk_id, v AS seed,
-         |         v AS cur, CAST(v AS VARCHAR) AS path
-         |  FROM (SELECT DISTINCT src AS v FROM edges)
-         |  CROSS JOIN (SELECT unnest(range($RandomWalksPerVertex)) AS w)),
-         |$layers
+    "q_random_walks" ->
+      s"""WITH $walkChainSql
          |SELECT walk_id, seed, cur AS final_vertex, path
-         |FROM s$RandomWalkSteps ORDER BY walk_id""".stripMargin
-    },
+         |FROM s$RandomWalkSteps ORDER BY walk_id""".stripMargin,
+
+    // same walk chain, then the window-2 skip-gram pair expansion:
+    // every path position pairs with its <=2-hop neighbours, rolled
+    // up to (center, context) counts
+    "q_walk_pairs" ->
+      s"""WITH $walkChainSql,
+         |p AS (SELECT string_split(path, ',') AS tk
+         |      FROM s$RandomWalkSteps),
+         |x AS (SELECT tk, unnest(range(len(tk))) AS i FROM p),
+         |y AS (SELECT CAST(tk[i + 1] AS BIGINT) AS center,
+         |             CAST(tk[j + 1] AS BIGINT) AS context
+         |      FROM (SELECT tk, i, unnest(range(greatest(0, i - 2),
+         |                    least(len(tk), i + 3))) AS j FROM x)
+         |      WHERE j <> i)
+         |SELECT center, context, count(*) AS n FROM y
+         |GROUP BY center, context ORDER BY center, context""".stripMargin,
 
     // mirrors RandomWalk.negativeSamples: fixed hash-order candidate
     // pool, per-vertex non-neighbor filter, hash-ranked top-k

@@ -304,6 +304,46 @@ object Multimodal {
     }
   }
 
+  /** REAL audio downsample: decode the WAV, average each consecutive
+    * `factor`-sample window, and re-encode at `rate / factor` — the
+    * decimation a speech pipeline runs before feature extraction.
+    * Averaging happens in the unsigned CENTERED-BYTE domain
+    * (`sample/256 + 128` — exactly the synthesis domain, all-positive
+    * integers), so the floor of the window mean is engine-portable
+    * (DuckDB's `//` truncates toward zero on negatives, Java's
+    * `floorDiv` floors — positive-domain arithmetic sidesteps the
+    * disagreement) and the DuckDB oracle replays the transform
+    * exactly. The trailing partial window averages over its own
+    * length. Pure per-row map; payloads never cross an exchange. */
+  def downsampleAudio(items: Dataset[MediaItem],
+                      factor: Int): Dataset[MediaItem] = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.map { m =>
+      if (m.media_type != "audio") m
+      else {
+        val wav = WavCodec.decode(m.payload)
+        val n = wav.numSamples
+        val nOut = (n + factor - 1) / factor
+        val out = new Array[Short](nOut)
+        var g = 0
+        while (g < nOut) {
+          val start = g * factor
+          val end = math.min(n, start + factor)
+          var sum = 0L; var i = start
+          while (i < end) { sum += wav.sample(i) / 256 + 128; i += 1 }
+          out(g) = (((sum / (end - start)).toInt - 128) * 256).toShort
+          g += 1
+        }
+        val newRate = math.max(1, wav.sampleRate / factor)
+        m.copy(payload = WavCodec.encodePcm16(newRate, out),
+          meta = m.meta.copy(sampleRateHz = newRate,
+            durationMs = nOut * 1000L / newRate))
+      }
+    }
+  }
+
   /** REAL pixel resize: clamp the longer image side to `maxDim`
     * keeping aspect ratio, box-filter average-pool the decoded pixels
     * into the target grid, and RE-ENCODE through the PNG codec — the

@@ -104,6 +104,29 @@ object RandomWalk {
     state.select($"walk_id", $"seed", $"cur".as("final_vertex"), $"path")
   }
 
+  /** Skip-gram pair counts from a walk corpus: every position in
+    * every walk path pairs with the vertices within `window` hops —
+    * the word2vec/DeepWalk training-example generation step that
+    * consumes [[walks]]' output. Pure per-walk array expansion
+    * (≤ 2·window pairs per position, no join) and ONE exchange for
+    * the (center, context) rollup; at 100 TB of walks this is a
+    * projection + one keyed aggregation, nothing quadratic. */
+  def skipGramPairs(walkDf: DataFrame, window: Int = 2): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    walkDf
+      .select(split(col("path"), ",").cast("array<long>").as("vs"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(vs) - 1), i ->
+           |  transform(filter(sequence(greatest(0, i - $window),
+           |                            least(size(vs) - 1, i + $window)),
+           |                   j -> j != i),
+           |    j -> struct(element_at(vs, i + 1) AS center,
+           |                element_at(vs, j + 1) AS context))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Deterministic negative sampling: for every vertex, the k
     * hash-best candidates from a fixed global candidate pool that are
     * NOT neighbors — the negative pairs a contrastive embedding /

@@ -389,4 +389,26 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       AviCodec.decode(good, maxPixelsPerFrame = 8))
     assert(e.getMessage.contains("maxPixelsPerFrame"))
   }
+
+  test("downsampleAudio: 2:1 window average in byte domain, trailing " +
+       "sample alone, valid re-encoded WAV") {
+    val items = Multimodal.fromDocuments(docs)
+    val orig = items.filter($"media_id" === 1L).head() // audio
+    val down = Multimodal.downsampleAudio(items, factor = 2)
+      .collect().map(m => m.media_id -> m).toMap
+    val wavIn = WavCodec.decode(orig.payload)
+    val wavOut = WavCodec.decode(down(1L).payload)
+    assert(wavOut.sampleRate == wavIn.sampleRate / 2)
+    assert(wavOut.numSamples == (wavIn.numSamples + 1) / 2)
+    for (g <- 0 until wavOut.numSamples) {
+      val bytes = (g * 2 until math.min(wavIn.numSamples, g * 2 + 2))
+        .map(i => wavIn.sample(i) / 256 + 128)
+      val want = (bytes.sum / bytes.size - 128) * 256
+      assert(wavOut.sample(g) == want, s"sample $g")
+    }
+    // non-audio untouched
+    assert(down(0L).payload.sameElements(
+      items.filter($"media_id" === 0L).head().payload))
+  }
+
 }

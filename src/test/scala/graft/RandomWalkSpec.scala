@@ -81,4 +81,21 @@ class RandomWalkSpec extends AnyFunSuite with SparkTestBase {
     assert(minGreedy < a.size / 4,
       s"$minGreedy/${a.size} walks are min-neighbor-greedy — hash not mixing")
   }
+
+  test("skipGramPairs: window-2 expansion on a known path set") {
+    import spark.implicits._
+    val walks = Seq((0L, 1L, 4L, "1,2,3,4")).toDF(
+      "walk_id", "seed", "final_vertex", "path")
+    val got = RandomWalk.skipGramPairs(walks, window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // pairs: each position i with j in [i-2, i+2], j != i
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val want = (for {
+      i <- vs.indices; j <- vs.indices
+      if i != j && math.abs(i - j) <= 2
+    } yield (vs(i), vs(j))).groupBy(identity)
+      .map { case (p, xs) => (p._1, p._2, xs.size.toLong) }.toSet
+    assert(got == want)
+  }
+
 }
