@@ -2383,12 +2383,13 @@ object SparkEntry {
          |        CASE WHEN n = 0 THEN 0 ELSE bs[(i % n) + 1] END)
          |    ELSE
          |      list_transform(range(0, nw*nh), o ->
-         |        list_sum(flatten(list_transform(
+         |        CAST(list_sum(flatten(list_transform(
          |          range((o // nw) * h // nh, ((o // nw) + 1) * h // nh),
          |          y -> list_transform(
          |            range((o % nw) * w // nw, ((o % nw) + 1) * w // nw),
          |            x -> CASE WHEN n = 0 THEN 0
          |                      ELSE bs[((y * w + x) % n) + 1] END))))
+         |          AS BIGINT)
          |        // ((((o // nw) + 1) * h // nh - (o // nw) * h // nh)
          |           * (((o % nw) + 1) * w // nw - (o % nw) * w // nw)))
          |    END AS ps
