@@ -79,7 +79,14 @@ object StreamHarness {
             " — event-time timeouts were never evaluated")
       }
     } finally q.stop()
-    spark.table(name)
+    // hand the result over as a checkpointed frame and DROP the memory
+    // sink: the sink pins its full result in the driver for the
+    // session's lifetime, and a 100-query bench accumulates one per
+    // streaming run — checkpoint blocks, by contrast, are released by
+    // the harness's per-query unpersist sweep
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Streaming windowed counts, complete mode: every window is in the

@@ -18,8 +18,9 @@ object SparkTestBase {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      // driver testdata writes TIMESTAMP(NANOS) parquet (events.ts);
-      // Spark only reads it as long — EventStream.eventTime converts
+      // tolerate legacy TIMESTAMP(NANOS) parquet (events.ts was nanos
+      // until round 11; it is timestamp[us] now — EventStream
+      // negotiates the unit from the file schema either way)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
