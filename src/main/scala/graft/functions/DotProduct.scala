@@ -118,3 +118,62 @@ object SortedIntersectSizeExpr {
     ColumnBridge.column(SortedIntersectSizeExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** `sorted_intersect(a, b)` — the DISTINCT common values of two
+  * ascending-sorted `array<long>` columns, as one merge scan. The
+  * element-returning sibling of [[SortedIntersectSizeExpr]] for
+  * consumers that need the members themselves (per-vertex triangle
+  * crediting), with the same contract (inputs sorted ascending;
+  * equal runs emit once) and the same reason to exist:
+  * `array_intersect` builds a per-row hash set and pays an
+  * interpreted collection path, this is one codegen'd merge that
+  * also emits its result already sorted. */
+case class SortedIntersectExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    LongType, containsNull = false)
+  override def prettyName: String = "sorted_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectExpr.intersect(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectExpr.intersect($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectExpr {
+
+  /** Referenced from generated code — keep public and static-shaped. */
+  def intersect(a: ArrayData, b: ArrayData):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        out(c) = x; c += 1
+        val v = x
+        while (i < na && a.getLong(i) == v) i += 1
+        while (j < nb && b.getLong(j) == v) j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, c))
+  }
+
+  def sorted_intersect(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

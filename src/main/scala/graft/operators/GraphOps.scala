@@ -156,13 +156,17 @@ object GraphOps {
           col("hi")).otherwise(col("lo")).as("dst"))
     val adjOut = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    // triangles at their (u,v) edge; ws = the third corners
+    // triangles at their (u,v) edge; ws = the third corners — the
+    // native sorted merge (adjacency arrays come out of sort_array),
+    // not array_intersect's per-row hash set (the q_triangle_count
+    // lesson, element-returning variant)
     val tri = oriented
       .join(adjOut.select(col("src"), col("nbrs").as("nu")), "src")
       .join(adjOut.select(col("src").as("dst"), col("nbrs").as("nv")),
         Seq("dst"))
       .select(col("src").as("u"), col("dst").as("v"),
-        array_intersect(col("nu"), col("nv")).as("ws"))
+        graft.functions.SortedIntersectExpr
+          .sorted_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
     val credits = tri
       .select(explode(array(col("u"), col("v"))).as("id"),
