@@ -443,6 +443,23 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Nearest-direction as-of: each view matched to its CLOSEST
+    // purchase in either direction (ties prefer backward) — completes
+    // the temporal-join family (backward / forward / nearest).
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = EventStream.eventsTable(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOfJoin.asofNearest(views, purchases, Seq("user_id"), "ts",
+          "event_id", Seq())
+        .filter(col("asof_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts"), col("asof_dir"))
+        .orderBy("event_id")
+    }),
+
     // Rollup (grouping-sets family — subtotals + grand total).
     "q_rollup" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -3247,6 +3264,34 @@ object SparkEntry {
         |SELECT v.event_id, v.user_id, v.ts, min(p.ts) AS asof_ts
         |FROM v JOIN p ON p.user_id = v.user_id AND p.ts > v.ts
         |GROUP BY v.event_id, v.user_id, v.ts
+        |ORDER BY v.event_id""".stripMargin,
+
+    // nearest = the closer of max-prior and min-later per view; exact
+    // ties prefer backward (pandas merge_asof semantics)
+    "q_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type FROM events),
+        |v AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase'),
+        |b AS (SELECT v.event_id, max(p.ts) AS bt
+        |      FROM v JOIN p ON p.user_id = v.user_id AND p.ts < v.ts
+        |      GROUP BY v.event_id),
+        |f AS (SELECT v.event_id, min(p.ts) AS ft
+        |      FROM v JOIN p ON p.user_id = v.user_id AND p.ts > v.ts
+        |      GROUP BY v.event_id)
+        |SELECT v.event_id, v.user_id, v.ts,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+        |            epoch_us(v.ts) - epoch_us(bt)
+        |              <= epoch_us(ft) - epoch_us(v.ts))
+        |       THEN bt ELSE ft END AS asof_ts,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+        |            epoch_us(v.ts) - epoch_us(bt)
+        |              <= epoch_us(ft) - epoch_us(v.ts))
+        |       THEN 'backward' ELSE 'forward' END AS asof_dir
+        |FROM v
+        |LEFT JOIN b ON b.event_id = v.event_id
+        |LEFT JOIN f ON f.event_id = v.event_id
+        |WHERE bt IS NOT NULL OR ft IS NOT NULL
         |ORDER BY v.event_id""".stripMargin,
 
     // mirrors Snapshot.upsert over the same deterministic update

@@ -129,4 +129,45 @@ object AsOfJoin {
         valueCols.map(c => col(s"__m.$c").as(s"asof_$c")) ++
         leftCols.filterNot(keyCols.contains).filterNot(_ == tsCol).map(col): _*)
   }
+
+  /** Nearest-direction as-of (pandas merge_asof `direction="nearest"`):
+    * per left row, the CLOSER of the nearest strictly-prior and
+    * nearest strictly-later right rows; exact ties prefer backward
+    * (pandas semantics). Adds `asof_dir` ("backward"/"forward", null
+    * when nothing matched within tolerance).
+    *
+    * Built as the backward and forward passes joined on `idCol` — a
+    * UNIQUE left-row key the caller must provide (real event streams
+    * have one; joining on it keeps the combine exact instead of
+    * guessing row identity from payload columns). Cost: each pass is
+    * the one-exchange union-window, plus one |left|-sized equi-join
+    * to combine — still nothing pair-shaped. */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  tsCol: String, idCol: String, valueCols: Seq[String],
+                  toleranceUs: Option[Long] = None): DataFrame = {
+    require(left.columns.contains(idCol), s"left is missing idCol $idCol")
+    val back = asof(left, right, keyCols, tsCol, valueCols, toleranceUs,
+      "backward")
+    val fwd = asof(left, right, keyCols, tsCol, valueCols, toleranceUs,
+      "forward")
+    val bRen = ("asof_ts" +: valueCols.map(c => s"asof_$c"))
+      .foldLeft(back)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
+    val fSel = fwd.select(col(idCol) +:
+      ("asof_ts" +: valueCols.map(c => s"asof_$c"))
+        .map(c => col(c).as(s"__f_$c")): _*)
+    val j = bRen.join(fSel, Seq(idCol))
+    val bT = col("__b_asof_ts"); val fT = col("__f_asof_ts")
+    val useBack = bT.isNotNull && (fT.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(bT) <=
+        unix_micros(fT) - unix_micros(col(tsCol)))
+    val outCols =
+      j.columns.filterNot(_.startsWith("__")).map(col) ++
+        Seq(when(useBack, bT).otherwise(fT).as("asof_ts"),
+          when(bT.isNull && fT.isNull, lit(null).cast("string"))
+            .when(useBack, lit("backward")).otherwise(lit("forward"))
+            .as("asof_dir")) ++
+        valueCols.map(c => when(useBack, col(s"__b_asof_$c"))
+          .otherwise(col(s"__f_asof_$c")).as(s"asof_$c"))
+    j.select(outCols.toIndexedSeq: _*)
+  }
 }

@@ -116,4 +116,36 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(tol("a") == Some(150L) && tol("b").isEmpty)
   }
 
+
+  test("nearest direction: closer side wins, exact tie prefers " +
+       "backward, tolerance nulls both") {
+    val left = Seq((1L, 10L, 100L), (1L, 11L, 205L), (1L, 12L, 500L),
+      (2L, 13L, 50L)).toDF("k", "id", "us")
+      .select(col("k"), col("id"), timestamp_micros(col("us")).as("ts"))
+    val right = Seq((1L, 200L, 1.0), (1L, 210L, 2.0), (1L, 400L, 3.0))
+      .toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    val got = graft.operators.AsOfJoin.asofNearest(left, right, Seq("k"),
+        "ts", "id", Seq("v"))
+      .select(col("id"), unix_micros(col("asof_ts")), col("asof_dir"),
+        col("asof_v"))
+      .as[(Long, Option[Long], Option[String], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // id 10 @100: only later rows; nearest forward = 200
+    assert(got(10L) == ((Some(200L), Some("forward"), Some(1.0))))
+    // id 11 @205: backward 200 (gap 5) vs forward 210 (gap 5) — tie
+    // prefers backward
+    assert(got(11L) == ((Some(200L), Some("backward"), Some(1.0))))
+    // id 12 @500: backward 400 (gap 100) only direction that is closer
+    assert(got(12L) == ((Some(400L), Some("backward"), Some(3.0))))
+    // id 13: no right rows for key 2
+    assert(got(13L) == ((None, None, None)))
+    // tolerance 50us: id 12's gap 100 is out of range both ways
+    val tol = graft.operators.AsOfJoin.asofNearest(left, right, Seq("k"),
+        "ts", "id", Seq("v"), toleranceUs = Some(50L))
+      .select(col("id"), unix_micros(col("asof_ts")))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(tol(11L) == Some(200L) && tol(12L).isEmpty)
+  }
+
 }
