@@ -288,6 +288,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The SQL SURFACE of the extension functions: the same engine
+    // primitives (rolling_hash, token_hashes, simhash) invoked through
+    // a plain spark.sql string over a registered view — the route a
+    // SQL-only user takes (SparkSessionExtensions / register()).
+    "q_sql_surface" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      val out = s.sql(
+        """SELECT doc_id,
+          |       rolling_hash(text) AS text_hash,
+          |       simhash(token_hashes(text)) AS fingerprint
+          |FROM graft_docs ORDER BY doc_id""".stripMargin)
+      s.catalog.dropTempView("graft_docs")
+      out
+    }),
+
     // SimHash near-dup pairs (banded Hamming-ball search — exact by
     // pigeonhole, never all-pairs).
     "q_simhash_near_dups" -> ((s, dir) => {
@@ -1958,6 +1974,15 @@ object SparkEntry {
     "q_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, sh AS simhash FROM sim ORDER BY doc_id""".stripMargin,
+
+    // same primitives replayed: polynomial hash over the raw text +
+    // the simhash CTE (identical to q_simhash's fingerprint)
+    "q_sql_surface" ->
+      s"""WITH $simhashCte
+         |SELECT d.doc_id, ${rhSql("d.text")} AS text_hash,
+         |       sim.sh AS fingerprint
+         |FROM documents d JOIN sim ON sim.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // semantic mirror is the brute-force all-pairs join — prefix
     // filtering is exact, so the oracle needn't replicate it
