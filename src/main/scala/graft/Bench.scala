@@ -84,7 +84,16 @@ object Bench {
     "q_kcore", "q_label_prop", "q_sssp_copurchase", "q_bfs_paths_golden",
     // r11 additions, first driver round — full spread from the start
     "q_bfs_paths_copurchase", "q_kcore_converged", "q_ann_q8",
-    "q_ann_ivf_q8")
+    "q_ann_ivf_q8",
+    // r12 verdict item 1: the heavies that entered (or stayed) under
+    // min-of-2 while showing multi-x run spreads in at least one
+    // artifact — q_random_walks read [9.6, 23.2] in the builder's
+    // final r12 run for hash-identical output. Three runs + the
+    // per-run cpu deltas make load-vs-plan adjudicable from the
+    // artifact alone.
+    "q_random_walks", "q_walk_pairs", "q_clustering_coeff",
+    "q_incremental_dedup", "q_edit_near_dups", "q_negative_samples",
+    "q_streaming_attribution", "q_embedding_near_dups_ivf")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry
