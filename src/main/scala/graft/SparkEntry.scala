@@ -456,7 +456,13 @@ object SparkEntry {
           count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))
-        .orderBy("l_returnflag", "l_linestatus")
+        // NULLS FIRST pinned on BOTH sides (the q_rollup convention):
+        // Spark's default asc is nulls-first but DuckDB's is
+        // nulls-LAST, so relying on defaults leaves the row orders
+        // divergent — harmless under today's order-insensitive
+        // compare, wrong the day it isn't (r12 advice)
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
     }),
 
     // Nearest-direction as-of: each view matched to its CLOSEST
@@ -1245,6 +1251,33 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("valid_from"))
     }),
 
+    // Point-in-time lookup against the SAME SCD2 history (r12 verdict
+    // item 3) — the `valid_from <= t < valid_to` probe the history
+    // table exists for: every doc probed at t = 1, 2, 3, so the probe
+    // set crosses version boundaries (t=1 pre-reprocess, t=2 post, t=3
+    // lands on the %17 tombstones with deleted=true). ONE id-keyed
+    // equi-join; the interval predicate is a residual filter.
+    "q_scd2_asof" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val log = d.withColumn("version", lit(1L))
+        .withColumn("deleted", lit(false))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .withColumn("lang", lit("und"))
+          .withColumn("version", lit(2L))
+          .withColumn("deleted", lit(false)))
+        .unionByName(d.filter(col("doc_id") % 17 === 0)
+          .withColumn("version", lit(3L))
+          .withColumn("deleted", lit(true)))
+      val hist = Snapshot.scd2History(log, "doc_id", "version")
+      val probes = d.select(col("doc_id"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("t"))
+      Snapshot.asOf(hist, probes, "doc_id", "t")
+        .select(col("doc_id"), col("t"), col("lang"), col("source"),
+          col("version"), col("deleted"))
+        .orderBy("doc_id", "t")
+    }),
+
     // Change-data feed between the v1 snapshot and the upserted
     // corpus (same log as q_snapshot_upsert): one row per id that was
     // added / removed / changed — |delta| output, one full-outer
@@ -1462,8 +1495,14 @@ object SparkEntry {
     * the walks oracle and the skip-gram pairs oracle. */
   private def walkChainSql: String = {
     val layers = (1 to RandomWalkSteps).map { i =>
-      val rh = rhSql("lpad(CAST(s.walk_id AS VARCHAR), 12, '0') || " +
-        s"':$i:' || lpad(CAST(e.dst AS VARCHAR), 12, '0')")
+      // pure-BIGINT replay of RandomWalk.walkScore: the pre-square
+      // linear mix here, squared mod P in the ORDER BY below — no
+      // string functions, same four integer ops the engine runs. The
+      // step term is a per-layer constant, folded HERE so DuckDB never
+      // sees an INT32*INT32 literal product (it overflow-checks those).
+      val stepTerm = (i.toLong * RandomWalk.MixB) % Dedup.P
+      val rh = s"((s.walk_id % ${Dedup.P}) * ${RandomWalk.MixA} + " +
+        s"$stepTerm + (e.dst % ${Dedup.P})) % ${Dedup.P}"
       s"""c$i AS MATERIALIZED (
          |  SELECT s.walk_id, s.seed, e.dst, s.path, $rh AS h
          |  FROM s${i - 1} s JOIN edges e ON s.cur = e.src),
@@ -2847,9 +2886,13 @@ object SparkEntry {
     // mirrors RandomWalk.negativeSamples: fixed hash-order candidate
     // pool, per-vertex non-neighbor filter, hash-ranked top-k
     "q_negative_samples" -> {
-      val poolH = rhSql("lpad(CAST(id AS VARCHAR), 12, '0') || ':cand'")
-      val pairH = rhSql("lpad(CAST(id AS VARCHAR), 12, '0') || ':' || " +
-        "lpad(CAST(cand AS VARCHAR), 12, '0')")
+      // pure-BIGINT replay of RandomWalk.negativeSamples' two hash
+      // families (pool membership / pair score) — pre-square mixes,
+      // squared mod P at the use sites below
+      val poolH = s"((id % ${Dedup.P}) * ${RandomWalk.MixA} + " +
+        s"${RandomWalk.SaltCand}) % ${Dedup.P}"
+      val pairH = s"((id % ${Dedup.P}) * ${RandomWalk.MixA} + " +
+        s"(cand % ${Dedup.P}) * ${RandomWalk.MixB}) % ${Dedup.P}"
       s"""WITH $copurchaseEdgesSql,
          |verts AS (SELECT DISTINCT src AS id FROM edges),
          |pool AS (
@@ -3247,7 +3290,8 @@ object SparkEntry {
         |         AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin,
 
     // the oracle asserts the sketch's error contract: exact NDV per
     // group, and within_rsd MUST be true (a drifting sketch flips the
@@ -3373,6 +3417,43 @@ object SparkEntry {
          |  lag(version) OVER (PARTITION BY doc_id
          |                     ORDER BY version DESC) IS NULL AS is_current
          |FROM t2 ORDER BY doc_id, valid_from""".stripMargin,
+
+    // same history chain, then the point-in-time probe join: each
+    // (doc_id, t) picks the unique interval with valid_from <= t <
+    // valid_to (null valid_to = open)
+    "q_scd2_asof" ->
+      s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
+         |log AS (
+         |  SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS version,
+         |         false AS deleted FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 'und', source, 2, false FROM d
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, lang, source, 3, true FROM d
+         |  WHERE doc_id % 17 = 0),
+         |t1 AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY version DESC) AS rn,
+         |    lag(version) OVER (PARTITION BY doc_id
+         |                       ORDER BY version DESC) AS pv
+         |  FROM log),
+         |t2 AS (SELECT doc_id, lang, source, version, deleted FROM t1
+         |       WHERE rn = 1 OR pv <> version),
+         |hist AS (
+         |  SELECT doc_id, lang, source, version, deleted,
+         |    version AS valid_from,
+         |    lag(version) OVER (PARTITION BY doc_id
+         |                       ORDER BY version DESC) AS valid_to
+         |  FROM t2),
+         |probes AS (
+         |  SELECT doc_id, CAST(unnest([1, 2, 3]) AS BIGINT) AS t FROM d)
+         |SELECT p.doc_id, p.t, h.lang, h.source, h.version, h.deleted
+         |FROM probes p JOIN hist h
+         |  ON h.doc_id = p.doc_id AND h.valid_from <= p.t
+         |  AND (h.valid_to IS NULL OR h.valid_to > p.t)
+         |ORDER BY p.doc_id, p.t""".stripMargin,
 
     // replays both snapshots (v1 and the upsert result), FULL JOINs
     // on the id, and keeps only added/removed/changed rows

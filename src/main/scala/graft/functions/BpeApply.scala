@@ -24,17 +24,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * learned merge table), shipped via a codegen reference object.
   */
 case class BpeApplyExpr(child: Expression,
-                        rules: Array[Array[UTF8String]])
+                        rules: Seq[(UTF8String, UTF8String, UTF8String)])
     extends UnaryExpression {
+
+  // rules is a Seq of tuples, NOT Array[Array[_]] (r12 advice): array
+  // equality is reference-based, so the Array form made two
+  // semantically identical expressions never compare equal —
+  // canonicalization / semanticEquals / common-subexpression
+  // elimination all silently missed. Seq+tuple equality is structural
+  // (UTF8String.equals is value-based). The eval/codegen sides bind
+  // the flat array form once, here.
+  @transient private lazy val ruleArr: Array[Array[UTF8String]] =
+    rules.map { case (l, r, m) => Array(l, r, m) }.toArray
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_apply"
 
   override def nullSafeEval(a: Any): Any =
-    BpeApplyExpr.applyRules(a.asInstanceOf[ArrayData], rules)
+    BpeApplyExpr.applyRules(a.asInstanceOf[ArrayData], ruleArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val rulesRef = ctx.addReferenceObj("bpeRules", rules,
+    val rulesRef = ctx.addReferenceObj("bpeRules", ruleArr,
       "org.apache.spark.unsafe.types.UTF8String[][]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.BpeApplyExpr.applyRules($c, $rulesRef)")
@@ -73,9 +83,9 @@ object BpeApplyExpr {
   def bpe_apply(syms: Column,
                 merges: Seq[(String, String, String)]): Column = {
     val rules = merges.map { case (l, r, m) =>
-      Array(UTF8String.fromString(l), UTF8String.fromString(r),
+      (UTF8String.fromString(l), UTF8String.fromString(r),
         UTF8String.fromString(m))
-    }.toArray
+    }
     ColumnBridge.column(BpeApplyExpr(ColumnBridge.expression(syms), rules))
   }
 }

@@ -1,10 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-
-import graft.operators.Indexing.mixHash
 
 /** Deterministic random-walk generation: the walk-corpus operator a
   * graph-embedding pipeline consumes (DeepWalk/node2vec train on walk
@@ -35,6 +33,35 @@ import graft.operators.Indexing.mixHash
   *    costs more than it saves at this shape — measured on BFS).
   */
 object RandomWalk {
+
+  /** Pure-BIGINT candidate scorer (r12 verdict item 2). The r9-r12
+    * scorer hashed `concat(lpad(walk_id), ':', step, ':', lpad(dst))`
+    * — a string build + 31-ary rolling hash PER CANDIDATE EDGE,
+    * Σ deg(cur) of them per step, the inner loop of the heaviest
+    * iterative family. Same determinism contract in four integer ops:
+    *
+    *   h     = (walk_id·A + step·B + dst) mod P   (inputs reduced mod P)
+    *   score = h² mod P
+    *
+    * The linear form alone would make the per-candidate order a fixed
+    * rotation of dst (the corpusShuffle linear-hash failure); squaring
+    * wraps the modulus ~h²/P times between adjacent dst values, which
+    * restores avalanche — the exact argument in [[Indexing.mixHash]]'s
+    * scaladoc, minus the string. Bounds: every factor is < P ≈ 1e9, so
+    * all products stay < ~2e18 < 2⁶³ in BOTH engines — DuckDB replays
+    * this in plain BIGINT arithmetic with no string functions at all.
+    * Constants are `private[graft]` so the SparkEntry oracle SQL
+    * interpolates the same values — one source, no drift. */
+  private[graft] val MixA = 1103515245L // classic LCG multiplier, < P
+  private[graft] val MixB = 779359397L // large odd salt multiplier, < P
+  private[graft] val SaltCand = 104729L // pool-membership salt (negatives)
+  private val P = Dedup.P
+
+  private def sqMod(h: Column): Column = (h * h) % P
+
+  private[graft] def walkScore(walkId: Column, step: Column,
+                               dst: Column): Column =
+    sqMod((pmod(walkId, lit(P)) * MixA + step * MixB + pmod(dst, lit(P))) % P)
 
   /** One walk of `steps` steps from every vertex, `walksPerVertex`
     * times. Output: (walk_id, seed, final_vertex, path) — path is the
@@ -80,10 +107,8 @@ object RandomWalk {
         // dst exactly as the wide struct did.
         val cand = s.join(e.as("e"), col("s.cur") === col("e.src"))
           .select(col("s.walk_id"),
-            mixHash(concat(
-              lpad(col("s.walk_id").cast("string"), 12, "0"),
-              lit(":"), (col("s.step") + 1).cast("string"), lit(":"),
-              lpad(col("e.dst").cast("string"), 12, "0"))).as("score"),
+            walkScore(col("s.walk_id"), col("s.step") + 1, col("e.dst"))
+              .as("score"),
             col("e.dst"))
         val win = cand.groupBy($"walk_id")
           .agg(min(struct($"score", $"dst")).as("m"))
@@ -157,17 +182,18 @@ object RandomWalk {
     import spark.implicits._
 
     val adj = GraphOps.adjacency(edges)
+    // pool membership and pair score in the same pure-BIGINT mix the
+    // walk scorer uses (see walkScore scaladoc) — distinct salts keep
+    // the two hash families independent
     val cands = adj.select($"id".as("cand"),
-        mixHash(concat(lpad($"id".cast("string"), 12, "0"), lit(":cand")))
-          .as("ch"))
+        sqMod((pmod($"id", lit(P)) * MixA + SaltCand) % P).as("ch"))
       .orderBy($"ch", $"cand")
       .limit(candidatePool)
       .select($"cand")
     val scored = adj.join(broadcast(cands), lit(true))
       .filter($"cand" =!= $"id" && !array_contains($"neighbours", $"cand"))
-      .withColumn("score", mixHash(concat(
-        lpad($"id".cast("string"), 12, "0"), lit(":"),
-        lpad($"cand".cast("string"), 12, "0"))))
+      .withColumn("score", sqMod(
+        (pmod($"id", lit(P)) * MixA + pmod($"cand", lit(P)) * MixB) % P))
     scored.groupBy($"id")
       .agg(graft.functions.TopKBySim.top_k_by_sim(
         -$"score".cast("double"), $"cand", k).as("tk"))

@@ -86,6 +86,34 @@ object Snapshot {
       .drop("_rn", "_prev_v")
   }
 
+  /** Point-in-time probe against a [[scd2History]] table — the lookup
+    * the history table exists for: for each `(id, t)` probe row, the
+    * one version row valid at `t`, i.e. `valid_from <= t < valid_to`
+    * (null `valid_to` = the open/current interval). Probes before an
+    * id's first version get NO row (inner join): absence of history
+    * is a real answer, not a null payload to misread downstream.
+    *
+    * Shape at 100 TB: ONE equi-exchange on the id; the interval
+    * predicate rides the join as a residual filter. No range
+    * explosion is possible — SCD2 intervals of one id are disjoint by
+    * construction, so every probe matches at most one history row. */
+  def asOf(history: DataFrame, probes: DataFrame, idCol: String,
+           tCol: String): DataFrame = {
+    require(history.columns.contains("valid_from") &&
+      history.columns.contains("valid_to"),
+      s"history must be scd2History output, got ${history.columns.toSeq}")
+    val h = history.as("h")
+    val p = probes.as("p")
+    val payload = history.columns.toSeq
+      .filterNot(c => c == idCol || c == tCol)
+      .map(c => col(s"h.$c"))
+    p.join(h, col(s"p.$idCol") === col(s"h.$idCol") &&
+        col("h.valid_from") <= col(s"p.$tCol") &&
+        (col("h.valid_to").isNull || col("h.valid_to") > col(s"p.$tCol")))
+      .select(col(s"p.$idCol").as(idCol) +: col(s"p.$tCol").as(tCol) +:
+        payload: _*)
+  }
+
   /** Change-data feed between two snapshots of the same table: one
     * row per id whose payload was `added`, `removed`, or `changed`
     * from `before` to `after` — the diff a downstream consumer reads
@@ -104,10 +132,20 @@ object Snapshot {
     * (the layout [[graft.sources]] bucketed tables provide) even
     * that exchange disappears. */
   def diff(before: DataFrame, after: DataFrame, idCol: String): DataFrame = {
-    require(before.columns.toSeq == after.columns.toSeq,
-      s"snapshot schemas differ: ${before.columns.toSeq} " +
+    // column SETS must match, not column order (r12 advice): a
+    // reordered projection of the same snapshot is diff-safe because
+    // both sides are re-selected in before's order below. And a
+    // payload-less table fails HERE with a real message — struct() of
+    // zero fields would otherwise die at analysis with an opaque error.
+    require(before.columns.toSet == after.columns.toSet,
+      s"snapshot column sets differ: ${before.columns.toSeq} " +
         s"vs ${after.columns.toSeq}")
-    val payload = before.columns.filterNot(_ == idCol).map(col).toSeq
+    require(before.columns.contains(idCol),
+      s"id column '$idCol' not present in ${before.columns.toSeq}")
+    val payloadNames = before.columns.toSeq.filterNot(_ == idCol)
+    require(payloadNames.nonEmpty,
+      s"diff needs at least one non-id payload column (got only '$idCol')")
+    val payload = payloadNames.map(col)
     val b = before.select(col(idCol), struct(payload: _*).as("before"))
     val a = after.select(col(idCol), struct(payload: _*).as("after"))
     b.join(a, Seq(idCol), "full_outer")

@@ -76,7 +76,22 @@ object EventStream extends Serializable {
         // pure type adaptation: the wall-clock digits become the same
         // µs instant DuckDB's no-TZ TIMESTAMP carries
         col("ts").cast(TimestampType)
-      case LongType         => eventTime(col("ts"))
+      case LongType         =>
+        // magnitude sanity guard (r12 advice): a ns-epoch for any date
+        // in 1971..2200 is >= ~3.2e16, while a µs- or ms-unit epoch for
+        // the same range is 3-6 orders of magnitude smaller. Without
+        // this, a producer switching to µs-unit INT64 would sail
+        // through the ns→µs division and land 1000× off — exactly the
+        // silent mis-scaling the negotiation exists to prevent. Fail
+        // per-row and loudly instead.
+        val minNs = 31536000000000000L // 1971-01-01T00:00Z in ns
+        val maxNs = 7258118400000000000L // 2200-01-01T00:00Z in ns
+        when(col("ts").isNull, lit(null).cast(TimestampType))
+          .when(col("ts").between(minNs, maxNs), eventTime(col("ts")))
+          .otherwise(raise_error(concat(
+            lit("events.ts: long value "), col("ts").cast("string"),
+            lit(" is not a plausible ns-epoch (1971..2200) — did the" +
+              " producer switch to ms/µs units?"))).cast(TimestampType))
       case other => sys.error(
         s"events.ts: unsupported type $other (expected timestamp or ns-long)")
     }

@@ -35,13 +35,25 @@ object StreamHarness {
     // the file-stream source monitors a DIRECTORY (the production
     // layout — files arrive over time); testdata ships a single file,
     // so shim it with an O(1) symlink directory rather than a copy
-    val streamDir = java.nio.file.Paths.get(
-      "/tmp", s"graft-stream-events-${Integer.toHexString(dir.hashCode)}")
+    // keyed by a strong content hash of the FULL source path (r12
+    // advice): String.hashCode is 32-bit and collision-prone, and two
+    // distinct testdata dirs colliding would silently stream the wrong
+    // file. 16 hex chars of SHA-256 makes a collision implausible.
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val streamDir = java.nio.file.Paths.get("/tmp", s"graft-stream-events-$key")
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events-0.parquet")
-    if (!java.nio.file.Files.exists(link))
+    // Files.exists FOLLOWS symlinks, so a stale link whose target was
+    // deleted reads as "absent" and the create below would throw
+    // FileAlreadyExistsException. deleteIfExists removes the link
+    // itself (never the target) whether broken or not; synchronized so
+    // two suites shimming the same dir can't race delete-vs-create.
+    StreamHarness.synchronized {
+      java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(path))
+    }
     spark.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", EventStream.adaptTs(schema("ts").dataType))
   }

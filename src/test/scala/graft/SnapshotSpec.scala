@@ -107,13 +107,55 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
       (4L, "added", None, Some("d"))))
   }
 
-  test("diff rejects mismatched schemas loudly") {
+  test("diff rejects mismatched column sets loudly") {
     val b = Seq((1L, "a")).toDF("doc_id", "v")
     val a = Seq((1L, "a", 1L)).toDF("doc_id", "v", "extra")
     val e = intercept[IllegalArgumentException] {
       Snapshot.diff(b, a, "doc_id")
     }
-    assert(e.getMessage.contains("schemas differ"))
+    assert(e.getMessage.contains("column sets differ"))
+  }
+
+  test("diff accepts a column-REORDERED after side (same set)") {
+    val before = Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("doc_id", "v", "n")
+    val after = Seq((10L, "a", 1L), (21L, "B", 2L))
+      .toDF("n", "v", "doc_id") // same columns, different order
+    val got = Snapshot.diff(before, after, "doc_id")
+      .select(col("doc_id"), col("change")).as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == Seq((2L, "changed")))
+  }
+
+  test("diff rejects a payload-less (id-only) table with a clear error") {
+    val b = Seq(Tuple1(1L)).toDF("doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.diff(b, b, "doc_id")
+    }
+    assert(e.getMessage.contains("non-id payload column"))
+  }
+
+  test("asOf: probes resolve to the interval containing t; probes " +
+       "before the first version get no row") {
+    val log = Seq((1L, 10L, "v10"), (1L, 20L, "v20"), (2L, 15L, "w15"))
+      .toDF("doc_id", "version", "payload")
+    val hist = Snapshot.scd2History(log, "doc_id", "version")
+    val probes = Seq((1L, 5L), (1L, 10L), (1L, 19L), (1L, 20L),
+      (1L, 99L), (2L, 14L), (2L, 15L)).toDF("doc_id", "t")
+    val got = Snapshot.asOf(hist, probes, "doc_id", "t")
+      .select(col("doc_id"), col("t"), col("payload"))
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(got == Seq((1L, 10L, "v10"), (1L, 19L, "v10"),
+      (1L, 20L, "v20"), (1L, 99L, "v20"), (2L, 15L, "w15")))
+  }
+
+  test("asOf rejects a non-history frame loudly") {
+    val notHist = Seq((1L, 1L)).toDF("doc_id", "version")
+    val probes = Seq((1L, 1L)).toDF("doc_id", "t")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.asOf(notHist, probes, "doc_id", "t")
+    }
+    assert(e.getMessage.contains("scd2History"))
   }
 
 }
