@@ -50,6 +50,11 @@ object SparkEntry {
   private val RandomWalkSteps = 4
   private val RandomWalksPerVertex = 2
 
+  /** Oracle layer count for q_bfs_smallg_golden: smallG's ecc(0) is 13
+    * (SURVEY §0.1 — the reference runs 14 MR rounds), and min-merge
+    * layers past the fixed point are no-ops, so 14 ≥ depth suffices. */
+  private val SmallGLayers = 14
+
   /** Iteration count for q_pagerank — shared by the Spark query and
     * the unrolled layers of its DuckDB oracle (r12 item 4: the full
     * face is hash-exact by the same fixed-point argument as its
@@ -1006,6 +1011,20 @@ object SparkEntry {
           Bfs.Config(withPaths = true))
         .select(col("id"), col("dist"), array_join(col("path"), "->").as("path"))
         .orderBy("id")
+    }),
+
+    // BFS distances on the reference's committed 250-vertex dataset
+    // (datasets/smallG.txt — SURVEY §0.1: 1273 edges, connected,
+    // ecc(0)=13, so the loop runs 14 rounds, 5× deeper than tinyG's 3)
+    // — r12 verdict item 5: puts the reference's own larger dataset,
+    // previously spec-only (ReferenceDatasetSpec), under the driver's
+    // gate through the REAL text-ingest path (EdgeListSource →
+    // symmetrize → Bfs.run). The oracle replays the file through
+    // DuckDB's read_csv and 14 unrolled min-merge layers.
+    "q_bfs_smallg_golden" -> ((s, _) => {
+      val edges = graft.sources.EdgeListSource.load(
+        s, "/root/reference/datasets/smallG.txt")
+      Bfs.run(GraphOps.symmetrize(edges), source = 0L).orderBy("id")
     }),
 
     // Path-carrying BFS at REAL scale: the copurchase graph (16,743
@@ -2811,6 +2830,35 @@ object SparkEntry {
          |       GROUP BY w.id, b.dist)
          |SELECT id, dist, array_to_string(path, '->') AS path
          |FROM mp ORDER BY id""".stripMargin
+    },
+
+    // the reference's smallG.txt re-read via read_csv, symmetrized,
+    // then 14 unrolled min-merge layers (ecc(0)=13, so layer 14 is
+    // past the fixed point — bounded equivalence, the kcore_converged
+    // argument). MATERIALIZED: each layer is referenced twice by the
+    // next; inlining would re-evaluate the chain 2^14 times.
+    "q_bfs_smallg_golden" -> {
+      val layers = (1 to SmallGLayers).map { h =>
+        s"""d$h AS MATERIALIZED (
+           |  SELECT id, min(dist) AS dist FROM (
+           |    SELECT id, dist FROM d${h - 1}
+           |    UNION ALL
+           |    SELECT e.dst, d.dist + 1 FROM d${h - 1} d
+           |    JOIN edges e ON e.src = d.id)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT * FROM read_csv('/root/reference/datasets/smallG.txt',
+         |    delim = ' ', header = false,
+         |    columns = {'src': 'BIGINT', 'dst': 'BIGINT'})),
+         |edges AS (
+         |  SELECT src, dst FROM raw
+         |  UNION ALL
+         |  SELECT dst, src FROM raw),
+         |d0(id, dist) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+         |$layers
+         |SELECT id, CAST(dist AS BIGINT) AS dist
+         |FROM d$SmallGLayers ORDER BY id""".stripMargin
     },
 
     // hop-bounded path-carrying BFS unrolled one min-merge layer per
