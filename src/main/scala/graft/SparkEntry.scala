@@ -591,6 +591,16 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // Checkpoint stop→resume: the SAME windowed aggregation as two
+    // query incarnations over one durable checkpoint (state-store
+    // recovery — the path a real pipeline exercises every deploy).
+    // Hash-exact against the q_streaming_window oracle: the restored
+    // state must reproduce the full aggregation bit-for-bit.
+    "q_streaming_resume" -> ((s, dir) => {
+      StreamHarness.resumedWindowedCounts(s, dir)
+        .orderBy("window_start", "event_type")
+    }),
+
     // dropDuplicatesWithinWatermark over the (user_id, event_type)
     // key; deterministic surviving-key-set contract.
     "q_streaming_dedup" -> ((s, dir) => {
@@ -3190,6 +3200,20 @@ object SparkEntry {
     // complete-mode streaming twin: every window reaches the sink, so
     // the oracle is q_events_window's verbatim
     "q_streaming_window" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |           AS window_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM b GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // the stop→resume incarnation pair must land on the identical
+    // full aggregation — same oracle as q_streaming_window by design
+    "q_streaming_resume" ->
       """WITH b AS (
         |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
         |           AS window_start,

@@ -108,6 +108,82 @@ object StreamHarness {
   def boundedWindowedCounts(spark: SparkSession, dir: String): DataFrame =
     runBounded(EventStream.windowedCounts(eventsStream(spark, dir)), "complete")
 
+  /** Checkpoint stop→resume face (r12 verdict item 7) — the
+    * state-store RECOVERY path a production pipeline exercises every
+    * deploy/crash, previously never under the gate: the same windowed
+    * aggregation runs as TWO query incarnations sharing one durable
+    * checkpoint. The events table is staged as two time-ordered files;
+    * incarnation 1 aggregates the early half and STOPS; incarnation 2
+    * starts from the checkpoint, reads only the late half (the
+    * committed offset log proves file A done), restores the
+    * aggregation state, and completes. The returned complete-mode
+    * table therefore equals the single-run batch aggregation ONLY IF
+    * recovery restored every window of the first half — which is
+    * exactly what the shared q_streaming_window oracle hash-checks.
+    *
+    * Time-ordered split (not hash-split): files arrive in event-time
+    * order in production, and it keeps every phase-2 row ahead of the
+    * phase-1 watermark — no late-row semantics in the face (complete
+    * mode wouldn't drop them anyway, but the face shouldn't depend on
+    * that subtlety).
+    *
+    * Resume PROOF, not hope: phase 2 must start at batchId >= 1 (a
+    * fresh query would restart at 0) — require'd — and a phase 2 that
+    * re-read file A would double-count its windows into the restored
+    * state and fail the hash compare. */
+  def resumedWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val ev = EventStream.eventsTable(spark, dir)
+    val root = Files.createTempDirectory("graft-stream-resume-")
+    val input = Files.createDirectories(root.resolve("input"))
+    val ckpt = root.resolve("ckpt").toString
+    try {
+      val medianUs = ev
+        .agg(expr("approx_percentile(unix_micros(ts), 0.5, 10000)"))
+        .head().getLong(0)
+      def stage(df: DataFrame, name: String): java.nio.file.Path = {
+        val tmp = root.resolve(s"stage-$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file staged in $tmp")).toPath
+      }
+      val fileA = stage(ev.filter(unix_micros(col("ts")) <= medianUs), "a")
+      val fileB = stage(ev.filter(unix_micros(col("ts")) > medianUs), "b")
+      val schema = spark.read.parquet(fileA.toString).schema
+
+      def phase(file: java.nio.file.Path, idx: Int): String = {
+        Files.move(file, input.resolve(s"events-$idx.parquet"))
+        val name = s"stream_resume_${nameCounter.incrementAndGet()}"
+        val q = EventStream.windowedCounts(
+            spark.readStream.schema(schema).parquet(input.toString))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          q.processAllAvailable()
+          if (idx > 0 && !q.recentProgress.exists(_.batchId >= idx))
+            sys.error(s"$name: expected resumed batchId >= $idx — the " +
+              "checkpoint was ignored, this incarnation started fresh")
+        } finally q.stop()
+        name
+      }
+      val n1 = phase(fileA, 0)
+      spark.catalog.dropTempView(n1)
+      val n2 = phase(fileB, 1)
+      val out = spark.table(n2).localCheckpoint(true)
+      spark.catalog.dropTempView(n2)
+      out
+    } finally {
+      // best-effort recursive cleanup of the staged input + checkpoint
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
+
   /** Streaming exact-dedup, reduced to the DETERMINISTIC part of its
     * contract: the surviving key set. (Which physical row survives is
     * arrival-order dependent — not oracle-checkable; set membership
