@@ -494,6 +494,32 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Tolerance-bounded nearest as-of with a PER-KEY bound (r12
+    // stretch item 8 — the irregular-sensor shape): each user's
+    // tolerance is (30 + user_id % 60) minutes, so slow-cadence users
+    // keep matches a global bound would starve and fast ones shed
+    // stale matches; the directional bound also FLIPS asof_dir where
+    // the nearer side falls outside tolerance. Matched rows only
+    // (q_asof_nearest convention); gap_us makes the bound visible in
+    // the hashed output.
+    "q_asof_nearest_tol" -> ((s, dir) => {
+      val ev = EventStream.eventsTable(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("tol_us",
+          (lit(30L) + pmod(col("user_id"), lit(60L))) * lit(60000000L))
+      AsOfJoin.asofNearest(views, purchases, Seq("user_id"), "ts",
+          "event_id", Seq(), toleranceCol = Some("tol_us"))
+        .filter(col("asof_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"),
+          col("asof_dir"),
+          abs(unix_micros(col("asof_ts")) - unix_micros(col("ts")))
+            .as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // Rollup (grouping-sets family — subtotals + grand total).
     "q_rollup" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -3516,6 +3542,42 @@ object SparkEntry {
         |LEFT JOIN f ON f.event_id = v.event_id
         |WHERE bt IS NOT NULL OR ft IS NOT NULL
         |ORDER BY v.event_id""".stripMargin,
+
+    // the per-key tolerance variant: each directional candidate is
+    // bounded by the VIEW row's own tol_us before the nearer-side
+    // choice (mirrors the engine, which nulls each directional pass
+    // independently and then combines). Backward wins exact ties.
+    "q_asof_nearest_tol" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_type FROM events),
+        |v AS (SELECT user_id, event_id, ts,
+        |        (30 + user_id % 60) * 60000000 AS tol_us
+        |      FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase'),
+        |b AS (SELECT v.event_id, max(p.ts) AS bt
+        |      FROM v JOIN p ON p.user_id = v.user_id AND p.ts < v.ts
+        |        AND epoch_us(v.ts) - epoch_us(p.ts) <= v.tol_us
+        |      GROUP BY v.event_id),
+        |f AS (SELECT v.event_id, min(p.ts) AS ft
+        |      FROM v JOIN p ON p.user_id = v.user_id AND p.ts > v.ts
+        |        AND epoch_us(p.ts) - epoch_us(v.ts) <= v.tol_us
+        |      GROUP BY v.event_id),
+        |r AS (SELECT v.event_id, v.user_id, v.ts,
+        |        CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+        |                  epoch_us(v.ts) - epoch_us(bt)
+        |                    <= epoch_us(ft) - epoch_us(v.ts))
+        |             THEN bt ELSE ft END AS asof_ts,
+        |        CASE WHEN bt IS NOT NULL AND (ft IS NULL OR
+        |                  epoch_us(v.ts) - epoch_us(bt)
+        |                    <= epoch_us(ft) - epoch_us(v.ts))
+        |             THEN 'backward' ELSE 'forward' END AS asof_dir
+        |      FROM v
+        |      LEFT JOIN b ON b.event_id = v.event_id
+        |      LEFT JOIN f ON f.event_id = v.event_id
+        |      WHERE bt IS NOT NULL OR ft IS NOT NULL)
+        |SELECT event_id, user_id, ts, asof_ts, asof_dir,
+        |       abs(epoch_us(asof_ts) - epoch_us(ts)) AS gap_us
+        |FROM r ORDER BY event_id""".stripMargin,
 
     // mirrors Snapshot.upsert over the same deterministic update
     // streams: highest (version, provenance) wins per id, tombstones

@@ -40,12 +40,24 @@ object AsOfJoin {
     *                    farther than the tolerance does NOT match —
     *                    the row is kept with null asof columns.
     *                    None = unbounded.
+    * @param toleranceCol name of a LEFT µs-long column carrying a
+    *                     PER-ROW tolerance (the irregular-sensor
+    *                     shape: each key reports at its own cadence,
+    *                     so one global bound either starves slow keys
+    *                     or admits stale matches on fast ones).
+    *                     Mutually exclusive with `toleranceUs`; a null
+    *                     tolerance value matches nothing for that row.
     * @return left rows + matched right ts (`asof_ts`) + carried values */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            tsCol: String, valueCols: Seq[String],
            toleranceUs: Option[Long] = None,
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward",
+           toleranceCol: Option[String] = None): DataFrame = {
     require(toleranceUs.forall(_ > 0), "tolerance must be positive")
+    require(toleranceUs.isEmpty || toleranceCol.isEmpty,
+      "toleranceUs and toleranceCol are mutually exclusive")
+    require(toleranceCol.forall(left.columns.contains),
+      s"toleranceCol $toleranceCol is not a left column")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val fwd = direction == "forward"
@@ -113,8 +125,13 @@ object AsOfJoin {
       .withColumn("__m", last(payload, ignoreNulls = true).over(w))
     // tolerance is a post-filter on the matched timestamp, not a window
     // change: the nearest prior row either qualifies or nothing does
-    // (any earlier row is older still), so null-ing is exact
-    val bounded = toleranceUs match {
+    // (any earlier row is older still), so null-ing is exact. The
+    // per-row variant reads the left row's own tolerance column —
+    // available right here because left payload columns ride the
+    // side-0 rows through the union window.
+    val tolExpr: Option[Column] =
+      toleranceCol.map(col).orElse(toleranceUs.map(t => lit(t)))
+    val bounded = tolExpr match {
       case None => matched
       case Some(tol) =>
         val gap =
@@ -144,12 +161,13 @@ object AsOfJoin {
     * to combine — still nothing pair-shaped. */
   def asofNearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                   tsCol: String, idCol: String, valueCols: Seq[String],
-                  toleranceUs: Option[Long] = None): DataFrame = {
+                  toleranceUs: Option[Long] = None,
+                  toleranceCol: Option[String] = None): DataFrame = {
     require(left.columns.contains(idCol), s"left is missing idCol $idCol")
     val back = asof(left, right, keyCols, tsCol, valueCols, toleranceUs,
-      "backward")
+      "backward", toleranceCol)
     val fwd = asof(left, right, keyCols, tsCol, valueCols, toleranceUs,
-      "forward")
+      "forward", toleranceCol)
     val bRen = ("asof_ts" +: valueCols.map(c => s"asof_$c"))
       .foldLeft(back)((d, c) => d.withColumnRenamed(c, s"__b_$c"))
     val fSel = fwd.select(col(idCol) +:
