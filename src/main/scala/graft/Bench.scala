@@ -93,7 +93,10 @@ object Bench {
     // artifact alone.
     "q_random_walks", "q_walk_pairs", "q_clustering_coeff",
     "q_incremental_dedup", "q_edit_near_dups", "q_negative_samples",
-    "q_streaming_attribution", "q_embedding_near_dups_ivf")
+    "q_streaming_attribution", "q_embedding_near_dups_ivf",
+    // r13: two query incarnations + checkpoint recovery per run —
+    // the streaming face with the most fixed overhead to attribute
+    "q_streaming_resume")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

@@ -13,12 +13,13 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestBase {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("oracle-less queries are the two documented rows-only ops") {
-    // iterative float math / implementation-defined sketches — every
-    // other query (incl. the stubbed-but-deterministic multimodal
-    // decode) is DuckDB-oracle-gated
+  test("EVERY query is DuckDB-oracle-gated — zero rows-only entries") {
+    // r13: the last two rows-only queries got hash faces — q_pagerank
+    // via the unrolled fixed-point recurrence, q_sketch_stats via its
+    // bound-satisfaction contract. A new query without an oracle is a
+    // regression of the gate, not a documented exception.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_pagerank", "q_sketch_stats"))
+    assert(rowsOnly.isEmpty, s"queries without oracles: $rowsOnly")
   }
 
   test("entry() returns rows on sf0.001 (driver t1 smoke)") {
