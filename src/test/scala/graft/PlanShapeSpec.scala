@@ -450,4 +450,45 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "triangle closure degenerated into an all-pairs join")
   }
 
+  test("q_scd2_asof: the probe join stays an id-keyed equi-join with " +
+       "the interval predicate as a residual — never a range explosion") {
+    val p = planOf("q_scd2_asof")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the interval predicate displaced the doc_id equi-key")
+  }
+
+  test("q_asof_nearest_tol: two union-window passes + one id equi-join " +
+       "— nothing pair-shaped, tolerance never becomes a join condition") {
+    val plan = SparkEntry.queries("q_asof_nearest_tol")(spark, dir)
+      .queryExecution.sparkPlan
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "per-row tolerance leaked into a non-equi join")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size == 2,
+      s"expected the backward+forward window pair, got ${windows.size}")
+  }
+
+  test("q_sketch_stats: the ap50 CDF probe joins via broadcast — the " +
+       "3-row agg never shuffles lineitem a third time") {
+    val p = planOf("q_sketch_stats")
+    assert(p.contains("BroadcastHashJoin"),
+      "the CDF pass lost its broadcast and exchanges the fact table")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("walk-family scorers are pure integer expressions — no string " +
+       "build per candidate edge survives in the plans") {
+    // the r12 demerit: mixHash(concat(lpad(...))) built a string per
+    // candidate edge, Σ deg(cur) per step, in the heaviest iterative
+    // family's inner loop. The BIGINT scorer must keep concat/lpad out
+    // of the candidate projection (negativeSamples' plan; the walks
+    // loop shares the same scorer expression).
+    val p = planOf("q_negative_samples")
+    assert(!p.contains("lpad"),
+      "a per-candidate lpad string build is back in the scorer")
+  }
+
 }
