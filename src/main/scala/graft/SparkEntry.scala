@@ -654,6 +654,18 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // Checkpoint stop→resume of CUSTOM flatMapGroupsWithState state —
+    // deeper than q_streaming_resume's built-in window-agg recovery:
+    // sessions straddling the stop point exist ONLY if incarnation 2
+    // restored the open per-user SessionState + its event-time timeout
+    // from the state store. Same closed-region contract (and oracle)
+    // as q_streaming_sessionize.
+    "q_streaming_resume_sessions" -> ((s, dir) => {
+      StreamHarness.resumedSessions(s, dir,
+          gapMs = 6L * 3600000, delaySec = 600)
+        .orderBy("user_id", "session_start")
+    }),
+
     // Ordered-funnel conversion (view → click → purchase): per step,
     // users whose events contain the prefix as a strictly-increasing
     // timestamp subsequence. Greedy earliest-match; every stage keys
@@ -3286,6 +3298,34 @@ object SparkEntry {
     // margin <= max(ts) - delay(10min) — see StreamHarness
     // .boundedSessions for the rounding analysis behind the margin
     "q_streaming_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |x AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                     > 21600000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS session_no
+        |      FROM x),
+        |g AS (SELECT user_id, session_no,
+        |             min(ts) AS session_start, max(ts) AS session_end,
+        |             count(*) AS n_events
+        |      FROM s GROUP BY user_id, session_no),
+        |m AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx FROM events)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM g, m
+        |WHERE epoch_us(session_end)
+        |      <= mx - 600000000 - 21600000000 - 1000000
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // the two-incarnation union on the same closed region must equal
+    // the single-run sessionization — q_streaming_sessionize's oracle
+    // verbatim
+    "q_streaming_resume_sessions" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events),
         |x AS (SELECT user_id, event_id, ts,

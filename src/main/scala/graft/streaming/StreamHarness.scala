@@ -108,30 +108,30 @@ object StreamHarness {
   def boundedWindowedCounts(spark: SparkSession, dir: String): DataFrame =
     runBounded(EventStream.windowedCounts(eventsStream(spark, dir)), "complete")
 
-  /** Checkpoint stop→resume face (r12 verdict item 7) — the
-    * state-store RECOVERY path a production pipeline exercises every
-    * deploy/crash, previously never under the gate: the same windowed
-    * aggregation runs as TWO query incarnations sharing one durable
-    * checkpoint. The events table is staged as two time-ordered files;
-    * incarnation 1 aggregates the early half and STOPS; incarnation 2
-    * starts from the checkpoint, reads only the late half (the
-    * committed offset log proves file A done), restores the
-    * aggregation state, and completes. The returned complete-mode
-    * table therefore equals the single-run batch aggregation ONLY IF
-    * recovery restored every window of the first half — which is
-    * exactly what the shared q_streaming_window oracle hash-checks.
+  /** Two-incarnation checkpoint run shared by the resume faces
+    * (r12 verdict item 7): stages `dir`'s events as two TIME-ORDERED
+    * parquet files (files arrive in event-time order in production,
+    * and it keeps every phase-2 row ahead of the phase-1 watermark),
+    * runs `build` over a file-source stream as two query incarnations
+    * sharing one durable checkpoint — stop after the early half;
+    * restart, REQUIRE resumed batch numbering (a fresh query would
+    * restart at batchId 0), drain the late half — and returns the
+    * recovered result. Sink per mode: complete uses the memory sink
+    * (rebuilt whole each batch, and the only sink complete supports
+    * here); append uses the EXACTLY-ONCE parquet file sink — the
+    * memory sink refuses checkpoint recovery in append mode, and the
+    * file sink + its _spark_metadata commit log is the sink a
+    * production resume actually goes through (batch reads of the
+    * output dir honor the log, so a retried batch can't double-read).
     *
-    * Time-ordered split (not hash-split): files arrive in event-time
-    * order in production, and it keeps every phase-2 row ahead of the
-    * phase-1 watermark — no late-row semantics in the face (complete
-    * mode wouldn't drop them anyway, but the face shouldn't depend on
-    * that subtlety).
-    *
-    * Resume PROOF, not hope: phase 2 must start at batchId >= 1 (a
-    * fresh query would restart at 0) — require'd — and a phase 2 that
-    * re-read file A would double-count its windows into the restored
-    * state and fail the hash compare. */
-  def resumedWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    * @param awaitNoDataFinal wait for a trailing zero-input
+    *        micro-batch in the SECOND incarnation — event-time
+    *        timeouts fire only after the batch that advanced the
+    *        watermark (the [[runBounded]] contract, applied to the
+    *        incarnation whose watermark is final). */
+  private def twoPhaseResume(spark: SparkSession, dir: String, mode: String,
+      awaitNoDataFinal: Boolean = false, settleTimeoutMs: Long = 60000L)
+      (build: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
     val ev = EventStream.eventsTable(spark, dir)
     val root = Files.createTempDirectory("graft-stream-resume-")
@@ -152,29 +152,54 @@ object StreamHarness {
       val fileA = stage(ev.filter(unix_micros(col("ts")) <= medianUs), "a")
       val fileB = stage(ev.filter(unix_micros(col("ts")) > medianUs), "b")
       val schema = spark.read.parquet(fileA.toString).schema
+      val useMemory = mode == "complete"
+      val outDir = root.resolve("out").toString
 
-      def phase(file: java.nio.file.Path, idx: Int): String = {
+      def phase(file: java.nio.file.Path, idx: Int,
+                awaitNoData: Boolean): String = {
         Files.move(file, input.resolve(s"events-$idx.parquet"))
         val name = s"stream_resume_${nameCounter.incrementAndGet()}"
-        val q = EventStream.windowedCounts(
+        val writer = build(
             spark.readStream.schema(schema).parquet(input.toString))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete")
+          .writeStream.queryName(name)
+          .outputMode(mode)
           .option("checkpointLocation", ckpt)
-          .start()
+        val q =
+          if (useMemory) writer.format("memory").start()
+          else writer.format("parquet").option("path", outDir).start()
         try {
           q.processAllAvailable()
+          if (awaitNoData) {
+            // "most recent batch had zero input" is incarnation-safe:
+            // recentProgress is per-query, and a pre-data empty batch
+            // keeps the loop waiting until a post-data one runs
+            val deadline = System.nanoTime() + settleTimeoutMs * 1000000L
+            def noDataRan: Boolean =
+              q.recentProgress.lastOption.exists(_.numInputRows == 0L)
+            while (!noDataRan && System.nanoTime() < deadline) {
+              Thread.sleep(100)
+              q.processAllAvailable()
+            }
+            if (!noDataRan) sys.error(
+              s"$name: no trailing no-data micro-batch within " +
+                s"${settleTimeoutMs}ms — timeouts never evaluated")
+          }
           if (idx > 0 && !q.recentProgress.exists(_.batchId >= idx))
             sys.error(s"$name: expected resumed batchId >= $idx — the " +
               "checkpoint was ignored, this incarnation started fresh")
         } finally q.stop()
         name
       }
-      val n1 = phase(fileA, 0)
-      spark.catalog.dropTempView(n1)
-      val n2 = phase(fileB, 1)
-      val out = spark.table(n2).localCheckpoint(true)
-      spark.catalog.dropTempView(n2)
+      val n1 = phase(fileA, 0, awaitNoData = false)
+      val n2 = phase(fileB, 1, awaitNoDataFinal)
+      // localCheckpoint BEFORE the finally-cleanup deletes the sink dir
+      val out = (if (useMemory) spark.table(n2)
+        else spark.read.parquet(outDir))
+        .localCheckpoint(true)
+      if (useMemory) {
+        spark.catalog.dropTempView(n1)
+        spark.catalog.dropTempView(n2)
+      }
       out
     } finally {
       // best-effort recursive cleanup of the staged input + checkpoint
@@ -182,6 +207,45 @@ object StreamHarness {
       Files.walk(root).iterator().asScala.toSeq.reverseIterator
         .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
     }
+  }
+
+  /** Checkpoint stop→resume of the WINDOWED AGGREGATION state: the
+    * returned complete-mode table equals the single-run batch
+    * aggregation ONLY IF recovery restored every window of the first
+    * half — which is exactly what the shared q_streaming_window
+    * oracle hash-checks (a recovery that dropped state loses early
+    * windows; one that replayed file A double-counts them). */
+  def resumedWindowedCounts(spark: SparkSession, dir: String): DataFrame =
+    twoPhaseResume(spark, dir, "complete")(
+      EventStream.windowedCounts(_))
+
+  /** Checkpoint stop→resume of CUSTOM flatMapGroupsWithState state —
+    * the deeper recovery face: sessions whose events STRADDLE the
+    * stop point can only be assembled correctly if incarnation 2
+    * restores the open per-user SessionState (and its event-time
+    * timeout) from the state store. Emissions split across the two
+    * incarnations (a session closed by incarnation 1's watermark
+    * stays closed — the time-ordered split keeps later events beyond
+    * its gap); the union, restricted to the same provably-closed
+    * region as [[boundedSessions]], equals the single-run result the
+    * q_streaming_sessionize oracle hashes. */
+  def resumedSessions(spark: SparkSession, dir: String,
+                      gapMs: Long, delaySec: Long): DataFrame = {
+    import spark.implicits._
+    val sessions = twoPhaseResume(spark, dir, "append",
+        awaitNoDataFinal = true) { stream =>
+      EventStream.sessionize(
+        stream.select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventStream.Event],
+        gapMs, s"$delaySec seconds").toDF()
+    }
+    val maxUs = EventStream.eventsTable(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoffUs = maxUs - delaySec * 1000000L - gapMs * 1000L - 1000000L
+    sessions.filter(unix_micros(col("session_end")) <= cutoffUs)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
   }
 
   /** Streaming exact-dedup, reduced to the DETERMINISTIC part of its
