@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   * localCheckpoint materializes the smaller survivor set and flattens
   * lineage, so late rounds cost proportionally less. No driver-side
   * state beyond the convergence counter.
+  *
+  * Negative result (r13, measured): fusing two peel steps per
+  * checkpointed round — legal, since peeling is confluent (monotone
+  * removals reach one unique fixpoint under any schedule) — is 1.6×
+  * SLOWER (21.9s vs 13.7s isolated at sf0.1): [[peelRound]] reads its
+  * input THREE times (degree agg + both probe sides), so an
+  * unmaterialized intermediate recomputes the first step's joins
+  * threefold. The per-round localCheckpoint is load-bearing, not
+  * overhead — don't retry this.
   */
 object KCore {
 
