@@ -31,6 +31,15 @@ import org.apache.spark.storage.StorageLevel
   *  - each step localCheckpoints eagerly: bounded lineage, one job
   *    per step, AQE disabled inside the loop (per-round re-planning
   *    costs more than it saves at this shape — measured on BFS).
+  *
+  * Considered and rejected: indexing into a materialized adjacency
+  * ARRAY (choice = neighbors[h(walk, step) mod deg]) would cut the
+  * per-step candidate stream from O(Σ deg(cur)) to O(|walks|) — but
+  * it puts a vertex's whole neighbor list in ONE row, so a
+  * 100M-degree hub becomes an unboundedly wide record (the row that
+  * OOMs a task at 100 TB). The candidate-stream + argmin form streams
+  * a hub's edges across tasks like any other rows; its cost scales
+  * with data, never with the worst row. Hub-degree robustness wins.
   */
 object RandomWalk {
 
