@@ -54,6 +54,28 @@ class StreamHarnessSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("checkpoint stop-resume (window state) == single bounded run") {
+    val dir = "/root/testdata/sf0.001"
+    val resumed = StreamHarness.resumedWindowedCounts(spark, dir)
+      .orderBy("window_start", "event_type").collect().toSeq
+    val single = StreamHarness.boundedWindowedCounts(spark, dir)
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(resumed == single,
+      "recovered window state diverges from the single-run aggregation")
+  }
+
+  test("checkpoint stop-resume (custom SessionState) == single bounded " +
+       "run on the closed region") {
+    val dir = "/root/testdata/sf0.001"
+    val gap = 6L * 3600000
+    val resumed = StreamHarness.resumedSessions(spark, dir, gap, 600)
+      .orderBy("user_id", "session_start").collect().toSeq
+    val single = StreamHarness.boundedSessions(spark, dir, gap, 600)
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(resumed == single,
+      "restored SessionState diverges from the single-run sessionization")
+  }
+
   test("bounded stream-static enrichment == batch left join") {
     val ev = EventStream.eventsTable(spark, dir)
     val ltv = ev.filter(col("event_type") === "purchase")
