@@ -8,6 +8,7 @@ import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, CorpusOps, Dedup,
   Funnel, GraphOps, Indexing, KCore, LabelPropagation, Multimodal, PageRank,
   Profile, RandomWalk, RangeJoin, Redaction, Retention, SequencePacking,
   Similarity, SkewOps, Snapshot, Sssp, TextAnalysis}
+import graft.sources.TableLayout
 import graft.streaming.{EventStream, StreamHarness}
 import graft.functions.{SimHashExpr, TopKBySim}
 
@@ -1538,7 +1539,32 @@ object SparkEntry {
           length(col("redacted")).cast("long").as("red_len"),
           md5(col("redacted")).as("red_md5"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---- Physical-layout faces (TableLayout): the storage-side
+    // levers a 100 TB table lives or dies by, each one actually
+    // exercised (real writes) with its physical property enforced by
+    // a `require` inside the face. ----
+
+    // Bucketed co-located join: customer ⋈ orders both bucketed on
+    // custkey — join + per-customer rollup run with ZERO exchanges
+    // (enforced); only the |segments|-row final rollup shuffles.
+    "q_bucketed_join" -> ((s, dir) => TableLayout.bucketedJoinFace(s, dir)),
+
+    // Hive-partitioned write + directory-pruned read (enforced via
+    // inputFiles: only event_type=purchase directories are scanned).
+    "q_partition_pruned" -> ((s, dir) =>
+      TableLayout.partitionPrunedFace(s, dir)),
+
+    // Small-file compaction round-trip: 48 micro-files → ~8 MB
+    // targets; file count must drop, hash gate proves zero data loss.
+    "q_compaction" -> ((s, dir) => TableLayout.compactionFace(s, dir)),
+
+    // Append-only schema evolution under mergeSchema: old files
+    // surface the evolved column as null; the gate pins the exact
+    // union-schema semantics.
+    "q_schema_evolution" -> ((s, dir) =>
+      TableLayout.schemaEvolutionFace(s, dir))
   )
 
   /** Column sets for q_table_profile — the oracle arms generate from
@@ -4070,6 +4096,50 @@ object SparkEntry {
          |SELECT doc_id, n_emails, n_phones,
          |  CAST(length(redacted) AS BIGINT) AS red_len,
          |  md5(redacted) AS red_md5
-         |FROM f ORDER BY doc_id""".stripMargin
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Layout faces: the oracle sees only the LOGICAL result — the
+    // physical claims (no exchange / pruned dirs / fewer files /
+    // merged footers) are require()-enforced inside each face, and the
+    // hash match proves the layout machinery lost no rows.
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |       count(DISTINCT c_custkey) AS n_customers,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_partition_pruned" ->
+      """SELECT strftime(ts, '%Y-%m') AS month,
+        |       count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       min(event_id) AS min_event_id,
+        |       max(event_id) AS max_event_id
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "q_compaction" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |       min(doc_id) AS min_doc_id,
+        |       max(doc_id) AS max_doc_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_schema_evolution" ->
+      """WITH merged AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) AS n_total,
+        |       count(n_chars) AS n_evolved,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |       min(doc_id) AS min_doc_id,
+        |       max(doc_id) AS max_doc_id
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

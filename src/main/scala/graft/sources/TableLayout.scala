@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical table layout for scale: hive-style partitioned parquet
   * directories (reads prune whole directories via `PartitionFilters`)
@@ -95,4 +96,186 @@ object TableLayout {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(tableName)
+
+  // ------------------------------------------------------------------
+  // Gate faces: each layout capability above proven under the driver's
+  // hash gate. The faces do REAL writes (temp dirs / catalog tables),
+  // self-`require` the physical property the layout exists for (no
+  // exchange / pruned directories / fewer files / reconciled schema),
+  // then hand back an eagerly localCheckpoint'd frame so cleanup can't
+  // invalidate the returned lineage (the StreamHarness.runBounded
+  // pattern).
+  // ------------------------------------------------------------------
+
+  private def freshTmp(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(prefix)
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => try Files.deleteIfExists(f)
+                      catch { case _: Throwable => () })
+    }
+  }
+
+  /** Co-located join + aggregation on two tables bucketed on their
+    * join key: customer and orders both bucketed by custkey, joined
+    * and rolled up per customer WITHOUT any exchange below the final
+    * tiny segment rollup. This is the "pre-shuffle once, join many
+    * times" contract — at 100 TB the fact table's one-off bucketed
+    * write amortizes across every subsequent join/agg on the key,
+    * and the only network traffic here is |customers| pre-aggregated
+    * rows into the |segments|-row rollup.
+    *
+    * The no-exchange claim is *enforced*, not hoped for: the pre-AQE
+    * physical plan must contain exactly ONE Exchange (the final
+    * segment rollup). */
+  def bucketedJoinFace(spark: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 8
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+    val ords = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_custkey", "o_totalprice")
+    writeBucketed(cust, "graft_bkt_customer", "c_custkey", nBuckets)
+    writeBucketed(ords, "graft_bkt_orders", "o_custkey", nBuckets)
+    try {
+      // hint("merge"): at test SF the customer side fits under the
+      // broadcast threshold and Spark would happily broadcast it —
+      // but the face exists to prove the at-scale path, where NEITHER
+      // side broadcasts and co-located buckets are what save the
+      // exchange. Force the sort-merge strategy the 100 TB plan uses.
+      val joined = spark.table("graft_bkt_orders")
+        .join(spark.table("graft_bkt_customer").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        // per-customer rollup: HashPartitioning(custkey) from the
+        // bucketed scans satisfies the (custkey, mktsegment) clustered
+        // distribution, so this aggregates in place, no exchange
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val agg = joined
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("n_orders")).as("n_orders"),
+          sum(col("rev")).cast("double").as("revenue"))
+      // executedPlan (not sparkPlan): exchanges are inserted by the
+      // EnsureRequirements preparation rule, which sparkPlan predates.
+      // The AQE wrapper's toString prints the initial physical plan,
+      // exchanges included.
+      val plan = agg.queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      require(exchanges == 1,
+        s"bucketed join planned $exchanges exchanges — expected exactly 1 " +
+          s"(the final segment rollup); bucket co-location was lost:\n$plan")
+      require(plan.contains("SortMergeJoin"),
+        "bucketed join did not plan the exchange-free sort-merge join")
+      agg.orderBy("c_mktsegment").localCheckpoint(true)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    }
+  }
+
+  /** Hive-partitioned write + directory-pruned read: events written
+    * partitioned by event_type, read back with a partition predicate.
+    * The scan must touch ONLY the matching directory — enforced via
+    * `inputFiles` (every file path carries `event_type=purchase`). At
+    * 100 TB this is the difference between scanning one directory and
+    * scanning the table. All output measures are integer-exact. */
+  def partitionPrunedFace(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp("graft_part_")
+    try {
+      writePartitioned(
+        spark.read.parquet(s"$dir/events.parquet")
+          .select("event_id", "ts", "user_id", "event_type"),
+        tmp.toString, Seq("event_type"))
+      val pruned = spark.read.parquet(tmp.toString)
+        .where(col("event_type") === "purchase")
+      // `inputFiles` lists the relation's whole file set regardless of
+      // pushed filters — the honest check is the scan node itself: the
+      // predicate must land in `partitionFilters`, and the pruned
+      // listing (the exact directories execution will read) must stay
+      // inside the one matching partition.
+      val scan = pruned.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.headOption.getOrElse(sys.error("no file scan in the pruned plan"))
+      require(scan.partitionFilters.nonEmpty,
+        "the event_type predicate did not reach the scan's partition filters")
+      val files = scan.relation.location
+        .listFiles(scan.partitionFilters, Nil)
+        .flatMap(_.files).map(_.getPath.toString)
+      require(files.nonEmpty && files.forall(_.contains("event_type=purchase")),
+        "partition pruning failed — the scan read directories outside " +
+          s"event_type=purchase: ${files.filterNot(_.contains("event_type=purchase")).take(3).mkString(", ")}")
+      pruned
+        .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .orderBy("month")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
+  /** Small-file compaction round-trip: documents exploded into 48
+    * KB-sized files (the micro-batch-accretion pathology), compacted
+    * to ~8 MB targets, read back and aggregated. Enforced: the
+    * compacted directory has strictly fewer files than the 48 written;
+    * the hash gate proves zero rows were lost or duplicated by the
+    * rewrite. */
+  def compactionFace(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp("graft_compact_")
+    val path = tmp.resolve("docs").toString
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "text", "n_chars")
+      docs.repartition(48).write.mode("overwrite").parquet(path)
+      val before = spark.read.parquet(path).inputFiles.length
+      compact(spark, path, targetBytes = 8L * 1024 * 1024)
+      val after = spark.read.parquet(path)
+      require(after.inputFiles.length < before,
+        s"compaction did not reduce the file count " +
+          s"($before -> ${after.inputFiles.length})")
+      after
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("lang")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
+  /** Append-only schema evolution: batch 1 written as (doc_id, lang),
+    * batch 2 appended with a NEW n_chars column, read back with footer
+    * reconciliation (`mergeSchema`) — old files surface n_chars as
+    * null. The gate checks the union-schema contract exactly: total
+    * counts, non-null counts, and the sum over only the evolved rows. */
+  def schemaEvolutionFace(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp("graft_evolve_")
+    val path = tmp.resolve("docs").toString
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.where(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(path)
+      docs.where(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+        .write.mode("append").parquet(path)
+      val merged = readMergedSchema(spark, path)
+      require(merged.columns.toSeq == Seq("doc_id", "lang", "n_chars"),
+        s"mergeSchema did not reconcile the union schema: " +
+          merged.columns.mkString(", "))
+      merged
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("n_chars")).as("n_evolved"),
+          sum(col("n_chars")).as("chars_sum"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("lang")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
 }

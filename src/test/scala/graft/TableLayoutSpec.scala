@@ -123,4 +123,54 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  // ---- gate faces: each runs end-to-end (its physical require()s
+  // fire inside) and the logical result is cross-checked against the
+  // plain unbucketed/unpartitioned computation ----
+
+  private val faceDir = "/root/testdata/sf0.001"
+
+  test("bucketedJoinFace matches the plain join rollup") {
+    val got = TableLayout.bucketedJoinFace(spark, faceDir)
+    assert(got.columns.toSeq ==
+      Seq("c_mktsegment", "n_customers", "n_orders", "revenue"))
+    val o = spark.read.parquet(s"$faceDir/orders.parquet")
+    val c = spark.read.parquet(s"$faceDir/customer.parquet")
+    val expected = o.join(c, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"c_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy("c_mktsegment")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.as[(String, Long, Long, Double)].collect().toSeq == expected)
+  }
+
+  test("partitionPrunedFace matches the unpartitioned filtered aggregate") {
+    val got = TableLayout.partitionPrunedFace(spark, faceDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val expected = spark.read.parquet(s"$faceDir/events.parquet")
+      .filter($"event_type" === "purchase")
+      .groupBy(date_format($"ts", "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        min($"event_id").as("min_event_id"),
+        max($"event_id").as("max_event_id"))
+      .orderBy("month")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("compactionFace and schemaEvolutionFace conserve every document") {
+    val nDocs = spark.read.parquet(s"$faceDir/documents.parquet").count()
+    val cf = TableLayout.compactionFace(spark, faceDir)
+    assert(cf.agg(sum($"n_docs")).as[Long].head() == nDocs)
+    val se = TableLayout.schemaEvolutionFace(spark, faceDir)
+    assert(se.agg(sum($"n_total")).as[Long].head() == nDocs)
+    // evolved rows are exactly the odd doc_ids
+    val oddDocs = spark.read.parquet(s"$faceDir/documents.parquet")
+      .filter($"doc_id" % 2 === 1).count()
+    assert(se.agg(sum($"n_evolved")).as[Long].head() == oddDocs)
+  }
 }
