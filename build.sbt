@@ -29,4 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] at sf0.1 with window sorts + checkpoint blocks thrashes
   // GC in 8g; the bench box has 128 GiB — leave generous headroom
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 113 gate queries × whole-stage-codegen classes push the default
+  // 240 MiB code cache toward its ceiling (r13 bench ended at 138 MiB
+  // AFTER sweeping); a saturated cache silently stops JIT compilation
+  // and later queries run partially interpreted at 5-10x CPU — the
+  // signature of the q_clustering_coeff suite-context spikes. Double
+  // the reservation so occupancy never forces the sweeper's hand.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -41,6 +41,26 @@ object Bench {
       case _ => -1.0
     }
 
+  /** Cumulative GC milliseconds — per-run deltas land in the artifact
+    * so a CPU spike is classifiable without the stderr log: wall>>cpu
+    * flat-gc = preempted; cpu+gc both high = memory pressure; cpu high
+    * with flat gc and byte-identical output = interpreted execution
+    * (code cache) or a genuine plan change. */
+  private def gcMillis(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+
+  /** Current JIT code-cache occupancy (MiB) across the CodeHeap pools —
+    * sampled after each run. A saturated cache stops compilation and
+    * every later query runs partially interpreted at 5-10x CPU; the
+    * q_clustering_coeff r12/r13 suite-context spikes (1143 CPU-s for a
+    * 112 CPU-s query, fresh-JVM runs normal) look exactly like that,
+    * but only an in-artifact per-run series can prove or kill it. */
+  private def codeCacheMb(): Long =
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum >> 20
+
   /** Block-storage telemetry: what is cached right now, and whether any
     * of it was forced to disk. The pinned-pipeline queries (corpus-prep,
     * dedup, IVF) persist a shared intermediate at MEMORY_AND_DISK; if
@@ -249,6 +269,7 @@ object Bench {
       val times = (1 to runs).flatMap { i =>
         val t0 = System.nanoTime()
         val c0 = processCpuSec()
+        val g0 = gcMillis()
         // noop write, not count(): count() lets Catalyst prune every
         // unreferenced projection/window, so projection-heavy queries
         // would time as little more than a row-count scan. The noop
@@ -259,11 +280,13 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         val dc = processCpuSec() - c0
+        val dg = gcMillis() - g0
+        val cc = codeCacheMb()
         if (StorageQueries(name))
           System.err.println(s"[bench] $name ${storageStats(spark)}")
         release()
         System.err.println(f"[bench] $name run$i $dt%.2f ${jvmStats()}")
-        if (ok) Some((dt, dc)) else None
+        if (ok) Some((dt, dc, dg, cc)) else None
       }
       // -1 marks a failed query — a regression must not read as a speedup
       val v = if (times.size == runs) times.map(_._1).min else -1.0
@@ -289,6 +312,17 @@ object Bench {
     val cpuJson = results
       .map { case (k, _, ts) =>
         s"\"" + k + "\":" + ts.map(t => fmt(t._2)).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    // per-run GC-ms deltas and post-run code-cache MiB, parallel to
+    // `runs` — the two series that classify an in-suite CPU spike
+    // (memory pressure vs interpreted execution) from the artifact
+    val gcJson = results
+      .map { case (k, _, ts) =>
+        s"\"" + k + "\":" + ts.map(t => t._3.toString).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val ccJson = results
+      .map { case (k, _, ts) =>
+        s"\"" + k + "\":" + ts.map(t => t._4.toString).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val cal = s"""{"start":${fmt(calStart)},"mid":${fmt(calMid)},"end":${fmt(calEnd)}}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -372,6 +406,8 @@ object Bench {
          |"queries":$qs,
          |"runs":$runsJson,
          |"cpu":$cpuJson,
+         |"gc_ms":$gcJson,
+         |"codecache_mb":$ccJson,
          |"calibration":$cal,
          |"rounds":$bspJson,
          |"jvm_final":"${esc(jvmStats())}"
