@@ -1541,6 +1541,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Right-to-be-forgotten cascade: a deletion-request set (docs with
+    // doc_id % 97 == 3) propagated across the corpus AND its derived
+    // tables — chunks and the embedding index — because deleting from
+    // `documents` alone leaves the content alive downstream. Per table
+    // ONE broadcast-join audit pass (requests are the tiny side; the
+    // corpus never shuffles) plus the anti-join purge whose surviving
+    // count must reconcile with the audit (require inside the op).
+    "q_gdpr_purge" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val req = d.where(col("doc_id") % 97 === 3)
+        .select(col("doc_id").as("req_id"))
+      Redaction.purgeCascade(Seq(
+        ("chunks", CorpusOps.chunkDocs(d, "doc_id", "text"), "doc_id"),
+        ("documents", d, "doc_id"),
+        ("embeddings", t(s, dir, "embeddings"), "vec_id")),
+        req, "req_id")
+    }),
+
     // ---- Physical-layout faces (TableLayout): the storage-side
     // levers a 100 TB table lives or dies by, each one actually
     // exercised (real writes) with its physical property enforced by
@@ -4097,6 +4115,34 @@ object SparkEntry {
          |  CAST(length(redacted) AS BIGINT) AS red_len,
          |  md5(redacted) AS red_md5
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_gdpr_purge" -> {
+      val mx = CorpusOps.ChunkMaxTokens
+      val stride = mx - CorpusOps.ChunkOverlap
+      val nChunks = s"1 + (greatest(len(toks) - $mx, 0) + ${stride - 1})" +
+        s" // $stride"
+      s"""WITH req AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 3),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |ch AS (SELECT doc_id, $nChunks AS n_chunks FROM tk),
+         |a AS (
+         |  SELECT 'chunks' AS tbl,
+         |    CAST(sum(n_chunks) AS BIGINT) AS rows_before,
+         |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM req)
+         |                  THEN n_chunks ELSE 0 END) AS BIGINT) AS purged
+         |  FROM ch
+         |  UNION ALL
+         |  SELECT 'documents', count(*),
+         |    CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM req)
+         |                  THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'embeddings', count(*),
+         |    CAST(sum(CASE WHEN vec_id IN (SELECT doc_id FROM req)
+         |                  THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM embeddings)
+         |SELECT tbl, rows_before, purged, rows_before - purged AS rows_after
+         |FROM a ORDER BY tbl""".stripMargin
+    },
 
     // Layout faces: the oracle sees only the LOGICAL result — the
     // physical claims (no exchange / pruned dirs / fewer files /

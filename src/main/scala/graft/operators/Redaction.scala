@@ -111,4 +111,50 @@ object Redaction {
       s" THEN '$OverlayEmail2Prefix' || $id || '$OverlayEmail2Domain'" +
       s" ELSE '' END"
   }
+
+  /** Hard-delete a request set from `df`: broadcast anti-join on
+    * `keyCol`. The request list is the small side by nature (deletion
+    * requests arrive in thousands, corpora in billions), so at 100 TB
+    * this is one map-side pass per table — no shuffle of the corpus,
+    * ever. */
+  def purge(df: DataFrame, keyCol: String, requests: DataFrame,
+            reqCol: String): DataFrame =
+    df.join(broadcast(requests.select(col(reqCol)).distinct()),
+      col(keyCol) === col(reqCol), "left_anti")
+
+  /** Right-to-be-forgotten cascade with audit: propagate one request
+    * set across the corpus AND every derived table (chunks, embedding
+    * index, …) — the compliance reality that a doc deleted from
+    * `documents` alone still lives on in its chunks and vectors.
+    *
+    * Per table, ONE broadcast-join pass computes the audit row
+    * (rows_before, purged, rows_after); the actual purge anti-join is
+    * then executed and its surviving count must equal
+    * rows_before - purged (require — the audit and the purge can't
+    * drift). Output: one audit row per table. */
+  def purgeCascade(tables: Seq[(String, DataFrame, String)],
+                   requests: DataFrame, reqCol: String): DataFrame = {
+    val spark = requests.sparkSession
+    import spark.implicits._
+    val reqKeys = requests.select(col(reqCol).as("__purge_key")).distinct()
+    val audits = tables.map { case (label, df, keyCol) =>
+      val Array(row) = df
+        .join(broadcast(reqKeys), col(keyCol) === col("__purge_key"), "left")
+        .agg(count(lit(1)).as("rows_before"),
+          coalesce(sum(when(col("__purge_key").isNotNull, 1L)
+            .otherwise(0L)), lit(0L)).as("purged"))
+        .collect()
+      val before = row.getAs[Long]("rows_before")
+      val purged = row.getAs[Long]("purged")
+      val survived = purge(df, keyCol, reqKeys, "__purge_key").count()
+      require(survived == before - purged,
+        s"$label: purge anti-join left $survived rows but the audit " +
+          s"expected ${before - purged}")
+      (label, before, purged, before - purged)
+    }
+    // 1-row-per-table audit — driver-side literal construction, same
+    // class as BPE's collected merge list, never data-proportional
+    audits.toDF("tbl", "rows_before", "purged", "rows_after")
+      .orderBy("tbl")
+  }
 }

@@ -65,4 +65,38 @@ class RedactionSpec extends AnyFunSuite with SparkTestBase {
     }.toMap
     assert(got == expected)
   }
+
+  test("purge drops exactly the requested keys, duplicates included") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    val req = Seq(2L, 3L, 99L).toDF("req_id") // 99 targets nothing
+    val survived = Redaction.purge(df, "id", req, "req_id")
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(survived == Seq(1L, 4L))
+  }
+
+  test("purgeCascade audits corpus + derived tables consistently") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"d$i")).toDF("doc_id", "v")
+    // derived table: 2 rows per doc (chunks shape)
+    val chunks = (1L to 10L).flatMap(i => Seq((i, 0), (i, 1)))
+      .toDF("doc_id", "chunk_id")
+    val req = Seq(2L, 5L, 5L).toDF("req_id") // duplicate request rows
+    val got = Redaction.purgeCascade(
+        Seq(("chunks", chunks, "doc_id"), ("docs", docs, "doc_id")),
+        req, "req_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("chunks", 20L, 4L, 16L), ("docs", 10L, 2L, 8L)))
+  }
+
+  test("purgeCascade with an empty request set purges nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("doc_id", "v")
+    val req = Seq.empty[Long].toDF("req_id")
+    val got = Redaction.purgeCascade(Seq(("docs", docs, "doc_id")),
+        req, "req_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("docs", 1L, 0L, 1L)))
+  }
 }
