@@ -491,4 +491,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "a per-candidate lpad string build is back in the scorer")
   }
 
+  test("Redaction.purge anti-join broadcasts the request set — the " +
+       "corpus side never shuffles") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val req = d.where(col("doc_id") % 97 === 3)
+      .select(col("doc_id").as("req_id"))
+    val plan = graft.operators.Redaction.purge(d, "doc_id", req, "req_id")
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan // collect() does not descend the AQE wrapper
+        case p => p
+      }
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(joins.nonEmpty, s"purge is not a broadcast anti-join:\n$plan")
+    // the tiny request set may shuffle for its distinct (build side);
+    // the CORPUS (streamed) side must stay a direct scan, no exchange
+    val corpusShuffles = joins.head.left.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(corpusShuffles.isEmpty, s"purge shuffles the corpus:\n$plan")
+  }
+
 }
