@@ -1582,7 +1582,15 @@ object SparkEntry {
     // surface the evolved column as null; the gate pins the exact
     // union-schema semantics.
     "q_schema_evolution" -> ((s, dir) =>
-      TableLayout.schemaEvolutionFace(s, dir))
+      TableLayout.schemaEvolutionFace(s, dir)),
+
+    // JSONL ingest with quarantine (the corpus interchange format):
+    // real .jsonl files with deterministically torn lines
+    // (doc_id % 37 == 5 truncated mid-object), explicit-schema
+    // PERMISSIVE parse — malformed lines neither kill the ingest nor
+    // silently vanish; the `__corrupt__` audit row is hash-gated.
+    "q_jsonl_ingest" -> ((s, dir) =>
+      graft.sources.JsonlSource.ingestFace(s, dir))
   )
 
   /** Column sets for q_table_profile — the oracle arms generate from
@@ -4186,6 +4194,19 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
         |       min(doc_id) AS min_doc_id,
         |       max(doc_id) AS max_doc_id
-        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Good rows = everything outside the corruption overlay; the torn
+    // lines land in exactly one audit row. ASCII: '_' sorts before
+    // the lowercase language codes in both engines' binary collation.
+    "q_jsonl_ingest" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 37 <> 5
+        |GROUP BY lang
+        |UNION ALL
+        |SELECT '__corrupt__', count(*), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 37 = 5
+        |ORDER BY lang""".stripMargin
   )
 }

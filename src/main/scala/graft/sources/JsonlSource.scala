@@ -58,4 +58,47 @@ object JsonlSource {
       .select(cached.col(CorruptCol).as("raw_line"))
     (good, bad)
   }
+
+  /** Gate face: the ingest-with-quarantine path end-to-end on REAL
+    * files. Documents are serialized to JSONL with a deterministic
+    * corruption overlay (every doc_id % 37 == 5 line is truncated
+    * mid-object — the torn-write/partial-upload shape), read back
+    * under the explicit schema in PERMISSIVE mode, split into
+    * good/quarantined, and aggregated per language plus one
+    * `__corrupt__` audit row. A malformed line must never kill the
+    * ingest NOR silently vanish — the hash gate pins both counts. */
+  def ingestFace(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tmp = TableLayout.freshTmp("graft_jsonl_")
+    val path = tmp.resolve("docs").toString
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      docs.select(
+          when(col("doc_id") % 37 === 5,
+            concat(lit("{\"doc_id\":"), col("doc_id"),
+              lit(",\"lang\":\""), col("lang")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"),
+            col("source"), col("n_chars"))))
+          .as("value"))
+        .write.mode("overwrite").text(path)
+      val schema = new StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("lang", StringType)
+        .add("source", StringType)
+        .add("n_chars", org.apache.spark.sql.types.LongType)
+      val parsed = read(spark, path, schema)
+      val (good, bad) = quarantine(parsed)
+      try {
+        good.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars_sum"))
+          .unionByName(bad.agg(count(lit(1)).as("n_docs"))
+            .select(lit("__corrupt__").as("lang"), col("n_docs"),
+              lit(null).cast("long").as("chars_sum")))
+          .orderBy("lang")
+          .localCheckpoint(true)
+      } finally parsed.unpersist() // quarantine()'s pin, both sides read
+    } finally TableLayout.rmTree(tmp)
+  }
 }

@@ -107,10 +107,10 @@ object TableLayout {
   // pattern).
   // ------------------------------------------------------------------
 
-  private def freshTmp(prefix: String): java.nio.file.Path =
+  private[sources] def freshTmp(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(prefix)
 
-  private def rmTree(p: java.nio.file.Path): Unit = {
+  private[sources] def rmTree(p: java.nio.file.Path): Unit = {
     import java.nio.file._
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())

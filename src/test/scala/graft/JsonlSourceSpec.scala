@@ -40,4 +40,18 @@ class JsonlSourceSpec extends AnyFunSuite with SparkTestBase {
         schema.add(JsonlSource.CorruptCol, StringType))
     }
   }
+
+  test("ingestFace quarantines exactly the torn lines, keeps the rest") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val torn = docs.filter($"doc_id" % 37 === 5).count()
+    val got = JsonlSource.ingestFace(spark, dir)
+    val corrupt = got.filter($"lang" === "__corrupt__")
+      .select("n_docs").as[Long].head()
+    assert(corrupt == torn)
+    val good = got.filter($"lang" =!= "__corrupt__")
+      .agg(sum($"n_docs")).as[Long].head()
+    assert(good == docs.count() - torn)
+  }
 }
