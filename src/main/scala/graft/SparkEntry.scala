@@ -1584,6 +1584,34 @@ object SparkEntry {
     "q_schema_evolution" -> ((s, dir) =>
       TableLayout.schemaEvolutionFace(s, dir)),
 
+    // Data-quality audit: the validation pass every ingest runs —
+    // referential integrity (fact LEFT JOIN unique-keyed dim; exact
+    // orphan counts), range and null rules (bare-table predicates),
+    // and key uniqueness (keyed count). One aggregate pass per rule,
+    // |rules| output rows regardless of data size.
+    "q_dq_audit" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ords = t(s, dir, "orders")
+      Profile.dqAudit(Seq(
+        ("fk_orders_customer",
+          ords.join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left"),
+          col("c_custkey").isNull),
+        ("fk_lineitem_orders",
+          t(s, dir, "lineitem").select(col("l_orderkey"))
+            .join(ords.select(col("o_orderkey")),
+              col("l_orderkey") === col("o_orderkey"), "left"),
+          col("o_orderkey").isNull),
+        ("range_totalprice_positive", ords, col("o_totalprice") <= 0),
+        ("null_mktsegment", cust, col("c_mktsegment").isNull),
+        ("unique_custkey",
+          cust.groupBy(col("c_custkey")).agg(count(lit(1)).as("n")),
+          col("n") > 1),
+        ("ts_in_window", t(s, dir, "events"),
+          col("ts") < to_timestamp(lit("2020-01-01 00:00:00")) ||
+            col("ts") >= to_timestamp(lit("2030-01-01 00:00:00")))))
+    }),
+
     // JSONL ingest with quarantine (the corpus interchange format):
     // real .jsonl files with deterministically torn lines
     // (doc_id % 37 == 5 truncated mid-object), explicit-schema
@@ -4195,6 +4223,39 @@ object SparkEntry {
         |       min(doc_id) AS min_doc_id,
         |       max(doc_id) AS max_doc_id
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dq_audit" ->
+      """WITH a AS (
+        |  SELECT 'fk_orders_customer' AS rule, count(*) AS checked,
+        |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS violations
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orders', count(*),
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'range_totalprice_positive', count(*),
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'null_mktsegment', count(*),
+        |    CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'unique_custkey', count(*),
+        |    CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT c_custkey, count(*) AS n FROM customer GROUP BY 1)
+        |  UNION ALL
+        |  SELECT 'ts_in_window', count(*),
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2020-01-01 00:00:00'
+        |                    OR ts >= TIMESTAMP '2030-01-01 00:00:00'
+        |                  THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events)
+        |SELECT rule, checked, violations FROM a ORDER BY rule""".stripMargin,
 
     // Good rows = everything outside the corruption overlay; the torn
     // lines land in exactly one audit row. ASCII: '_' sorts before

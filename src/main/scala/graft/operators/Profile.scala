@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Single-pass table profiling (the ANALYZE/data-quality primitive):
@@ -54,4 +54,26 @@ object Profile {
       .select(col("p.column"), col("n_rows"), col("p.n_nulls"),
         col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
   }
+
+  /** Data-quality audit: each rule is (name, frame, violation
+    * predicate) — one aggregate pass per rule frame computing
+    * (checked, violations), unioned into a |rules|-row report. The
+    * caller shapes the frame per rule class: a bare table for
+    * null/range rules, `fact LEFT JOIN dim ON fk` for referential
+    * integrity (the dim's key side is unique, so the join never
+    * multiplies fact rows; at 100 TB the join is the one honest way
+    * to get an EXACT orphan count — a bloom-filter pre-pass cheapens
+    * it to ~one map-side scan when approximate screening suffices,
+    * with only bloom-positive rows reaching the exchange), or a
+    * keyed `groupBy.count` for uniqueness rules.
+    *
+    * Violations are counted, never collected: the report is
+    * |rules| rows regardless of data size. */
+  def dqAudit(rules: Seq[(String, DataFrame, Column)]): DataFrame =
+    rules.map { case (name, df, bad) =>
+      df.agg(count(lit(1)).as("checked"),
+          coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L))
+            .as("violations"))
+        .select(lit(name).as("rule"), col("checked"), col("violations"))
+    }.reduce(_ unionByName _).orderBy("rule")
 }

@@ -30,4 +30,21 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(scans.size == 1, s"profile scans the input ${scans.size} times")
   }
+
+  test("dqAudit counts violations per rule; empty frames read as 0/0") {
+    import org.apache.spark.sql.functions._
+    val fact = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("id", "fk")
+    val dim = Seq(10L, 20L).toDF("k")
+    val joined = fact.join(dim, $"fk" === $"k", "left")
+    val empty = Seq.empty[(Long, Long)].toDF("id", "fk")
+    val got = Profile.dqAudit(Seq(
+        ("fk_orphans", joined, $"k".isNull),
+        ("neg_ids", fact, $"id" < 0),
+        ("empty_table", empty, $"id" < 0)))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("empty_table", 0L, 0L),
+      ("fk_orphans", 3L, 1L),
+      ("neg_ids", 3L, 0L)))
+  }
 }
