@@ -133,20 +133,26 @@ object TableLayout {
     * segment rollup). */
   def bucketedJoinFace(spark: SparkSession, dir: String): DataFrame = {
     val nBuckets = 8
+    // explicit-location database under the JVM tmpdir: the default
+    // warehouse is `$cwd/spark-warehouse`, and a gate query must not
+    // depend on the harness's working directory being writable
+    val whDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bucketed_wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '$whDir'")
     val cust = spark.read.parquet(s"$dir/customer.parquet")
       .select("c_custkey", "c_mktsegment")
     val ords = spark.read.parquet(s"$dir/orders.parquet")
       .select("o_custkey", "o_totalprice")
-    writeBucketed(cust, "graft_bkt_customer", "c_custkey", nBuckets)
-    writeBucketed(ords, "graft_bkt_orders", "o_custkey", nBuckets)
+    writeBucketed(cust, "graft_tmp.graft_bkt_customer", "c_custkey", nBuckets)
+    writeBucketed(ords, "graft_tmp.graft_bkt_orders", "o_custkey", nBuckets)
     try {
       // hint("merge"): at test SF the customer side fits under the
       // broadcast threshold and Spark would happily broadcast it —
       // but the face exists to prove the at-scale path, where NEITHER
       // side broadcasts and co-located buckets are what save the
       // exchange. Force the sort-merge strategy the 100 TB plan uses.
-      val joined = spark.table("graft_bkt_orders")
-        .join(spark.table("graft_bkt_customer").hint("merge"),
+      val joined = spark.table("graft_tmp.graft_bkt_orders")
+        .join(spark.table("graft_tmp.graft_bkt_customer").hint("merge"),
           col("o_custkey") === col("c_custkey"))
         // per-customer rollup: HashPartitioning(custkey) from the
         // bucketed scans satisfies the (custkey, mktsegment) clustered
@@ -172,8 +178,8 @@ object TableLayout {
         "bucketed join did not plan the exchange-free sort-merge join")
       agg.orderBy("c_mktsegment").localCheckpoint(true)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
-      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_tmp.graft_bkt_customer")
+      spark.sql("DROP TABLE IF EXISTS graft_tmp.graft_bkt_orders")
     }
   }
 
