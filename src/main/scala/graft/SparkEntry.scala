@@ -641,6 +641,24 @@ object SparkEntry {
         .orderBy("event_id", "v_ts")
     }),
 
+    // Stream-stream LEFT OUTER interval join: unmatched purchases
+    // (organic conversions) surface null-extended once the watermark
+    // proves no qualifying view can still arrive; compared on the
+    // provably-decided region (see boundedAttributionOuter). The null
+    // v_ts is carried as (epoch-0 sentinel, matched=0): a nullable
+    // TIMESTAMP would be the suite's first, and the gate's
+    // pandas-side compare mis-handles NaT across datetime
+    // resolutions — nullable DOUBLE (value) has a green precedent,
+    // nullable timestamps don't.
+    "q_streaming_left_join" -> ((s, dir) => {
+      StreamHarness.boundedAttributionOuter(s, dir)
+        .select(col("event_id"), col("user_id"), col("p_ts"),
+          coalesce(col("v_ts"), timestamp_micros(lit(0L))).as("v_ts"),
+          col("v_ts").isNotNull.cast("long").as("matched"),
+          col("value"))
+        .orderBy("event_id", "v_ts")
+    }),
+
     // Stream-static enrichment: streaming views pick up a static
     // per-user purchase-LTV dimension (broadcast per micro-batch).
     "q_streaming_enrich" -> ((s, dir) => {
@@ -666,6 +684,15 @@ object SparkEntry {
           gapMs = 6L * 3600000, delaySec = 600)
         .orderBy("user_id", "session_start")
     }),
+
+    // foreachBatch CDC-apply: a versioned update stream merged
+    // incrementally into a snapshot table (Snapshot.upsert per
+    // micro-batch, versioned state dirs for retry idempotence,
+    // tombstones erased only at read). ≥2 merges enforced; final
+    // state must equal the single-batch upsert — the shared
+    // q_snapshot_upsert recipe — bit-for-bit.
+    "q_streaming_cdc_apply" -> ((s, dir) =>
+      StreamHarness.cdcApplyFace(s, dir)),
 
     // Ordered-funnel conversion (view → click → purchase): per step,
     // users whose events contain the prefix as a strictly-increasing
@@ -1577,6 +1604,22 @@ object SparkEntry {
     // Small-file compaction round-trip: 48 micro-files → ~8 MB
     // targets; file count must drop, hash gate proves zero data loss.
     "q_compaction" -> ((s, dir) => TableLayout.compactionFace(s, dir)),
+
+    // Range-sorted (total-order) layout: documents written
+    // length-sorted into 8 range files; per-file key intervals must
+    // be pairwise DISJOINT (enforced — the precondition for parquet
+    // stat skipping and sort-free consumption), and a point predicate
+    // on the sort key must reach the scan as a pushed filter. Output
+    // is boundary-independent, so the sampled range boundaries can't
+    // perturb the hash.
+    "q_sorted_layout" -> ((s, dir) => TableLayout.sortedLayoutFace(s, dir)),
+
+    // Runtime bloom-filter join pruning: selective dim filter →
+    // optimizer-injected might_contain probe on the fact side of a
+    // shuffle join (enforced). Result is bit-identical to the plain
+    // join — the bloom only pre-drops rows the equi-join would drop.
+    "q_bloom_join" -> ((s, dir) =>
+      graft.operators.RuntimeFilters.bloomPrunedJoinFace(s, dir)),
 
     // Append-only schema evolution under mergeSchema: old files
     // surface the evolved column as null; the gate pins the exact
@@ -3373,6 +3416,28 @@ object SparkEntry {
         | AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000
         |ORDER BY p.event_id, v.ts""".stripMargin,
 
+    // LEFT OUTER face of the same interval join, restricted to the
+    // watermark-decided region (cutoff = max(ts) - delay(600s) -
+    // window(3600s) - 1s margin — see boundedAttributionOuter);
+    // unmatched rows carry the epoch-0 sentinel + matched=0
+    "q_streaming_left_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  value, event_type FROM events),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, value FROM e WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts AS p_ts,
+        |       COALESCE(v.ts, TIMESTAMP '1970-01-01 00:00:00') AS v_ts,
+        |       CAST(CASE WHEN v.ts IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |         AS matched,
+        |       v.value
+        |FROM p LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.ts < p.ts
+        | AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000
+        |WHERE epoch_us(p.ts) <=
+        |      (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
+        |      - 4201000000
+        |ORDER BY p.event_id, v_ts""".stripMargin,
+
     // batch sessions restricted to the watermark-closed region the
     // bounded stream provably emitted: session_end + gap(6h) + 1s
     // margin <= max(ts) - delay(10min) — see StreamHarness
@@ -3703,6 +3768,29 @@ object SparkEntry {
     // streams: highest (version, provenance) wins per id, tombstones
     // win first and erase the id after the merge
     "q_snapshot_upsert" ->
+      s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
+         |tagged AS (
+         |  SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS version,
+         |         false AS deleted, 0 AS prov FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 'und', source, 2, false, 1 FROM d
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, lang, source, 3, true, 1 FROM d
+         |  WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, source, 1, false, 1 FROM d
+         |  WHERE doc_id % 13 = 0),
+         |won AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY version DESC, prov DESC) AS rn
+         |  FROM tagged)
+         |SELECT doc_id, lang, source, version FROM won
+         |WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
+
+    // the incremental foreachBatch apply must converge to the SAME
+    // final state as the single-batch upsert — identical oracle
+    "q_streaming_cdc_apply" ->
       s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
          |tagged AS (
          |  SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS version,
@@ -4209,6 +4297,30 @@ object SparkEntry {
         |       min(doc_id) AS min_doc_id,
         |       max(doc_id) AS max_doc_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // boundary-independent measures only: the sampled range
+    // boundaries vary, the totals and the rows-at-global-min don't
+    "q_sorted_layout" ->
+      """SELECT count(*) AS n_rows,
+        |       min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |       count(DISTINCT lang) AS n_langs,
+        |       (SELECT count(*) FROM documents
+        |        WHERE n_chars = (SELECT min(n_chars) FROM documents))
+        |         AS n_at_min
+        |FROM documents""".stripMargin,
+
+    // the bloom pre-filter is invisible to the result by construction
+    "q_bloom_join" ->
+      """SELECT p_size, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS qty_sum,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 2
+        |GROUP BY p_size ORDER BY p_size""".stripMargin,
 
     "q_schema_evolution" ->
       """WITH merged AS (

@@ -84,6 +84,22 @@ object TableLayout {
                        path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Write `df` range-partitioned and sorted on `sortCol` into
+    * `numRanges` parquet files: a total-order layout. Every file owns
+    * a DISJOINT interval of the sort key (equal keys never straddle a
+    * file boundary — the range partitioner sends equal keys to one
+    * partition), so any reader filtering on the key can skip whole
+    * files/row-groups from parquet min/max statistics, and consumers
+    * that want the data ordered (length-sorted sequence packing,
+    * merge-style exports) read it without a sort. The boundaries come
+    * from reservoir sampling — cheap at any scale; one range exchange
+    * total. */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+                  numRanges: Int): Unit =
+    df.repartitionByRange(numRanges, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Register `df` as a parquet-backed table bucketed (and sorted)
     * by `bucketCol` into `numBuckets` files per partition. Equi-joins
     * and aggregations on `bucketCol` between tables with matching
@@ -251,6 +267,67 @@ object TableLayout {
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"))
         .orderBy("lang")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
+  /** Range-sorted layout face: documents written length-sorted
+    * ([[writeSorted]] on n_chars, 8 ranges), read back, and the layout
+    * property *enforced*: the per-file [min, max] n_chars intervals,
+    * recovered in ONE distributed pass over the written files
+    * (`input_file_name()` grouping), must be pairwise disjoint — the
+    * precondition for parquet stat-based skipping and for sort-free
+    * downstream consumption. A point predicate on the sort key must
+    * also reach the scan as a pushed data filter (the mechanism that
+    * cashes the layout in). The hash face carries only
+    * boundary-INDEPENDENT measures (totals, global min/max, rows at
+    * the min): the sampled range boundaries may legitimately vary
+    * run-to-run, the disjointness contract may not. */
+  def sortedLayoutFace(spark: SparkSession, dir: String): DataFrame = {
+    val nRanges = 8
+    val tmp = freshTmp("graft_sorted_")
+    val path = tmp.resolve("docs").toString
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      writeSorted(docs, path, "n_chars", nRanges)
+      val back = spark.read.parquet(path)
+      // one pass: per-file key interval + row count
+      val perFile = back
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"),
+          count(lit(1)).as("n"))
+        .collect() // bounded by nRanges, not by data
+        .sortBy(_.getAs[Long]("lo"))
+      require(perFile.length == nRanges,
+        s"expected $nRanges range files, found ${perFile.length}")
+      perFile.sliding(2).foreach {
+        case Array(a, b) =>
+          require(a.getAs[Long]("hi") < b.getAs[Long]("lo"),
+            s"range files overlap on n_chars: " +
+              s"[${a.getAs[Long]("lo")}, ${a.getAs[Long]("hi")}] vs " +
+              s"[${b.getAs[Long]("lo")}, ${b.getAs[Long]("hi")}] — " +
+              "equal keys straddled a file boundary")
+        case _ => ()
+      }
+      val minChars = perFile.head.getAs[Long]("lo")
+      // the point query the layout exists for: the predicate must be
+      // PUSHED to the parquet reader (file/row-group stats then skip
+      // every range but the first)
+      val probe = back.where(col("n_chars") === minChars)
+      val scan = probe.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.headOption.getOrElse(sys.error("no file scan in the probe plan"))
+      require(scan.metadata.get("PushedFilters").exists(_.contains("EqualTo")),
+        "the n_chars point predicate was not pushed to the parquet scan")
+      val nAtMin = probe.count()
+      back.agg(
+          count(lit(1)).as("n_rows"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("chars_sum"),
+          count_distinct(col("lang")).as("n_langs"))
+        .withColumn("n_at_min", lit(nAtMin))
         .localCheckpoint(true)
     } finally rmTree(tmp)
   }

@@ -266,11 +266,21 @@ object EventStream extends Serializable {
     * O(history)). Both inputs need an event-time `ts` column; works
     * on batch frames too (same plan minus state).
     *
+    * @param joinType "inner" (default) emits matched pairs only;
+    *        "left_outer" additionally emits each UNMATCHED purchase
+    *        null-extended — but only once the watermark proves no
+    *        qualifying view can still arrive (a view must carry
+    *        `v_ts < p_ts`, and views below the watermark are dropped
+    *        as late, so a purchase with `p_ts <= watermark` is final).
+    *        The null row therefore trails the purchase by up to the
+    *        watermark delay — the inherent outer-join latency of
+    *        stream-stream joins; state stays O(window) either way.
     * @return (event_id, user_id, p_ts, v_ts, value) — one row per
     *         (purchase, qualifying view) pair, append-mode safe. */
   def streamAttribution(purchases: DataFrame, views: DataFrame,
                         watermarkDelay: String = "10 minutes",
-                        windowDur: String = "1 hour"): DataFrame = {
+                        windowDur: String = "1 hour",
+                        joinType: String = "inner"): DataFrame = {
     val isStreaming = purchases.isStreaming
     def wm(df: DataFrame) =
       if (isStreaming) df.withWatermark("ts", watermarkDelay) else df
@@ -284,7 +294,7 @@ object EventStream extends Serializable {
     // interval, so the two faces agree at the window boundary
     p.join(v, col("p_user") === col("v_user") &&
         col("v_ts") < col("p_ts") &&
-        col("v_ts") > col("p_ts") - expr(s"INTERVAL $windowDur"))
+        col("v_ts") > col("p_ts") - expr(s"INTERVAL $windowDur"), joinType)
       .select(col("event_id"), col("p_user").as("user_id"),
         col("p_ts"), col("v_ts"), col("value"))
   }

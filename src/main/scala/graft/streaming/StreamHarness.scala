@@ -248,6 +248,94 @@ object StreamHarness {
         col("n_events"))
   }
 
+  /** Streaming CDC-apply via foreachBatch — the remaining production
+    * sink kind after the memory sink (gate faces) and the exactly-once
+    * file sink (resume faces): each micro-batch of a versioned update
+    * stream is MERGED into an accumulating snapshot table with
+    * [[graft.operators.Snapshot.upsert]], the pattern every
+    * lakehouse-style "stream into a corpus table" pipeline runs.
+    *
+    * Idempotence on retry comes from versioned state directories: the
+    * merge for batch `b` reads `state/v<b>` and OVERWRITES
+    * `state/v<b+1>` — a replayed batch rewrites the same output from
+    * the same input, so the commit point is the checkpoint's batch
+    * offset, exactly the contract foreachBatch documents.
+    *
+    * Tombstones are carried IN state (deleted = payload flag) and
+    * erased only at the final read: dropping them per batch would let
+    * a lower version arriving in a later batch resurrect an erased id
+    * — with retained tombstones, latest-wins makes the final state
+    * independent of how the file source slices batches, which is what
+    * lets the face share q_snapshot_upsert's single-batch oracle.
+    *
+    * The update stream is staged as multiple files with
+    * `maxFilesPerTrigger = 1`, and the face REQUIRES that more than
+    * one merge actually ran — otherwise it would silently degrade to
+    * the batch face. */
+  def cdcApplyFace(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-cdc-apply-")
+    try {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"))
+      def versioned(df: DataFrame, v: Long, deleted: Boolean): DataFrame =
+        df.select(col("doc_id"), col("lang"), col("source"),
+          lit(v).as("version"), lit(deleted).as("deleted"))
+      val initial = versioned(d, 1L, deleted = false)
+      val stateDir = root.resolve("state")
+      initial.write.parquet(stateDir.resolve("v0").toString)
+      // the same update log as q_snapshot_upsert, split into two
+      // stream files: re-processing batch, then takedowns + fresh docs
+      val input = Files.createDirectories(root.resolve("input"))
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = root.resolve(s"stage-$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file staged in $tmp")).toPath
+        Files.move(part, input.resolve(s"$name.parquet"))
+      }
+      stage(versioned(d.filter(col("doc_id") % 5 === 0)
+        .withColumn("lang", lit("und")), 2L, deleted = false), "u0")
+      stage(versioned(d.filter(col("doc_id") % 17 === 0), 3L, deleted = true)
+        .unionByName(versioned(
+          d.filter(col("doc_id") % 13 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L),
+          1L, deleted = false)), "u1")
+      val schema = spark.read
+        .parquet(input.resolve("u0.parquet").toString).schema
+      val merges = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val prev = spark.read.parquet(stateDir.resolve(s"v$batchId").toString)
+          graft.operators.Snapshot
+            .upsert(prev, batch, "doc_id", "version")
+            .write.mode("overwrite")
+            .parquet(stateDir.resolve(s"v${batchId + 1}").toString)
+          merges.incrementAndGet(); ()
+        }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(merges.get >= 2,
+        s"expected >= 2 incremental merges, ran ${merges.get} — the " +
+          "stream collapsed into one batch and proved nothing incremental")
+      spark.read.parquet(stateDir.resolve(s"v${merges.get}").toString)
+        .filter(!coalesce(col("deleted"), lit(false)))
+        .drop("deleted")
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
+
   /** Streaming exact-dedup, reduced to the DETERMINISTIC part of its
     * contract: the surviving key set. (Which physical row survives is
     * arrival-order dependent — not oracle-checkable; set membership
@@ -278,6 +366,42 @@ object StreamHarness {
         ev.filter(col("event_type") === "purchase"),
         ev.filter(col("event_type") === "view")),
       "append")
+  }
+
+  /** Stream-stream LEFT OUTER interval join, drained bounded, then
+    * restricted to the watermark-closed region. The outer face is the
+    * one a real attribution pipeline runs — purchases with NO
+    * preceding view are the interesting rows (organic conversions),
+    * and an inner join silently drops them. Append-mode mechanics:
+    * matched pairs emit as soon as both sides are in state; a
+    * null-extended row for an unmatched purchase emits only when the
+    * watermark passes `p_ts` (no admissible view can then satisfy
+    * `v_ts < p_ts` — see [[EventStream.streamAttribution]]), which for
+    * the bounded run happens in the trailing no-data batch at the
+    * final watermark `max(ts) - delay`. Purchases above that watermark
+    * never learn their outer fate, so — exactly like
+    * [[boundedSessions]] — the face compares a provably-decided
+    * region, applied identically to the batch oracle:
+    * `p_ts <= max(ts) - delay - window - 1s`. The extra `window`
+    * subtraction makes the cutoff robust to the engine's state-
+    * watermark derivation being conservative by up to the join window
+    * (the eviction bound Spark derives from the two-sided interval
+    * condition); the 1 s margin covers the watermark's ms rounding. */
+  def boundedAttributionOuter(spark: SparkSession, dir: String,
+                              delaySec: Long = 600,
+                              windowSec: Long = 3600): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val joined = runBounded(
+      EventStream.streamAttribution(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        watermarkDelay = s"$delaySec seconds",
+        joinType = "left_outer"),
+      "append", awaitNoDataBatch = true)
+    val maxUs = EventStream.eventsTable(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoffUs = maxUs - (delaySec + windowSec + 1) * 1000000L
+    joined.filter(unix_micros(col("p_ts")) <= cutoffUs)
   }
 
   /** Stream-static enrichment join — the remaining streaming join

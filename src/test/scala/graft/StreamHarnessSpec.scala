@@ -37,6 +37,49 @@ class StreamHarnessSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("bounded stream-stream LEFT OUTER join == batch left join on the " +
+      "decided region, and null-extends at least one purchase") {
+    val ev = EventStream.eventsTable(spark, dir)
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoffUs = maxUs - (600L + 3600L + 1L) * 1000000L
+    val batch = EventStream.streamAttribution(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        joinType = "left_outer")
+      .filter(unix_micros(col("p_ts")) <= cutoffUs)
+    val streamed = StreamHarness.boundedAttributionOuter(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the outer face earns its keep: unmatched purchases survive
+    assert(streamed.filter(col("v_ts").isNull).count() > 0)
+    // and the matched subset equals the inner face on the same region
+    val inner = StreamHarness.boundedAttribution(spark, dir)
+      .filter(unix_micros(col("p_ts")) <= cutoffUs)
+    val matched = streamed.filter(col("v_ts").isNotNull)
+    assert(matched.count() == inner.count())
+    assert(matched.exceptAll(inner).isEmpty && inner.exceptAll(matched).isEmpty)
+  }
+
+  test("foreachBatch CDC-apply converges to the single-batch upsert") {
+    import graft.operators.Snapshot
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"))
+    def v(df: org.apache.spark.sql.DataFrame, ver: Long, del: Boolean) =
+      df.select(col("doc_id"), col("lang"), col("source"),
+        lit(ver).as("version"), lit(del).as("deleted"))
+    val batch = Snapshot.upsert(
+      v(d, 1L, del = false),
+      v(d.filter(col("doc_id") % 5 === 0)
+          .withColumn("lang", lit("und")), 2L, del = false)
+        .unionByName(v(d.filter(col("doc_id") % 17 === 0), 3L, del = true))
+        .unionByName(v(d.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L), 1L, del = false)),
+      "doc_id", "version", deletedCol = "deleted")
+    val streamed = StreamHarness.cdcApplyFace(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("bounded streaming sessions == batch sessions on the closed region") {
     val gapMs = 6L * 3600000
     val delaySec = 600L

@@ -162,6 +162,39 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
   }
 
+  test("sortedLayoutFace matches the plain aggregate (disjointness enforced inside)") {
+    val docs = spark.read.parquet(s"$faceDir/documents.parquet")
+    val got = TableLayout.sortedLayoutFace(spark, faceDir)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val minChars = docs.agg(min($"n_chars")).as[Long].head()
+    val expected = (docs.count(),
+      minChars,
+      docs.agg(max($"n_chars")).as[Long].head(),
+      docs.agg(sum($"n_chars")).as[Long].head(),
+      docs.select(countDistinct($"lang")).as[Long].head(),
+      docs.filter($"n_chars" === minChars).count())
+    assert(got == expected)
+  }
+
+  test("writeSorted produces disjoint per-file key ranges") {
+    val dir = Files.createTempDirectory("graft_sortw").toString + "/t"
+    val docs = spark.read.parquet(s"$faceDir/documents.parquet")
+      .select($"doc_id", $"n_chars")
+    TableLayout.writeSorted(docs, dir, "n_chars", 4)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(perFile.length == 4)
+    perFile.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 < b._2,
+        s"overlapping ranges: ${a._2}..${a._3} vs ${b._2}..${b._3}")
+      case _ => ()
+    }
+    // nothing lost by the range exchange + sort
+    assert(spark.read.parquet(dir).count() == docs.count())
+  }
+
   test("compactionFace and schemaEvolutionFace conserve every document") {
     val nDocs = spark.read.parquet(s"$faceDir/documents.parquet").count()
     val cf = TableLayout.compactionFace(spark, faceDir)
