@@ -116,7 +116,10 @@ object Bench {
     "q_streaming_attribution", "q_embedding_near_dups_ivf",
     // r13: two query incarnations + checkpoint recovery per run —
     // the streaming face with the most fixed overhead to attribute
-    "q_streaming_resume")
+    "q_streaming_resume",
+    // r13 third batch: the new multi-second stateful faces enter with
+    // the full spread from the start (the r11/r12 lesson)
+    "q_streaming_left_join", "q_streaming_cdc_apply")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

@@ -24,11 +24,16 @@ import graft.functions._
   * Scala-only: its stopword-list parameter has no SQL literal form.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info,
         GraftExtensions.checkedBuilder(name, builder)))
     }
+    // plan rewrite: naive time-interval joins → binned equi-joins
+    // (see plans.BinIntervalJoins); runtime route is
+    // `spark.experimental.extraOptimizations`
+    ext.injectOptimizerRule(_ => graft.plans.BinIntervalJoins)
+  }
 }
 
 object GraftExtensions {

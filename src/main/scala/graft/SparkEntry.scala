@@ -635,6 +635,35 @@ object SparkEntry {
         .orderBy("user_id", "event_type")
     }),
 
+    // Optimizer-rule face: the NAIVE interval-join SQL (bare range
+    // predicates, no binning in user code) run under
+    // plans.BinIntervalJoins — the rule must rewrite it into the
+    // binned equi-join (bin in the join keys, no nested-loop join;
+    // both require-enforced), and the pair set must equal the naive
+    // semantics bit-for-bit (the oracle runs the naive join).
+    "q_interval_autobin" -> ((s, dir) => {
+      graft.plans.BinIntervalJoins.withRule(s) {
+        val ev = EventStream.eventsTable(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+            col("value"))
+        val joined = p.join(v, expr("p_user = v_user AND v_ts < p_ts " +
+            "AND v_ts > p_ts - INTERVAL '1' HOUR"))
+          .select(col("event_id"), col("p_user").as("user_id"),
+            col("p_ts"), col("v_ts"), col("value"))
+          .orderBy("event_id", "v_ts")
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("__graft_bin"),
+          s"BinIntervalJoins did not fire — no bin in the plan:\n$plan")
+        require(!plan.contains("BroadcastNestedLoopJoin"),
+          s"interval join still planned as a nested loop:\n$plan")
+        joined.localCheckpoint(true)
+      }
+    }),
+
     // Stream-stream interval join (purchase ⋈ preceding views ≤1h).
     "q_streaming_attribution" -> ((s, dir) => {
       StreamHarness.boundedAttribution(s, dir)
@@ -3402,6 +3431,19 @@ object SparkEntry {
     "q_streaming_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // the naive interval join the optimizer rule must preserve
+    // exactly (same pair SQL as the streaming face)
+    "q_interval_autobin" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  value, event_type FROM events),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, value FROM e WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.ts AS p_ts, v.ts AS v_ts, v.value
+        |FROM p JOIN v
+        |  ON p.user_id = v.user_id AND v.ts < p.ts
+        | AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000
+        |ORDER BY p.event_id, v.ts""".stripMargin,
 
     // pair-level interval join: strict bounds on both ends, matching
     // streamAttribution's (p_ts - 1h, p_ts) window

@@ -51,6 +51,47 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       s"got: ${e.getMessage}")
   }
 
+  test("SparkSessionExtensions route injects functions AND the interval-join rule") {
+    import org.apache.spark.sql.SparkSession
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // a NEW session over the shared SparkContext with the extension
+    // class applied at build time. `spark.sql.extensions` is a STATIC
+    // conf read from the SparkContext (created long before this test),
+    // so the config-string route cannot be exercised in-JVM —
+    // `withExtensions` invokes the exact same class the config route
+    // instantiates. Never stop() s2: the context is shared.
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      assert(s2 ne spark, "builder reused the base session — the " +
+        "extensions route was not exercised")
+      // function injection, no register() call
+      assert(s2.sql("SELECT rolling_hash('hello') AS h").count() == 1)
+      // optimizer-rule injection: a naive keyless interval join plans
+      // with the bin key
+      import s2.implicits._
+      def ts(x: String) = java.sql.Timestamp.valueOf(x)
+      val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("lk", "lts")
+      val r = Seq((2L, ts("2024-01-01 09:50:00"))).toDF("rk", "rts")
+      val j = l.join(r, org.apache.spark.sql.functions.expr(
+        "rts <= lts AND lts - rts < INTERVAL '20' MINUTE"))
+      j.collect()
+      assert(j.queryExecution.executedPlan.toString.contains("__graft_bin"),
+        "injectOptimizerRule route did not fire")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("SQL results match the Column API on real documents") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     d.createOrReplaceTempView("docs")
