@@ -13,11 +13,13 @@ object IsoBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    for (i <- 1 to runs) {
+    // comma-separated names run in sequence (same JVM) — lets a
+    // suite-context interaction be reproduced pairwise
+    for (n <- name.split(',').toSeq; i <- 1 to runs) {
+      val fn = SparkEntry.queries(n)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[iso] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f")
+      println(f"[iso] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f")
       graft.operators.Dedup.releaseCaches(blocking = true)
       graft.operators.Similarity.releaseCaches(blocking = true)
       graft.operators.CorpusOps.releaseCaches(blocking = true)

@@ -65,6 +65,20 @@ class BinIntervalJoinsSpec extends AnyFunSuite with SparkTestBase {
     assert(gotSet == expected.collect().toSet)
   }
 
+  test("BETWEEN sugar desugars into the recognized bound pair") {
+    val (p, v) = sides()
+    val cond = expr(
+      "p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL '1' HOUR AND p_ts")
+    val naive = p.join(v, cond).select("event_id", "v_ts", "value")
+    val (got, plan) = withRule {
+      val r = p.join(v, cond).select("event_id", "v_ts", "value")
+      (r.collect().toSet, planStr(r))
+    }
+    assert(plan.contains("__graft_bin"),
+      s"BETWEEN form did not trigger the rewrite:\n$plan")
+    assert(got == naive.collect().toSet)
+  }
+
   test("half-bounded and non-inner conditions are left untouched") {
     val (p, v) = sides()
     withRule {
