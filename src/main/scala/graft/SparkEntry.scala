@@ -1643,6 +1643,13 @@ object SparkEntry {
     // perturb the hash.
     "q_sorted_layout" -> ((s, dir) => TableLayout.sortedLayoutFace(s, dir)),
 
+    // Z-order (Morton) layout: events written z-ordered on
+    // (user_id, hour) — per-file spans must bound BOTH dimensions
+    // while the time-sorted control leaves user_id unbounded
+    // (require-enforced) — multi-dimension data skipping, the
+    // OPTIMIZE ZORDER BY construction.
+    "q_zorder_layout" -> ((s, dir) => TableLayout.zorderLayoutFace(s, dir)),
+
     // Runtime bloom-filter join pruning: selective dim filter →
     // optimizer-injected might_contain probe on the fact side of a
     // shuffle join (enforced). Result is bit-identical to the plain
@@ -4352,6 +4359,16 @@ object SparkEntry {
         |        WHERE n_chars = (SELECT min(n_chars) FROM documents))
         |         AS n_at_min
         |FROM documents""".stripMargin,
+
+    // z-order: boundary-independent global measures (the per-file
+    // span contracts are require-enforced inside the face)
+    "q_zorder_layout" ->
+      """SELECT count(*) AS n_rows,
+        |       count(DISTINCT user_id) AS n_users,
+        |       min(event_id) AS min_event_id,
+        |       max(event_id) AS max_event_id,
+        |       CAST(sum(user_id) AS BIGINT) AS user_sum
+        |FROM events""".stripMargin,
 
     // the bloom pre-filter is invisible to the result by construction
     "q_bloom_join" ->

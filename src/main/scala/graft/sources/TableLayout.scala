@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical table layout for scale: hive-style partitioned parquet
@@ -99,6 +99,40 @@ object TableLayout {
     df.repartitionByRange(numRanges, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
+
+  /** 32-bit Morton (Z-order) value interleaving two dimensions, each
+    * first normalized to a 16-bit rank over its [min, max] range: bit
+    * k of the normalized x lands at position 2k, of y at 2k+1. Files
+    * range-partitioned on z cluster BOTH dimensions at once — the
+    * multi-column generalization of [[writeSorted]]'s skipping story:
+    * a linear sort gives one dimension tight per-file min/max bounds
+    * and leaves every other dimension spanning the whole table, while
+    * the z-curve trades a little tightness on the first dimension for
+    * bounded spans on both, so single-dimension predicates on EITHER
+    * column skip files. (Databricks OPTIMIZE ZORDER BY and Iceberg's
+    * z-ordering are this exact construction.)
+    *
+    * The four range constants are layout parameters computed once by
+    * the caller (one tiny aggregate — the same class of pre-pass as
+    * the range partitioner's own sampling). Integer-exact: the rank
+    * is `((v - min) * 65535) div max(1, max - min)`. */
+  def zValue(x: Column, xMin: Long, xMax: Long,
+             y: Column, yMin: Long, yMax: Long): Column = {
+    // exact floor division: the numerator minus its pmod is exactly
+    // divisible, and an integral quotient of exactly-representable
+    // doubles (< 2^53 here) divides exactly — no boundary rounding
+    def rank(v: Column, lo: Long, hi: Long): Column = {
+      val num = (v - lit(lo)) * lit(65535L)
+      val d = math.max(1L, hi - lo)
+      ((num - pmod(num, lit(d))) / lit(d)).cast("long")
+    }
+    val xq = rank(x, xMin, xMax)
+    val yq = rank(y, yMin, yMax)
+    (0 until 16).map { k =>
+      (shiftright(xq, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k))) +
+        (shiftright(yq, k).bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1)))
+    }.reduce(_ + _)
+  }
 
   /** Register `df` as a parquet-backed table bucketed (and sorted)
     * by `bucketCol` into `numBuckets` files per partition. Equi-joins
@@ -328,6 +362,73 @@ object TableLayout {
           sum(col("n_chars")).as("chars_sum"),
           count_distinct(col("lang")).as("n_langs"))
         .withColumn("n_at_min", lit(nAtMin))
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
+  /** Z-order layout face: events written twice — once linearly
+    * time-sorted, once z-ordered on (user_id, hour-bucket) — and the
+    * multi-dimension skipping property *enforced* by comparing
+    * per-file min/max spans (one `input_file_name()` pass per
+    * layout): the z-layout must bound BOTH dimensions (mean
+    * normalized span ≤ 0.75 each), while the linear layout, tight on
+    * time, must leave user_id effectively unbounded per file (mean
+    * span ≥ 0.85) — the measured reason a user_id predicate skips
+    * nothing in a time-sorted table and most files in a z-ordered
+    * one. Hash face: boundary-independent global aggregates. */
+  def zorderLayoutFace(spark: SparkSession, dir: String): DataFrame = {
+    val nRanges = 8
+    val tmp = freshTmp("graft_zorder_")
+    try {
+      // through the unit-negotiating reader: the raw file may carry
+      // TIMESTAMP_NTZ or ns-long (EventStream.adaptTs)
+      val ev = graft.streaming.EventStream.eventsTable(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (unix_micros(col("ts")) - pmod(unix_micros(col("ts")),
+            lit(3600000000L))).as("hour_us"))
+      // layout parameters: one tiny aggregate, the same class of
+      // pre-pass as the range partitioner's own boundary sampling
+      val r = ev.agg(min("user_id"), max("user_id"),
+        min("hour_us"), max("hour_us")).head()
+      val (uMin, uMax, hMin, hMax) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val zPath = tmp.resolve("z").toString
+      val linPath = tmp.resolve("lin").toString
+      writeSorted(ev.withColumn("__z",
+          zValue(col("user_id"), uMin, uMax, col("hour_us"), hMin, hMax)),
+        zPath, "__z", nRanges)
+      writeSorted(ev, linPath, "hour_us", nRanges)
+
+      /** per-file normalized (user, hour) span means over a layout */
+      def spans(path: String): (Double, Double) = {
+        val uW = math.max(1L, uMax - uMin).toDouble
+        val hW = math.max(1L, hMax - hMin).toDouble
+        val perFile = spark.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg(((max(col("user_id")) - min(col("user_id"))) / uW).as("us"),
+            ((max(col("hour_us")) - min(col("hour_us"))) / hW).as("hs"))
+          .collect() // |files|-bounded
+        require(perFile.length == nRanges,
+          s"$path: expected $nRanges files, found ${perFile.length}")
+        (perFile.map(_.getAs[Double]("us")).sum / perFile.length,
+          perFile.map(_.getAs[Double]("hs")).sum / perFile.length)
+      }
+      val (zU, zH) = spans(zPath)
+      val (linU, _) = spans(linPath)
+      require(zU <= 0.75 && zH <= 0.75,
+        f"z-order did not bound both dimensions: mean user span $zU%.2f, " +
+          f"mean hour span $zH%.2f (need <= 0.75 each)")
+      require(linU >= 0.85,
+        f"control violated: the time-sorted layout reads mean user span " +
+          f"$linU%.2f (expected ~1 — did the data change shape?)")
+      require(zU < linU,
+        f"z-order ($zU%.2f) did not improve on linear ($linU%.2f) for user_id")
+      spark.read.parquet(zPath)
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"),
+          sum(col("user_id")).as("user_sum"))
         .localCheckpoint(true)
     } finally rmTree(tmp)
   }

@@ -195,6 +195,44 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(dir).count() == docs.count())
   }
 
+  test("zValue interleaves normalized bits (Morton order)") {
+    // 2-point sanity: (min,min) -> 0; (max,max) -> all 32 bits set
+    val df = Seq((0L, 0L), (100L, 200L), (100L, 0L), (0L, 200L))
+      .toDF("x", "y")
+    val z = df.select(TableLayout.zValue(
+        $"x", 0L, 100L, $"y", 0L, 200L).as("z"))
+      .as[Long].collect().toSeq
+    assert(z(0) == 0L)
+    assert(z(1) == 0xFFFFFFFFL)
+    // x-only max sets exactly the even bits, y-only max the odd bits
+    assert(z(2) == 0x55555555L)
+    assert(z(3) == 0xAAAAAAAAL)
+    // locality: reference Morton of the scalar ranks matches
+    def morton(xq: Long, yq: Long): Long =
+      (0 until 16).map(k =>
+        ((xq >> k & 1L) << (2 * k)) | ((yq >> k & 1L) << (2 * k + 1))).sum
+    val rnd = Seq((17L, 33L), (64L, 199L), (99L, 1L))
+    val got = rnd.toDF("x", "y").select(TableLayout.zValue(
+        $"x", 0L, 100L, $"y", 0L, 200L).as("z"))
+      .as[Long].collect().toSeq
+    val expected = rnd.map { case (x, y) =>
+      morton(x * 65535L / 100L, y * 65535L / 200L)
+    }
+    assert(got == expected)
+  }
+
+  test("zorderLayoutFace matches the plain aggregate (span contracts inside)") {
+    val got = TableLayout.zorderLayoutFace(spark, faceDir)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val ev = spark.read.parquet(s"$faceDir/events.parquet")
+    val expected = (ev.count(),
+      ev.select(countDistinct($"user_id")).as[Long].head(),
+      ev.agg(min($"event_id")).as[Long].head(),
+      ev.agg(max($"event_id")).as[Long].head(),
+      ev.agg(sum($"user_id")).as[Long].head())
+    assert(got == expected)
+  }
+
   test("compactionFace and schemaEvolutionFace conserve every document") {
     val nDocs = spark.read.parquet(s"$faceDir/documents.parquet").count()
     val cf = TableLayout.compactionFace(spark, faceDir)
