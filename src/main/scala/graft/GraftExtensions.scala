@@ -30,9 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.checkedBuilder(name, builder)))
     }
     // plan rewrite: naive time-interval joins → binned equi-joins
-    // (see plans.BinIntervalJoins); runtime route is
-    // `spark.experimental.extraOptimizations`
-    ext.injectOptimizerRule(_ => graft.plans.BinIntervalJoins)
+    // (see plans.BinIntervalJoins). Conf-gated on this route (off by
+    // default; `SET spark.graft.binIntervalJoins.enabled=true`) — the
+    // extension loads for every session, and an unconditional rewrite
+    // would silently re-plan already-keyed interval joins. The runtime
+    // route (`BinIntervalJoins.withRule` /
+    // `spark.experimental.extraOptimizations`) stays ungated: attaching
+    // the rule yourself is the opt-in.
+    ext.injectOptimizerRule(_ => graft.plans.BinIntervalJoinsGated)
   }
 }
 

@@ -723,6 +723,15 @@ object SparkEntry {
     "q_streaming_cdc_apply" -> ((s, dir) =>
       StreamHarness.cdcApplyFace(s, dir)),
 
+    // Trigger.AvailableNow incremental ingest — the nightly-batch-
+    // over-streaming-checkpoint pattern: two short-lived query
+    // incarnations over one checkpoint, each draining only what
+    // arrived since the last run (resume + no-reprocess both
+    // require-enforced from the observed batch ids); same versioned
+    // CDC merge and oracle as q_streaming_cdc_apply.
+    "q_streaming_availablenow" -> ((s, dir) =>
+      StreamHarness.availableNowCdcFace(s, dir)),
+
     // Ordered-funnel conversion (view → click → purchase): per step,
     // users whose events contain the prefix as a strictly-increasing
     // timestamp subsequence. Greedy earliest-match; every stage keys
@@ -1650,6 +1659,13 @@ object SparkEntry {
     // OPTIMIZE ZORDER BY construction.
     "q_zorder_layout" -> ((s, dir) => TableLayout.zorderLayoutFace(s, dir)),
 
+    // Three-dimension Z-order — the (tenant, time, entity) layout:
+    // events z-ordered on (user_id, hour, value-cents) via the N-D
+    // Morton interleave; per-file spans must bound ALL THREE
+    // dimensions while the time-sorted control bounds only time
+    // (require-enforced for each dimension).
+    "q_zorder3_layout" -> ((s, dir) => TableLayout.zorder3LayoutFace(s, dir)),
+
     // Runtime bloom-filter join pruning: selective dim filter →
     // optimizer-injected might_contain probe on the fact side of a
     // shuffle join (enforced). Result is bit-identical to the plain
@@ -1686,7 +1702,10 @@ object SparkEntry {
         ("unique_custkey",
           cust.groupBy(col("c_custkey")).agg(count(lit(1)).as("n")),
           col("n") > 1),
-        ("ts_in_window", t(s, dir, "events"),
+        // through the unit-negotiating reader: a ns-long ts fixture
+        // would otherwise cast long->timestamp as SECONDS and silently
+        // move every event out of the window (r13 advice)
+        ("ts_in_window", EventStream.eventsTable(s, dir),
           col("ts") < to_timestamp(lit("2020-01-01 00:00:00")) ||
             col("ts") >= to_timestamp(lit("2030-01-01 00:00:00")))))
     }),
@@ -3860,6 +3879,31 @@ object SparkEntry {
          |SELECT doc_id, lang, source, version FROM won
          |WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
 
+    // identical final state to q_streaming_cdc_apply: the AvailableNow
+    // face applies the same update log through the same merge — only
+    // the trigger/incarnation mechanics differ, and those are
+    // require-enforced inside the face, not oracle-visible
+    "q_streaming_availablenow" ->
+      s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
+         |tagged AS (
+         |  SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS version,
+         |         false AS deleted, 0 AS prov FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 'und', source, 2, false, 1 FROM d
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, lang, source, 3, true, 1 FROM d
+         |  WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, source, 1, false, 1 FROM d
+         |  WHERE doc_id % 13 = 0),
+         |won AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY version DESC, prov DESC) AS rn
+         |  FROM tagged)
+         |SELECT doc_id, lang, source, version FROM won
+         |WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
+
     // mirrors Snapshot.scd2History over the same version log:
     // version-desc window per id, first-of-version dedup (a no-op on
     // this collision-free log), valid_to = the successor's version
@@ -4368,6 +4412,19 @@ object SparkEntry {
         |       min(event_id) AS min_event_id,
         |       max(event_id) AS max_event_id,
         |       CAST(sum(user_id) AS BIGINT) AS user_sum
+        |FROM events""".stripMargin,
+
+    // boundary-independent global aggregates, like q_zorder_layout;
+    // value_c replays the face's floor(x+0.5) cents key exactly
+    "q_zorder3_layout" ->
+      """SELECT count(*) AS n_rows,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |         AS n_values,
+        |       min(event_id) AS min_event_id,
+        |       max(event_id) AS max_event_id,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS value_c_sum
         |FROM events""".stripMargin,
 
     // the bloom pre-filter is invisible to the result by construction

@@ -112,15 +112,32 @@ object Redaction {
       s" ELSE '' END"
   }
 
-  /** Hard-delete a request set from `df`: broadcast anti-join on
-    * `keyCol`. The request list is the small side by nature (deletion
-    * requests arrive in thousands, corpora in billions), so at 100 TB
-    * this is one map-side pass per table — no shuffle of the corpus,
-    * ever. */
+  /** Request-set row count above which the purge joins fall back from
+    * broadcast to shuffle (r13 verdict stretch 7 — the Bfs frontier
+    * discipline): a pathological request list (a court-ordered purge of
+    * 10^8 ids) must degrade to a shuffled anti-join, not OOM the
+    * driver assembling a broadcast table. 4M long keys ≈ tens of MB
+    * broadcast — the same ceiling the BFS frontier uses. */
+  private[graft] val BroadcastRequestRows = 4000000L
+
+  /** Hard-delete a request set from `df`: anti-join on `keyCol`,
+    * broadcast while the request list is small. The request list is
+    * the small side by nature (deletion requests arrive in thousands,
+    * corpora in billions), so at 100 TB this is one map-side pass per
+    * table — no shuffle of the corpus; past [[BroadcastRequestRows]]
+    * it degrades gracefully to the shuffled anti-join instead of
+    * OOMing the driver. */
   def purge(df: DataFrame, keyCol: String, requests: DataFrame,
-            reqCol: String): DataFrame =
-    df.join(broadcast(requests.select(col(reqCol)).distinct()),
-      col(keyCol) === col(reqCol), "left_anti")
+            reqCol: String): DataFrame = {
+    val reqs = requests.select(col(reqCol)).distinct()
+    df.join(maybeBroadcast(reqs), col(keyCol) === col(reqCol), "left_anti")
+  }
+
+  /** Broadcast `reqs` iff its row count is under the gate — ONE tiny
+    * keyed count per purge call, the price of not trusting an
+    * unbounded input to fit in the driver. */
+  private def maybeBroadcast(reqs: DataFrame): DataFrame =
+    if (reqs.count() <= BroadcastRequestRows) broadcast(reqs) else reqs
 
   /** Right-to-be-forgotten cascade with audit: propagate one request
     * set across the corpus AND every derived table (chunks, embedding
@@ -133,20 +150,33 @@ object Redaction {
     * rows_before - purged (require — the audit and the purge can't
     * drift). Output: one audit row per table. */
   def purgeCascade(tables: Seq[(String, DataFrame, String)],
-                   requests: DataFrame, reqCol: String): DataFrame = {
+                   requests: DataFrame, reqCol: String,
+                   broadcastRequestRows: Long = BroadcastRequestRows)
+      : DataFrame = {
     val spark = requests.sparkSession
     import spark.implicits._
+    // distinct + pin once; ONE count decides broadcast-vs-shuffle for
+    // every per-table pass (the Bfs frontier row-count gate — see
+    // [[BroadcastRequestRows]]; parameterized so a spec can force the
+    // shuffle path without 4M rows), instead of trusting an unbounded
+    // request list into the driver
     val reqKeys = requests.select(col(reqCol).as("__purge_key")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reqSide =
+      if (reqKeys.count() <= broadcastRequestRows) broadcast(reqKeys)
+      else reqKeys
+    try {
     val audits = tables.map { case (label, df, keyCol) =>
       val Array(row) = df
-        .join(broadcast(reqKeys), col(keyCol) === col("__purge_key"), "left")
+        .join(reqSide, col(keyCol) === col("__purge_key"), "left")
         .agg(count(lit(1)).as("rows_before"),
           coalesce(sum(when(col("__purge_key").isNotNull, 1L)
             .otherwise(0L)), lit(0L)).as("purged"))
         .collect()
       val before = row.getAs[Long]("rows_before")
       val purged = row.getAs[Long]("purged")
-      val survived = purge(df, keyCol, reqKeys, "__purge_key").count()
+      val survived = df.join(reqSide,
+        col(keyCol) === col("__purge_key"), "left_anti").count()
       require(survived == before - purged,
         s"$label: purge anti-join left $survived rows but the audit " +
           s"expected ${before - purged}")
@@ -156,5 +186,6 @@ object Redaction {
     // class as BPE's collected merge list, never data-proportional
     audits.toDF("tbl", "rows_before", "purged", "rows_after")
       .orderBy("tbl")
+    } finally reqKeys.unpersist(false)
   }
 }

@@ -39,6 +39,23 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, LongType, TimestampType}
   * Registered via `spark.experimental.extraOptimizations` (runtime)
   * or `GraftExtensions` (`spark.sql.extensions` — plain-SQL users).
   */
+/** Conf-gated wrapper for the `spark.sql.extensions` route (r13
+  * advice): the extension injects its rules into EVERY session that
+  * loads it, and the raw rule would silently rewrite any qualifying
+  * interval join — including already-keyed ones whose equi key makes
+  * the join cheap and whose plan a user may have tuned. Off by
+  * default on that route; opt in per session with
+  * `SET spark.graft.binIntervalJoins.enabled=true`.
+  * [[BinIntervalJoins.withRule]] remains the explicit, ungated route
+  * (attaching the rule yourself IS the opt-in). */
+object BinIntervalJoinsGated extends Rule[LogicalPlan] {
+  val EnabledKey = "spark.graft.binIntervalJoins.enabled"
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(EnabledKey, "false").toBoolean)
+      BinIntervalJoins(plan)
+    else plan
+}
+
 object BinIntervalJoins extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BinName = "__graft_bin"
@@ -134,6 +151,36 @@ object BinIntervalJoins extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** Human-readable diagnosis of HALF-bounded timestamp pairs — pairs
+    * the rule recognized except for one missing finite bound (the
+    * deliberate unbounded-fan-out bail, scaladoc above). One line per
+    * pair; empty when every recognized pair is complete (or none was
+    * recognized at all, where staying silent is correct — an ordinary
+    * equi-join is not an interval join manqué). */
+  private def halfBoundedDiagnosis(
+      byPair: Map[(ExprId, ExprId), Seq[Bound]]): Seq[String] =
+    byPair.toSeq.collect {
+      case ((_, _), bs)
+          if bs.flatMap(_.lo).isEmpty != bs.flatMap(_.hi).isEmpty =>
+        val missing = if (bs.flatMap(_.lo).isEmpty) "lower" else "upper"
+        s"BinIntervalJoins: interval join on (${bs.head.l.name}, " +
+          s"${bs.head.r.name}) has no finite $missing bound on " +
+          s"${bs.head.l.name} - ${bs.head.r.name}; the binned rewrite " +
+          "needs both bounds (unbounded bucket fan-out otherwise) — " +
+          "this join keeps its unbinned (possibly nested-loop) plan. " +
+          "Add the missing bound, or build the join via operators.RangeJoin."
+    }
+
+  /** The diagnosis for an analyzed Join node — the spec-facing entry
+    * to the half-bounded warning above. */
+  private[graft] def halfBoundedInfo(j: Join): Seq[String] = j match {
+    case Join(left, right, Inner, Some(cond), _) =>
+      val bounds = splitConjunctivePredicates(cond)
+        .flatMap(classify(left.outputSet, right.outputSet, _))
+      halfBoundedDiagnosis(bounds.groupBy(b => (b.l.exprId, b.r.exprId)))
+    case _ => Nil
+  }
+
   /** Exact floor(us / w) for any sign: subtract the (always
     * non-negative) pmod first, then the integral division is exact —
     * pure 64-bit arithmetic, stays in whole-stage codegen. */
@@ -162,7 +209,14 @@ object BinIntervalJoins extends Rule[LogicalPlan] with PredicateHelper {
         }
       }.headOption
       complete match {
-        case None => j
+        case None =>
+          // make the bail observable (r13 verdict item 5): a user who
+          // wrote only `v_ts < p_ts` matches the pattern except for
+          // the second bound and silently keeps the NLJ cliff — name
+          // the missing bound so the fix (add the other bound, or a
+          // manual RangeJoin) is one log line away
+          halfBoundedDiagnosis(byPair).foreach(m => logWarning(m))
+          j
         case Some((lTs, rTs, lo, hi)) =>
           val w = hi - lo
           // delta ∈ [lo, hi) ⇔ µs(l) − (µs(r)+lo) ∈ [0, w): the two

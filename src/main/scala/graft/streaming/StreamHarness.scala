@@ -305,7 +305,11 @@ object StreamHarness {
           1L, deleted = false)), "u1")
       val schema = spark.read
         .parquet(input.resolve("u0.parquet").toString).schema
-      val merges = new java.util.concurrent.atomic.AtomicInteger(0)
+      // high-water mark of batchId+1, NOT an invocation counter (r13
+      // advice): a retried/re-executed micro-batch — the exact case the
+      // versioned-state design claims idempotence for — re-runs the
+      // same batchId, which must not advance the final-read version
+      val maxV = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(input.toString)
@@ -316,15 +320,109 @@ object StreamHarness {
             .upsert(prev, batch, "doc_id", "version")
             .write.mode("overwrite")
             .parquet(stateDir.resolve(s"v${batchId + 1}").toString)
-          merges.incrementAndGet(); ()
+          maxV.getAndUpdate(v => math.max(v, batchId + 1)); ()
         }
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .start()
       try q.processAllAvailable() finally q.stop()
-      require(merges.get >= 2,
-        s"expected >= 2 incremental merges, ran ${merges.get} — the " +
-          "stream collapsed into one batch and proved nothing incremental")
-      spark.read.parquet(stateDir.resolve(s"v${merges.get}").toString)
+      require(maxV.get >= 2,
+        s"expected >= 2 incremental merges, reached batch version " +
+          s"${maxV.get} — the stream collapsed into one batch and " +
+          "proved nothing incremental")
+      spark.read.parquet(stateDir.resolve(s"v${maxV.get}").toString)
+        .filter(!coalesce(col("deleted"), lit(false)))
+        .drop("deleted")
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
+
+  /** Trigger.AvailableNow incremental CDC ingest — the
+    * nightly-batch-over-streaming-checkpoint shape most production
+    * corpus ingests actually run (r13 verdict item 6): a short-lived
+    * query wakes up, drains WHATEVER ARRIVED since the last run from a
+    * growing directory, merges it, and exits; the streaming checkpoint
+    * (not a human-maintained high-water mark) is what remembers where
+    * the last run stopped. Two incarnations over one durable
+    * checkpoint: run 1 sees only the first update file; the second
+    * file lands "overnight"; run 2 must resume from the checkpoint and
+    * process ONLY the new file — both enforced from the observed batch
+    * ids (a fresh start would re-run batch 0; a stalled source would
+    * run nothing). Merge/state machinery identical to [[cdcApplyFace]]
+    * (versioned state dirs, retained tombstones), so the face shares
+    * q_snapshot_upsert's oracle. */
+  def availableNowCdcFace(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-cdc-avail-")
+    try {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"))
+      def versioned(df: DataFrame, v: Long, deleted: Boolean): DataFrame =
+        df.select(col("doc_id"), col("lang"), col("source"),
+          lit(v).as("version"), lit(deleted).as("deleted"))
+      val stateDir = root.resolve("state")
+      versioned(d, 1L, deleted = false)
+        .write.parquet(stateDir.resolve("v0").toString)
+      val input = Files.createDirectories(root.resolve("input"))
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = root.resolve(s"stage-$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file staged in $tmp")).toPath
+        Files.move(part, input.resolve(s"$name.parquet"))
+      }
+      // night 1: the re-processing batch
+      stage(versioned(d.filter(col("doc_id") % 5 === 0)
+        .withColumn("lang", lit("und")), 2L, deleted = false), "u0")
+      val schema = spark.read
+        .parquet(input.resolve("u0.parquet").toString).schema
+      val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      def nightlyRun(): Seq[Long] = {
+        val before = batches.size
+        val q = spark.readStream.schema(schema)
+          .parquet(input.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val prev =
+              spark.read.parquet(stateDir.resolve(s"v$batchId").toString)
+            graft.operators.Snapshot
+              .upsert(prev, batch, "doc_id", "version")
+              .write.mode("overwrite")
+              .parquet(stateDir.resolve(s"v${batchId + 1}").toString)
+            batches.add(batchId); ()
+          }
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // AvailableNow self-terminates once the snapshot of available
+        // files is drained — THE property this face exists to prove
+        try require(q.awaitTermination(120000L),
+          "AvailableNow query did not self-terminate within 120s")
+        finally q.stop()
+        import scala.jdk.CollectionConverters._
+        batches.iterator().asScala.toSeq.drop(before)
+      }
+      val night1 = nightlyRun()
+      require(night1.nonEmpty && night1.max == 0L,
+        s"night-1 run expected exactly batch 0, saw $night1")
+      // overnight arrivals: takedowns + fresh docs
+      stage(versioned(d.filter(col("doc_id") % 17 === 0), 3L, deleted = true)
+        .unionByName(versioned(
+          d.filter(col("doc_id") % 13 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L),
+          1L, deleted = false)), "u1")
+      val night2 = nightlyRun()
+      require(night2.nonEmpty && night2.min >= 1L,
+        s"night-2 run re-processed already-committed batches ($night2) — " +
+          "the checkpoint was ignored, this was a fresh start")
+      val maxV = (night1 ++ night2).max + 1L
+      spark.read.parquet(stateDir.resolve(s"v$maxV").toString)
         .filter(!coalesce(col("deleted"), lit(false)))
         .drop("deleted")
         .orderBy("doc_id")

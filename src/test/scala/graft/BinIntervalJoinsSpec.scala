@@ -92,6 +92,33 @@ class BinIntervalJoinsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("half-bounded bail is observable: diagnosis names the missing " +
+      "bound; complete and non-interval joins stay silent") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val (p, v) = sides()
+    // optimizedPlan, not analyzed: the rule runs after constant
+    // folding, where `p_ts - INTERVAL '1' HOUR` is a folded literal
+    // offset — the analyzed tree still carries UnaryMinus(Literal)
+    // and would mis-read a complete condition as half-bounded
+    def joinNode(df: DataFrame): Join =
+      df.queryExecution.optimizedPlan.collectFirst { case j: Join => j }
+        .getOrElse(fail("no Join in the optimized plan"))
+    // `v_ts < p_ts` alone bounds p_ts - v_ts from BELOW only — how far
+    // back a view may be is unbounded, so the missing bound is upper
+    val half = BinIntervalJoins.halfBoundedInfo(
+      joinNode(p.join(v, expr("v_ts < p_ts"))))
+    assert(half.size == 1, s"expected one diagnosis line, got $half")
+    assert(half.head.contains("no finite upper bound") &&
+      half.head.contains("p_ts") && half.head.contains("v_ts"),
+      s"diagnosis does not name the missing bound/columns: ${half.head}")
+    // complete interval condition: nothing to warn about
+    assert(BinIntervalJoins.halfBoundedInfo(joinNode(p.join(v,
+      expr("v_ts < p_ts AND v_ts > p_ts - INTERVAL '1' HOUR")))).isEmpty)
+    // ordinary equi-join: not an interval join manque, stays silent
+    assert(BinIntervalJoins.halfBoundedInfo(joinNode(p.join(v,
+      expr("p_user = v_user")))).isEmpty)
+  }
+
   test("inclusive/exclusive bound arithmetic is exact at the boundary") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

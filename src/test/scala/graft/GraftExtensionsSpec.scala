@@ -73,17 +73,25 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         "extensions route was not exercised")
       // function injection, no register() call
       assert(s2.sql("SELECT rolling_hash('hello') AS h").count() == 1)
-      // optimizer-rule injection: a naive keyless interval join plans
-      // with the bin key
+      // optimizer-rule injection is CONF-GATED on this route (r13
+      // advice — the extension loads for every session, so the rewrite
+      // must be an opt-in there): off by default, on with the flag
       import s2.implicits._
       def ts(x: String) = java.sql.Timestamp.valueOf(x)
       val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("lk", "lts")
       val r = Seq((2L, ts("2024-01-01 09:50:00"))).toDF("rk", "rts")
-      val j = l.join(r, org.apache.spark.sql.functions.expr(
-        "rts <= lts AND lts - rts < INTERVAL '20' MINUTE"))
-      j.collect()
-      assert(j.queryExecution.executedPlan.toString.contains("__graft_bin"),
-        "injectOptimizerRule route did not fire")
+      def plan() = {
+        val j = l.join(r, org.apache.spark.sql.functions.expr(
+          "rts <= lts AND lts - rts < INTERVAL '20' MINUTE"))
+        j.collect()
+        j.queryExecution.executedPlan.toString
+      }
+      assert(!plan().contains("__graft_bin"),
+        "gated rule fired without the opt-in flag")
+      s2.conf.set(graft.plans.BinIntervalJoinsGated.EnabledKey, "true")
+      try assert(plan().contains("__graft_bin"),
+        "injectOptimizerRule route did not fire with the flag set")
+      finally s2.conf.unset(graft.plans.BinIntervalJoinsGated.EnabledKey)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

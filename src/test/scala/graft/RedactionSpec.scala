@@ -90,6 +90,19 @@ class RedactionSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(("chunks", 20L, 4L, 16L), ("docs", 10L, 2L, 8L)))
   }
 
+  test("purgeCascade past the broadcast gate degrades to a shuffle " +
+      "anti-join with identical audits") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"d$i")).toDF("doc_id", "v")
+    val req = Seq(2L, 5L).toDF("req_id")
+    // threshold 0: every request set is "too big to broadcast" — the
+    // 10^8-key purge path, exercised without 10^8 keys
+    val got = Redaction.purgeCascade(Seq(("docs", docs, "doc_id")),
+        req, "req_id", broadcastRequestRows = 0L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("docs", 10L, 2L, 8L)))
+  }
+
   test("purgeCascade with an empty request set purges nothing") {
     import spark.implicits._
     val docs = Seq((1L, "a")).toDF("doc_id", "v")

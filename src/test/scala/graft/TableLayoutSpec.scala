@@ -221,6 +221,58 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
   }
 
+  test("zValueN: 3 dimensions interleave round-robin; huge ranges " +
+      "(the old Long-overflow regime) stay exact and monotone") {
+    // corner points: all-min -> 0; all-max -> all 48 bits set
+    val df3 = Seq((0L, 0L, 0L), (10L, 20L, 30L)).toDF("x", "y", "z")
+    val z3 = df3.select(TableLayout.zValueN(Seq(
+        ($"x", 0L, 10L), ($"y", 0L, 20L), ($"z", 0L, 30L))).as("v"))
+      .as[Long].collect().toSeq
+    assert(z3(0) == 0L)
+    assert(z3(1) == (1L << 48) - 1)
+    // single-dimension max sets exactly every 3rd bit at its offset
+    val solo = Seq((10L, 0L, 0L), (0L, 20L, 0L), (0L, 0L, 30L))
+      .toDF("x", "y", "z")
+      .select(TableLayout.zValueN(Seq(
+        ($"x", 0L, 10L), ($"y", 0L, 20L), ($"z", 0L, 30L))).as("v"))
+      .as[Long].collect().toSeq
+    val evry3 = (0 until 16).map(k => 1L << (3 * k)).sum
+    assert(solo == Seq(evry3, evry3 << 1, evry3 << 2))
+    // the r13-advice regime: range >> 2^53/65535, where the old
+    // (v-lo)*65535 product overflowed Long and produced garbage. The
+    // shift path must stay monotone and 16-bit-bounded.
+    val lo = -4611686018427387904L // -2^62
+    val hi = 4611686018427387903L  // 2^62 - 1
+    val xs = Seq(lo, lo / 2, -1L, 0L, 1L, hi / 2, hi)
+    val ranks = xs.toDF("x")
+      .select(TableLayout.zValueN(Seq(($"x", lo, hi), (lit(0L), 0L, 1L)))
+        .as("v"))
+      .as[Long].collect().toSeq
+    // y contributes 0, so v is the x rank spread over even bits —
+    // recover the rank by de-interleaving
+    def unEven(v: Long): Long =
+      (0 until 16).map(k => ((v >> (2 * k)) & 1L) << k).sum
+    val rs = ranks.map(unEven)
+    assert(rs == rs.sorted, s"ranks not monotone: $rs")
+    assert(rs.forall(r => r >= 0L && r <= 65535L), s"rank out of range: $rs")
+    assert(rs.head == 0L)
+    assert(rs.last >= 32768L, s"top of range maps too low: ${rs.last}")
+  }
+
+  test("zorder3LayoutFace matches the plain aggregate (span contracts inside)") {
+    val got = TableLayout.zorder3LayoutFace(spark, faceDir)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val ev = spark.read.parquet(s"$faceDir/events.parquet")
+      .withColumn("vc", floor($"value" * 100 + 0.5).cast("long"))
+    val expected = (ev.count(),
+      ev.select(countDistinct($"user_id")).as[Long].head(),
+      ev.select(countDistinct($"vc")).as[Long].head(),
+      ev.agg(min($"event_id")).as[Long].head(),
+      ev.agg(max($"event_id")).as[Long].head(),
+      ev.agg(sum($"vc")).as[Long].head())
+    assert(got == expected)
+  }
+
   test("zorderLayoutFace matches the plain aggregate (span contracts inside)") {
     val got = TableLayout.zorderLayoutFace(spark, faceDir)
       .as[(Long, Long, Long, Long, Long)].head()
