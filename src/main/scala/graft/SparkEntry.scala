@@ -441,6 +441,13 @@ object SparkEntry {
         .orderBy("p_size")
     }),
 
+    // AQE runtime skew-join split — the AUTOMATIC counterpart of the
+    // salted join above: ~90% of events collapse onto one join key,
+    // broadcast disabled, and OptimizeSkewedJoin must split the hot
+    // partition at runtime (skew=true require-enforced in the final
+    // adaptive plan). Bit-identical to the unsplit join.
+    "q_aqe_skew_join" -> ((s, dir) => SkewOps.aqeSkewJoinFace(s, dir)),
+
     // Analytic-function family: ntile / percent_rank / cume_dist over
     // a unique (totalprice, orderkey) ordering per priority class —
     // every value is a rational of exact integers, oracle-exact.
@@ -3743,6 +3750,20 @@ object SparkEntry {
         |         AS sum_qty
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |GROUP BY p_size ORDER BY p_size""".stripMargin,
+
+    // skew splitting replicates the matched partition, never the pair
+    // set — the oracle is the plain join
+    "q_aqe_skew_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN user_id % 10 <> 0 THEN CAST(0 AS BIGINT)
+        |              ELSE user_id END AS k,
+        |         value, props FROM events),
+        |d AS (SELECT c_custkey AS k, c_custkey % 7 AS label FROM customer)
+        |SELECT d.label, count(*) AS n,
+        |       CAST(sum(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |       CAST(sum(length(f.props)) AS BIGINT) AS props_chars
+        |FROM f JOIN d ON f.k = d.k
+        |GROUP BY d.label ORDER BY d.label""".stripMargin,
 
     // identical OVER clauses; the unique (totalprice, orderkey)
     // ordering makes rank == row_number in both engines

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities: salted two-phase aggregation.
@@ -107,5 +107,85 @@ object SkewOps {
     val r = right.withColumn(saltCol,
       explode(typedLit((0L until saltBuckets.toLong).toArray)))
     l.join(r, keyCols :+ saltCol, joinType).drop(saltCol)
+  }
+
+  /** AQE runtime skew-join face: the AUTOMATIC counterpart of
+    * [[saltedJoin]], proven under the gate. A deterministically skewed
+    * fact (~90% of events collapse onto one join key) sort-merge-joins
+    * a user dimension with broadcast disabled — the at-scale shape
+    * where one reducer partition would be the straggler — and AQE's
+    * OptimizeSkewedJoin must SPLIT that partition at runtime:
+    * `skew=true` on the join in the final adaptive plan is
+    * require-enforced (on a plan that actually executed — AQE finality
+    * is a runtime property, not a compile-time one). Thresholds are
+    * scaled to gate SF the same way q_bloom_join scales its size
+    * gates; production defaults (256 MB / factor 5) admit exactly this
+    * shape at 100 TB. Result is bit-identical to the unsplit join by
+    * construction — skew splitting replicates the matching partition,
+    * never changes the pair set. The props payload is carried into the
+    * aggregate so column pruning cannot slim the skewed partition
+    * below the (scaled) split threshold. */
+  def aqeSkewJoinFace(spark: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // gate-SF scaling: a 10k-row shuffle is KBs, not the 256 MB the
+      // production threshold expects
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      // the 1 MB coalescing floor would merge every gate-SF map stage
+      // to ONE task — and a skewed reduce partition fed by one mapper
+      // is one indivisible block AQE cannot split (measured: this,
+      // not the size thresholds, is what silently disables skew
+      // handling on small data)
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      // both broadcast paths off: the face proves the shuffle-join
+      // shape where neither side fits an executor (the 100 TB reality)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ev = graft.streaming.EventStream.eventsTable(spark, dir)
+        // multi-mapper scaffold for gate SF: the single-file scan is
+        // ONE map task, and skew splitting works on per-mapper block
+        // ranges — at 100 TB the map side is thousands of tasks and
+        // this exchange doesn't exist
+        .repartition(col("event_id"))
+      // ~90% of rows collapse onto key 0; users divisible by 10 keep
+      // their own key — a one-hot-key histogram, the classic skew
+      val fact = ev.select(
+        when(col("user_id") % 10 =!= 0, lit(0L)).otherwise(col("user_id"))
+          .as("k"),
+        col("value"), col("props"))
+      // customer is unique on c_custkey and covers every user_id, so
+      // the dim side plans as scan -> exchange -> sort with NOTHING
+      // between sort and shuffle stage — OptimizeSkewedJoin's pattern
+      // requires exactly that shape (a distinct()'s final aggregate
+      // between them defeats the rule; measured)
+      val dim = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("k"), (col("c_custkey") % 7).as("label"))
+      val agg = fact.join(dim, "k")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total"),
+          sum(length(col("props"))).as("props_chars"))
+        .orderBy("label")
+      val out = agg.localCheckpoint(true) // executes — finalizes AQE
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("isFinalPlan=true"),
+        s"the inspected plan never executed — AQE state is not final:\n$plan")
+      require(plan.contains("skew=true"),
+        "AQE did not split the skewed join partition — no skew=true " +
+          s"in the final adaptive plan:\n$plan")
+      require(plan.contains("SortMergeJoin"),
+        s"expected the shuffle sort-merge join shape:\n$plan")
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 }

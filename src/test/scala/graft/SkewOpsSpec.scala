@@ -90,4 +90,29 @@ class SkewOpsSpec extends AnyFunSuite with SparkTestBase {
       .select($"n_distinct").as[Long].collect().toSeq
     assert(got == Seq(2L))
   }
+
+  test("aqeSkewJoinFace: AQE splits the hot partition (enforced inside) " +
+      "and the result equals the plain join; session confs restored") {
+    val dir = "/root/testdata/sf0.001"
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val before = keys.map(k => spark.conf.getOption(k))
+    val got = SkewOps.aqeSkewJoinFace(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(keys.map(k => spark.conf.getOption(k)) == before,
+      "face leaked session conf changes")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(when($"user_id" % 10 =!= 0, 0L).otherwise($"user_id").as("k"),
+        $"value", $"props")
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey".as("k"), ($"c_custkey" % 7).as("label"))
+    val expected = ev.join(dim, "k").groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,6)")).cast("double").as("total"),
+        sum(length($"props")).as("pc"))
+      .orderBy("label")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got == expected)
+  }
 }
