@@ -119,7 +119,10 @@ object Bench {
     "q_streaming_resume",
     // r13 third batch: the new multi-second stateful faces enter with
     // the full spread from the start (the r11/r12 lesson)
-    "q_streaming_left_join", "q_streaming_cdc_apply")
+    "q_streaming_left_join", "q_streaming_cdc_apply",
+    // r14: two full BFS passes per run — multi-second iterative, full
+    // spread from the start
+    "q_closeness_sample", "q_streaming_availablenow")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

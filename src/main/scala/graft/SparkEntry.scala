@@ -4,10 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Bfs, ConnectedComponents, CorpusOps, Dedup,
-  Funnel, GraphOps, Indexing, KCore, LabelPropagation, Multimodal, PageRank,
-  Profile, RandomWalk, RangeJoin, Redaction, Retention, SequencePacking,
-  Similarity, SkewOps, Snapshot, Sssp, TextAnalysis}
+import graft.operators.{AsOfJoin, Bfs, Centrality, ConnectedComponents,
+  CorpusOps, Dedup, Funnel, GraphOps, Indexing, KCore, LabelPropagation,
+  Multimodal, PageRank, Profile, RandomWalk, RangeJoin, Redaction, Retention,
+  SequencePacking, Similarity, SkewOps, Snapshot, Sssp, TextAnalysis}
 import graft.sources.TableLayout
 import graft.streaming.{EventStream, StreamHarness}
 import graft.functions.{SimHashExpr, TopKBySim}
@@ -141,6 +141,15 @@ object SparkEntry {
     // of O5 init — same semilattice).
     "q_bfs_multisource" -> ((s, dir) => {
       Bfs.runMulti(copurchaseEdges(s, dir), Seq(2L, 4L, 6L)).orderBy("id")
+    }),
+
+    // Pivot-sampled harmonic centrality: one BFS per pivot (2 pivots),
+    // per-vertex distance columns + the Σ 1/d estimate — the sampling
+    // estimator for closeness at scale (k passes, never all-pairs);
+    // harmonic handles disconnection (unreachable pivot contributes 0).
+    "q_closeness_sample" -> ((s, dir) => {
+      Centrality.pivotHarmonic(copurchaseEdges(s, dir), Seq(2L, 4L))
+        .orderBy("id")
     }),
 
     // Connected components by min-label propagation on the
@@ -1723,7 +1732,21 @@ object SparkEntry {
     // PERMISSIVE parse — malformed lines neither kill the ingest nor
     // silently vanish; the `__corrupt__` audit row is hash-gated.
     "q_jsonl_ingest" -> ((s, dir) =>
-      graft.sources.JsonlSource.ingestFace(s, dir))
+      graft.sources.JsonlSource.ingestFace(s, dir)),
+
+    // CSV ingest with quarantine — the JsonlSource contract on the
+    // warehouse-export interchange format: declared schema (no
+    // inference pass), PERMISSIVE corrupt-line routing, deterministic
+    // torn-line overlay (doc_id % 41 == 7 truncated to 2 of 4
+    // fields), quarantined count hash-gated.
+    "q_csv_ingest" -> ((s, dir) =>
+      graft.sources.CsvSource.ingestFace(s, dir)),
+
+    // ORC round-trip: documents written and read back as ORC with a
+    // selective predicate require-enforced as a pushed filter — the
+    // format surface isn't parquet-only.
+    "q_orc_roundtrip" -> ((s, dir) =>
+      TableLayout.orcRoundTripFace(s, dir))
   )
 
   /** Column sets for q_table_profile — the oracle arms generate from
@@ -2531,6 +2554,31 @@ object SparkEntry {
          |  WHERE bfs.dist < 40
          |)
          |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    // two recursive-CTE BFS maps + per-row harmonic arithmetic (pure
+    // IEEE division in a fixed order — bit-identical across engines)
+    "q_closeness_sample" ->
+      s"""WITH RECURSIVE $copurchaseEdgesSql,
+         |b0(id, dist) AS (
+         |  SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT e.dst, b0.dist + 1 FROM b0 JOIN edges e ON e.src = b0.id
+         |  WHERE b0.dist < 40),
+         |b1(id, dist) AS (
+         |  SELECT CAST(4 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT e.dst, b1.dist + 1 FROM b1 JOIN edges e ON e.src = b1.id
+         |  WHERE b1.dist < 40),
+         |d0 AS (SELECT id, min(dist) AS dist_0 FROM b0 GROUP BY id),
+         |d1 AS (SELECT id, min(dist) AS dist_1 FROM b1 GROUP BY id),
+         |v AS (SELECT DISTINCT src AS id FROM edges)
+         |SELECT v.id, d0.dist_0, d1.dist_1,
+         |  (CASE WHEN d0.dist_0 > 0 THEN CAST(1 AS DOUBLE) / d0.dist_0
+         |        ELSE CAST(0 AS DOUBLE) END +
+         |   CASE WHEN d1.dist_1 > 0 THEN CAST(1 AS DOUBLE) / d1.dist_1
+         |        ELSE CAST(0 AS DOUBLE) END) AS harmonic
+         |FROM v LEFT JOIN d0 ON v.id = d0.id LEFT JOIN d1 ON v.id = d1.id
+         |ORDER BY v.id""".stripMargin,
 
     "q_top_tokens" ->
       s"""SELECT token, count(*) AS n
@@ -4517,6 +4565,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT '__corrupt__', count(*), CAST(NULL AS BIGINT)
         |FROM documents WHERE doc_id % 37 = 5
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+
+    // same quarantine contract as q_jsonl_ingest on the CSV overlay
+    "q_csv_ingest" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 41 <> 7
+        |GROUP BY lang
+        |UNION ALL
+        |SELECT '__corrupt__', count(*), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 41 = 7
+        |ORDER BY lang""".stripMargin,
+
+    // the ORC write/read round-trip is content-preserving; the oracle
+    // is the same filtered aggregate on the parquet original
+    "q_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |       count(DISTINCT source) AS n_sources,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM documents WHERE n_chars > 500
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Deterministically release a SUPERSEDED, eagerly-checkpointed loop
+    * frame: the SQL-cache entry (if it was persist()ed) and the
+    * block-backing RDD of its localCheckpoint — which
+    * `Dataset.unpersist` does NOT touch (checkpoint blocks are RDD
+    * storage, not CacheManager entries; outside a harness
+    * getPersistentRDDs sweep they otherwise wait for the
+    * ContextCleaner). ONLY safe when nothing can recompute through the
+    * frame again — i.e. its successor is itself eagerly checkpointed
+    * (lineage truncated). A loop that PERSISTS some rounds must keep
+    * its ContextCleaner discipline instead: the final frame's lineage
+    * reaches back to the last checkpoint, and releasing that
+    * checkpoint's blocks would make a later eviction unrecoverable. */
+  private[graft] def releaseCheckpointedFrame(df: DataFrame,
+                                              blocking: Boolean = false): Unit = {
+    df.unpersist(blocking)
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking))
+  }
+
   /** Insert each edge in both directions (reference `Graph.py:9-16`).
     * Input columns: `src`, `dst`. Narrow op — no shuffle, and ONE scan
     * of the input: the union-of-two-projections formulation reads the

@@ -565,6 +565,44 @@ object TableLayout {
     } finally rmTree(tmp)
   }
 
+  /** ORC round-trip face: the OTHER columnar table format a user
+    * migrating between lakehouse stacks meets (Hive-lineage clusters
+    * are ORC-first). Documents written as ORC, read back with a
+    * selective predicate that must reach the ORC reader as a pushed
+    * filter (ORC row-group/stripe statistics then skip exactly like
+    * parquet's), and aggregated per language. Proves the engine's
+    * format surface isn't parquet-only — same declared-schema,
+    * pushdown-preserving contract. */
+  def orcRoundTripFace(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp("graft_orc_")
+    val path = tmp.resolve("docs").toString
+    try {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").orc(path)
+      val back = spark.read.orc(path)
+      val filtered = back.where(col("n_chars") > 500)
+      val scan = filtered.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.headOption.getOrElse(sys.error("no file scan in the ORC plan"))
+      require(scan.metadata.get("PushedFilters")
+          .exists(_.contains("GreaterThan(n_chars,500)")),
+        "the n_chars predicate was not pushed to the ORC reader: " +
+          scan.metadata.getOrElse("PushedFilters", "<absent>"))
+      require(scan.relation.fileFormat.toString.toLowerCase.contains("orc"),
+        s"expected an ORC relation, got ${scan.relation.fileFormat}")
+      filtered
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          count_distinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("lang")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
+
   /** Append-only schema evolution: batch 1 written as (doc_id, lang),
     * batch 2 appended with a NEW n_chars column, read back with footer
     * reconciliation (`mergeSchema`) — old files surface n_chars as

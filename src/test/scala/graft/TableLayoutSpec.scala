@@ -221,6 +221,21 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
   }
 
+  test("orcRoundTripFace preserves content and pushes the predicate " +
+      "(enforced inside); equals the parquet-side aggregate") {
+    val got = TableLayout.orcRoundTripFace(spark, faceDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val expected = spark.read.parquet(s"$faceDir/documents.parquet")
+      .where($"n_chars" > 500)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("cs"),
+        countDistinct($"source").as("ns"),
+        min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("zValueN: 3 dimensions interleave round-robin; huge ranges " +
       "(the old Long-overflow regime) stay exact and monotone") {
     // corner points: all-min -> 0; all-max -> all 48 bits set
