@@ -186,6 +186,7 @@ object Bench {
       graft.operators.Dedup.releaseCaches(blocking = true)
       graft.operators.Similarity.releaseCaches(blocking = true)
       graft.operators.CorpusOps.releaseCaches(blocking = true)
+      graft.operators.Redaction.releaseCaches(blocking = true)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }

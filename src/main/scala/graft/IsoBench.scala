@@ -15,14 +15,23 @@ object IsoBench {
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated names run in sequence (same JVM) — lets a
     // suite-context interaction be reproduced pairwise
+    def cpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
     for (n <- name.split(',').toSeq; i <- 1 to runs) {
       val fn = SparkEntry.queries(n)
       val t0 = System.nanoTime()
+      val c0 = cpuSec()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[iso] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f")
+      println(f"[iso] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f " +
+        f"cpu=${cpuSec() - c0}%.1f")
       graft.operators.Dedup.releaseCaches(blocking = true)
       graft.operators.Similarity.releaseCaches(blocking = true)
       graft.operators.CorpusOps.releaseCaches(blocking = true)
+      graft.operators.Redaction.releaseCaches(blocking = true)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }

@@ -1414,6 +1414,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Lakehouse time-travel read over the same version log:
+    // materialized state dirs v2/v3 (immutable merge history), the
+    // HISTORICAL v2 dir re-read after the final merge and
+    // require-gated bit-equal against Snapshot.asOfVersion's log
+    // replay; output = both reads tagged as_of (the v3 tombstones
+    // visible at as_of=2, erased at as_of=3).
+    "q_snapshot_asof" -> ((s, dir) =>
+      Snapshot.timeTravelReadFace(s, dir)),
+
     // SCD2 history over the same version log as q_snapshot_upsert:
     // each version becomes an interval row valid until the next
     // version of the id; tombstones stay in history (time travel must
@@ -3924,6 +3933,34 @@ object SparkEntry {
          |  FROM tagged)
          |SELECT doc_id, lang, source, version FROM won
          |WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
+
+    // the as-of read replays the same log restricted to version <=
+    // as_of, per as_of in {2, 3} — the dir-vs-replay equality is
+    // require-enforced inside the face, not oracle-visible
+    "q_snapshot_asof" ->
+      s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
+         |tagged AS (
+         |  SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS version,
+         |         false AS deleted, 0 AS prov FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 'und', source, 2, false, 1 FROM d
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, lang, source, 3, true, 1 FROM d
+         |  WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, source, 1, false, 1 FROM d
+         |  WHERE doc_id % 13 = 0),
+         |ks AS (SELECT CAST(2 AS BIGINT) AS as_of
+         |       UNION ALL SELECT CAST(3 AS BIGINT)),
+         |won AS (
+         |  SELECT k.as_of, t.doc_id, t.lang, t.source, t.version,
+         |         t.deleted,
+         |         row_number() OVER (PARTITION BY k.as_of, t.doc_id
+         |           ORDER BY t.version DESC, t.prov DESC) AS rn
+         |  FROM tagged t CROSS JOIN ks k WHERE t.version <= k.as_of)
+         |SELECT as_of, doc_id, lang, source, version FROM won
+         |WHERE rn = 1 AND NOT deleted ORDER BY as_of, doc_id""".stripMargin,
 
     // the incremental foreachBatch apply must converge to the SAME
     // final state as the single-batch upsert — identical oracle

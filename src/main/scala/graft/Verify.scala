@@ -36,6 +36,7 @@ object Verify {
       graft.operators.Dedup.releaseCaches()
       graft.operators.Similarity.releaseCaches()
       graft.operators.CorpusOps.releaseCaches()
+      graft.operators.Redaction.releaseCaches()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * repetition, `\b`, `\d` — no lookarounds, no backreferences — so the
   * oracle replays them identically.
   */
-object Redaction {
+object Redaction extends CachePinning {
 
   /** Conservative RFC-ish email shape; both engines treat it identically. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -126,18 +126,20 @@ object Redaction {
     * corpora in billions), so at 100 TB this is one map-side pass per
     * table — no shuffle of the corpus; past [[BroadcastRequestRows]]
     * it degrades gracefully to the shuffled anti-join instead of
-    * OOMing the driver. */
+    * OOMing the driver.
+    *
+    * The distinct request set is pinned ([[CachePinning]]) before the
+    * gate count, so the count job and the anti-join share ONE
+    * materialization — without the pin the very 10^8-row list the
+    * gate protects against would be scanned and deduped twice.
+    * Callers release via [[releaseCaches]] after materializing
+    * (Bench/Verify/IsoBench drain it per query). */
   def purge(df: DataFrame, keyCol: String, requests: DataFrame,
             reqCol: String): DataFrame = {
-    val reqs = requests.select(col(reqCol)).distinct()
-    df.join(maybeBroadcast(reqs), col(keyCol) === col(reqCol), "left_anti")
+    val (reqs, n) = pinWithCount(requests.select(col(reqCol)).distinct())
+    val reqSide = if (n <= BroadcastRequestRows) broadcast(reqs) else reqs
+    df.join(reqSide, col(keyCol) === col(reqCol), "left_anti")
   }
-
-  /** Broadcast `reqs` iff its row count is under the gate — ONE tiny
-    * keyed count per purge call, the price of not trusting an
-    * unbounded input to fit in the driver. */
-  private def maybeBroadcast(reqs: DataFrame): DataFrame =
-    if (reqs.count() <= BroadcastRequestRows) broadcast(reqs) else reqs
 
   /** Right-to-be-forgotten cascade with audit: propagate one request
     * set across the corpus AND every derived table (chunks, embedding

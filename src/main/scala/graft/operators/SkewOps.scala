@@ -145,9 +145,15 @@ object SkewOps {
       // shape where neither side fits an executor (the 100 TB reality)
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    // prev is captured BEFORE any set; the sets run INSIDE the try so
+    // a throw mid-sequence still restores every key (r14 advice). The
+    // conf flip is session-global for the face's duration — callers
+    // run it on a single-threaded session (the Bench/Verify model); a
+    // concurrent query on the same session would see the degraded
+    // thresholds.
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
       val ev = graft.streaming.EventStream.eventsTable(spark, dir)
         // multi-mapper scaffold for gate SF: the single-file scan is
         // ONE map task, and skew splitting works on per-mapper block
@@ -174,14 +180,36 @@ object SkewOps {
           sum(length(col("props"))).as("props_chars"))
         .orderBy("label")
       val out = agg.localCheckpoint(true) // executes — finalizes AQE
-      val plan = agg.queryExecution.executedPlan.toString
-      require(plan.contains("isFinalPlan=true"),
-        s"the inspected plan never executed — AQE state is not final:\n$plan")
-      require(plan.contains("skew=true"),
-        "AQE did not split the skewed join partition — no skew=true " +
-          s"in the final adaptive plan:\n$plan")
-      require(plan.contains("SortMergeJoin"),
-        s"expected the shuffle sort-merge join shape:\n$plan")
+      // typed plan-node assertions (r14 verdict stretch 7): the
+      // isFinalPlan/isSkewJoin FLAGS on the adaptive root and the
+      // SortMergeJoinExec node are the facts; matching their
+      // .toString rendering would break on Spark plan-string drift
+      val root = agg.queryExecution.executedPlan
+      val adaptive = root.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+      }.getOrElse(sys.error(
+        s"expected an AdaptiveSparkPlanExec root (AQE on):\n$root"))
+      require(adaptive.isFinalPlan,
+        s"the inspected plan never executed — AQE state is not final:\n$root")
+      // query stages (incl. Spark 4's ResultQueryStageExec wrapping
+      // the FINAL stage) are leaf nodes holding their plan in a
+      // non-child field — a plain collect() never descends into them
+      def deepCollect(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(deepCollect)) ++ (p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            deepCollect(q.plan)
+          case _ => Nil
+        })
+      val smjs = deepCollect(adaptive.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      require(smjs.nonEmpty,
+        s"expected the shuffle sort-merge join shape:\n${adaptive.executedPlan}")
+      require(smjs.exists(_.isSkewJoin),
+        "AQE did not split the skewed join partition — no " +
+          s"isSkewJoin SortMergeJoinExec in the final adaptive plan:\n" +
+          adaptive.executedPlan)
       out
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)

@@ -130,7 +130,13 @@ object TableLayout {
     *    any magnitude; the bucket width is within 2x of the scaled
     *    form's, which costs nothing observable at file granularity
     *    (range partitioning keys on the TOP rank bits, which the
-    *    shift preserves verbatim). */
+    *    shift preserves verbatim).
+    *  - d itself overflows Long (lo and hi straddle the sign boundary
+    *    by more than 2^63 — e.g. [MinValue, MaxValue]): the rank is
+    *    the top b bits of the UNSIGNED offset, computed via the
+    *    two-word borrow identity so no signed subtraction runs
+    *    (r14 advice: the old code collapsed a wrapped-negative d to 1
+    *    and emitted non-monotone ranks silently). */
   def zValueN(dims: Seq[(Column, Long, Long)]): Column = {
     val n = dims.size
     require(n >= 2, s"z-order needs >= 2 dimensions, got $n")
@@ -139,17 +145,41 @@ object TableLayout {
     val m = (1L << b) - 1
     def rank(v: Column, lo: Long, hi: Long): Column = {
       require(hi >= lo, s"dimension range inverted: [$lo, $hi]")
-      val d = math.max(1L, hi - lo)
       // clamp keeps out-of-[lo,hi] stragglers (a layout parameter
       // computed on yesterday's data) monotone at the edges instead
       // of interleaving garbage bits
-      val x = greatest(least(v, lit(hi)), lit(lo)) - lit(lo)
-      if (d <= (1L << 53) / m) {
-        val num = x * lit(m)
-        ((num - pmod(num, lit(d))) / lit(d)).cast("long")
-      } else {
-        val shift = 64 - java.lang.Long.numberOfLeadingZeros(d) - b
-        shiftright(x, shift)
+      val vc = greatest(least(v, lit(hi)), lit(lo))
+      val width = try Some(Math.subtractExact(hi, lo)) catch {
+        case _: ArithmeticException => None // width >= 2^63
+      }
+      width match {
+        case Some(w) =>
+          val d = math.max(1L, w)
+          val x = vc - lit(lo)
+          if (d <= (1L << 53) / m) {
+            val num = x * lit(m)
+            ((num - pmod(num, lit(d))) / lit(d)).cast("long")
+          } else {
+            val shift = 64 - java.lang.Long.numberOfLeadingZeros(d) - b
+            shiftright(x, shift)
+          }
+        case None =>
+          // hi-lo overflows Long (e.g. lo near MinValue, hi near
+          // MaxValue): the offset v-lo is still correct as an UNSIGNED
+          // 64-bit value, so the rank is its top b bits — computed via
+          // the two-word borrow identity so no signed subtraction ever
+          // overflows: floor_u((v-lo)/2^s) =
+          //   floor_u(v/2^s) - floor_u(lo/2^s) - [v mod 2^s < lo mod 2^s]
+          // (monotone over [lo, hi]: the true offset is < 2^64, no wrap)
+          // and the final AND m is the mod-2^b the identity is stated
+          // in — the high-word difference can go negative when v and
+          // lo straddle the sign boundary (unsigned(v) < unsigned(lo)).
+          val s = 64 - b
+          val maskS = (1L << s) - 1
+          val borrow = when(vc.bitwiseAND(lit(maskS)) < lit(lo & maskS),
+            lit(1L)).otherwise(lit(0L))
+          (shiftrightunsigned(vc, s) - shiftrightunsigned(lit(lo), s) -
+            borrow).bitwiseAND(lit(m))
       }
     }
     val ranks = dims.map { case (v, lo, hi) => rank(v, lo, hi) }

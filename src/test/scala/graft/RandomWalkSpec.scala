@@ -101,15 +101,17 @@ class RandomWalkSpec extends AnyFunSuite with SparkTestBase {
   test("walks: superseded per-step frames release their blocks in-loop " +
       "— peak walk state is bounded, the result stays collectable") {
     val sc = spark.sparkContext
-    // settle: release anything earlier tests left for the cleaner
-    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
-    val before = sc.getPersistentRDDs.size
+    // snapshot, don't sweep: blanket-unpersisting the shared context
+    // could strand another suite's localCheckpoint-backed frame
+    // (truncated lineage = unrecoverable blocks) — count only RDDs
+    // THIS call pins (r14 advice)
+    val preIds = sc.getPersistentRDDs.keySet
     val w = RandomWalk.walks(graph(), walksPerVertex = 2, steps = 6)
     // 6 steps ran; only the RETURNED frame's checkpoint RDD may remain
     // (the edge pin and every superseded step were released in-loop)
-    val after = sc.getPersistentRDDs.size
-    assert(after - before <= 1,
-      s"expected <= 1 surviving pinned RDD (the result), got ${after - before}")
+    val newIds = sc.getPersistentRDDs.keySet -- preIds
+    assert(newIds.size <= 1,
+      s"expected <= 1 surviving pinned RDD (the result), got ${newIds.size}")
     // and the survivor is genuinely usable
     assert(w.count() == 24L)
   }
