@@ -80,6 +80,137 @@ object SparkEntry {
     * oracle layers. */
   private val KCoreConvergedLayers = 18
 
+  /** Fixed-point scale for q_betweenness_sample — shared by the Spark
+    * query and its unrolled DuckDB oracle (the quantized Brandes
+    * recurrence; see [[graft.operators.Centrality.betweennessSample]]). */
+  private val BetweennessScale = 1000000L
+
+  /** Oracle level count for q_betweenness_sample — must be >= the
+    * pivot eccentricity (measured: 6 at sf0.01, 8 at sf0.1; 12 leaves
+    * headroom, extra levels are empty no-ops). */
+  private val BetweennessLevels = 12
+
+  /** Unrolled DuckDB replay of the quantized Brandes pivot sweep: per
+    * pivot a recursive-CTE BFS -> shortest-path DAG -> level-unrolled
+    * σ forward DP -> level-unrolled δq backward DP, then the summed
+    * per-vertex dependency. Mirrors betweennessSample level for level
+    * (integer arithmetic only — `//` here is `div` there). */
+  private def betweennessOracleSql(pivots: Seq[Long]): String = {
+    val l = BetweennessLevels
+    val per = pivots.zipWithIndex.map { case (p, i) =>
+      val bfs =
+        s"""b$i(id, dist) AS (
+           |  SELECT CAST($p AS BIGINT), CAST(0 AS BIGINT)
+           |  UNION
+           |  SELECT e.dst, b.dist + 1 FROM b$i b
+           |  JOIN edges e ON e.src = b.id WHERE b.dist < 40),
+           |dm$i AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM b$i GROUP BY id),
+           |dag$i AS MATERIALIZED (
+           |  SELECT e.src, e.dst, ds.dist AS sd FROM edges e
+           |  JOIN dm$i ds ON e.src = ds.id
+           |  JOIN dm$i dd ON e.dst = dd.id
+           |  WHERE dd.dist = ds.dist + 1),
+           |s${i}_0 AS (SELECT CAST($p AS BIGINT) AS id,
+           |            CAST(1 AS BIGINT) AS sigma)""".stripMargin
+      val sig = (1 to l).map { d =>
+        s"""s${i}_$d AS (
+           |  SELECT g.dst AS id, CAST(SUM(s.sigma) AS BIGINT) AS sigma
+           |  FROM dag$i g JOIN s${i}_${d - 1} s ON g.src = s.id
+           |  WHERE g.sd = ${d - 1} GROUP BY g.dst)""".stripMargin
+      }
+      val sigUnion =
+        s"""sigma$i AS MATERIALIZED (${(0 to l).map(d => s"SELECT * FROM s${i}_$d")
+             .mkString(" UNION ALL ")})"""
+      val wEmpty =
+        s"""w${i}_$l AS (SELECT CAST(NULL AS BIGINT) AS id,
+           |  CAST(NULL AS BIGINT) AS delta WHERE 1 = 0)""".stripMargin
+      val back = ((l - 1) to 0 by -1).map { d =>
+        s"""w${i}_$d AS (
+           |  SELECT g.src AS id,
+           |         CAST(SUM((sv.sigma * ($BetweennessScale +
+           |              COALESCE(w.delta, 0))) // sw.sigma) AS BIGINT)
+           |           AS delta
+           |  FROM dag$i g
+           |  JOIN sigma$i sv ON sv.id = g.src
+           |  JOIN sigma$i sw ON sw.id = g.dst
+           |  LEFT JOIN w${i}_${d + 1} w ON w.id = g.dst
+           |  WHERE g.sd = $d GROUP BY g.src)""".stripMargin
+      }
+      val deltaUnion =
+        s"""delta$i AS (SELECT id, delta FROM (
+           |  ${(0 until l).map(d => s"SELECT * FROM w${i}_$d")
+               .mkString(" UNION ALL ")}) WHERE id <> $p)""".stripMargin
+      (Seq(bfs) ++ sig ++ Seq(sigUnion, wEmpty) ++ back ++ Seq(deltaUnion))
+        .mkString(",\n")
+    }
+    val joins = pivots.indices
+      .map(i => s"LEFT JOIN delta$i d$i ON d$i.id = v.id").mkString("\n")
+    val bc = pivots.indices.map(i => s"COALESCE(d$i.delta, 0)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE $copurchaseEdgesSql,
+       |${per.mkString(",\n")}
+       |SELECT v.id, $bc AS bc_q
+       |FROM (SELECT DISTINCT src AS id FROM edges) v
+       |$joins
+       |ORDER BY v.id""".stripMargin
+  }
+
+  /** Unrolled DuckDB replay of the deterministic HyperBall sketch —
+    * the same integer hash pipeline, per-register CASE trailing-zero
+    * count, element-wise MAX union rounds, packed registers, and
+    * integer harmonic-denominator estimate as
+    * [[graft.operators.Centrality.neighborhoodFunction]]. */
+  private def neighborhoodOracleSql(iters: Int): String = {
+    val m = graft.operators.Centrality.NfRegisters
+    val cap = graft.operators.Centrality.NfRhoCap
+    val rho = (1 to cap).map(k =>
+        s"WHEN (w & ${(1L << k) - 1}) = ${1L << (k - 1)} THEN $k")
+      .mkString(" ")
+    val regCols = (0 until m).map(k => s"r$k")
+    val seedRegs = (0 until m)
+      .map(k => s"CASE WHEN j = $k THEN rho ELSE 0 END AS r$k")
+      .mkString(",\n         |         ")
+    def maxRegs(src: String) = regCols
+      .map(r => s"MAX($src.$r) AS $r").mkString(", ")
+    val rounds = (1 to iters).map { t =>
+      val prev = if (t == 1) "rg0" else s"n${t - 1}"
+      s"""n$t AS MATERIALIZED (
+         |  SELECT e.dst AS id, ${maxRegs("s")}
+         |  FROM es e JOIN $prev s ON e.src = s.id GROUP BY e.dst)"""
+        .stripMargin
+    }
+    def packed(src: String) = regCols.zipWithIndex
+      .map { case (r, k) => s"CAST($src.$r AS BIGINT) * ${1L << (4 * k)}" }
+      .mkString(" + ")
+    val z = regCols.map(r => s"(1 << ($cap - n$iters.$r))").mkString(" + ")
+    val numer = 1000L * m * m * (1L << cap)
+    val packedCols = (1 to iters)
+      .map(t => s"${packed(s"n$t")} AS regs_$t").mkString(",\n       |       ")
+    val packJoins = (1 until iters)
+      .map(t => s"JOIN n$t ON n$t.id = n$iters.id").mkString("\n")
+    s"""WITH $copurchaseEdgesSql,
+       |v AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+       |seed AS MATERIALIZED (
+       |  SELECT id, (g >> 33) % $m AS j,
+       |         CASE $rho ELSE $cap END AS rho
+       |  FROM (SELECT id, xor(h, h >> 29) AS g,
+       |               xor(h, h >> 29) & ${(1L << 20) - 1} AS w
+       |        FROM (SELECT id, id * 1315423911 AS h FROM v))),
+       |rg0 AS MATERIALIZED (
+       |  SELECT id, $seedRegs
+       |  FROM seed),
+       |es AS MATERIALIZED (
+       |  SELECT src, dst FROM edges
+       |  UNION ALL SELECT id, id FROM v),
+       |${rounds.mkString(",\n")}
+       |SELECT n$iters.id,
+       |       $packedCols,
+       |       CAST($numer // (CAST($z AS BIGINT)) AS BIGINT) AS est_milli
+       |FROM n$iters
+       |$packJoins
+       |ORDER BY n$iters.id""".stripMargin
+  }
+
   /** SQL fragment mirroring [[copurchaseEdges]] for DuckDB oracles. */
   private def copurchaseEdgesSql: String =
     """edges(src, dst) AS (
@@ -149,6 +280,28 @@ object SparkEntry {
     // harmonic handles disconnection (unreachable pivot contributes 0).
     "q_closeness_sample" -> ((s, dir) => {
       Centrality.pivotHarmonic(copurchaseEdges(s, dir), Seq(2L, 4L))
+        .orderBy("id")
+    }),
+
+    // HyperBall neighborhood function: per-vertex deterministic HLL
+    // registers, 2 rounds of element-wise-max union with neighbours —
+    // |ball(v,t)| estimates for every vertex in one exchange per
+    // round (the whole-graph route k-pivot sampling relaxes to).
+    // Integer-only (hash, max, packed registers, div estimate), so
+    // the oracle replays the sketch bit-exactly.
+    "q_neighborhood_fn" -> ((s, dir) => {
+      Centrality.neighborhoodFunction(copurchaseEdges(s, dir), iters = 2)
+        .orderBy("id")
+    }),
+
+    // Pivot-sampled betweenness (Brandes): per pivot one BFS + one
+    // forward σ sweep + one backward δ sweep over the shortest-path
+    // DAG. Dependencies in FIXED-POINT (scale 1e6, integer div) so the
+    // accumulation is order-independent and the unrolled DuckDB oracle
+    // replays it bit-exactly — the quantize-the-algorithm trick.
+    "q_betweenness_sample" -> ((s, dir) => {
+      Centrality.betweennessSample(copurchaseEdges(s, dir), Seq(2L, 4L),
+          scale = BetweennessScale)
         .orderBy("id")
     }),
 
@@ -1414,6 +1567,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Byte-rate-limited backlog drain (backpressure): the CDC merge
+    // under maxBytesPerTrigger over a 6-file backlog — >= 2 batches
+    // (cap honored), < 6 batches (cap aggregates bytes, not files),
+    // contiguous ids, per-batch row ceiling, exact partition of the
+    // log; all require-enforced. Final state shares the upsert oracle.
+    "q_streaming_backpressure" -> ((s, dir) =>
+      graft.streaming.StreamHarness.backpressureFace(s, dir)),
+
     // Lakehouse time-travel read over the same version log:
     // materialized state dirs v2/v3 (immutable merge history), the
     // HISTORICAL v2 dir re-read after the final merge and
@@ -1755,7 +1916,17 @@ object SparkEntry {
     // selective predicate require-enforced as a pushed filter — the
     // format surface isn't parquet-only.
     "q_orc_roundtrip" -> ((s, dir) =>
-      TableLayout.orcRoundTripFace(s, dir))
+      TableLayout.orcRoundTripFace(s, dir)),
+
+    // Avro ingest with writer/reader schema RESOLUTION: documents
+    // staged as real container files through two producer schema
+    // versions (v1: source; v2: source_name + quality), read under
+    // ONE reader schema — alias rename + added-with-default are the
+    // semantics parquet mergeSchema can't express. Torn files
+    // (doc_id % 8 == 5, magic overwritten) quarantine wholesale,
+    // require-enforced in-face.
+    "q_avro_ingest" -> ((s, dir) =>
+      graft.sources.AvroSource.ingestFace(s, dir))
   )
 
   /** Column sets for q_table_profile — the oracle arms generate from
@@ -2563,6 +2734,12 @@ object SparkEntry {
          |  WHERE bfs.dist < 40
          |)
          |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
+
+    // level-unrolled quantized Brandes replay — see betweennessOracleSql
+    "q_betweenness_sample" -> betweennessOracleSql(Seq(2L, 4L)),
+
+    // deterministic-HLL sketch replay — see neighborhoodOracleSql
+    "q_neighborhood_fn" -> neighborhoodOracleSql(2),
 
     // two recursive-CTE BFS maps + per-row harmonic arithmetic (pure
     // IEEE division in a fixed order — bit-identical across engines)
@@ -4010,6 +4187,30 @@ object SparkEntry {
          |SELECT doc_id, lang, source, version FROM won
          |WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
 
+    // identical final state again: the byte-rate-limited drain merges
+    // the same log — batch slicing/bounding is require-enforced
+    // in-face (tombstone retention makes state slicing-independent)
+    "q_streaming_backpressure" ->
+      s"""WITH d AS (SELECT doc_id, lang, source FROM documents),
+         |tagged AS (
+         |  SELECT doc_id, lang, source, CAST(1 AS BIGINT) AS version,
+         |         false AS deleted, 0 AS prov FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 'und', source, 2, false, 1 FROM d
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, lang, source, 3, true, 1 FROM d
+         |  WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, lang, source, 1, false, 1 FROM d
+         |  WHERE doc_id % 13 = 0),
+         |won AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY version DESC, prov DESC) AS rn
+         |  FROM tagged)
+         |SELECT doc_id, lang, source, version FROM won
+         |WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin,
+
     // mirrors Snapshot.scd2History over the same version log:
     // version-desc window per id, first-of-version dedup (a no-op on
     // this collision-free log), valid_to = the successor's version
@@ -4623,6 +4824,19 @@ object SparkEntry {
         |       count(DISTINCT source) AS n_sources,
         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM documents WHERE n_chars > 500
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Avro resolution replayed relationally: v1-written slices
+    // (doc_id % 8 <= 3) read the reader's quality DEFAULT -1.0 and
+    // the aliased rename source->source_name; v2 slices carry real
+    // quality = n_chars/1000.0; the torn slice (% 8 == 5) is
+    // quarantined wholesale and absent
+    "q_avro_ingest" ->
+      """SELECT doc_id, lang, source AS source_name,
+        |       CASE WHEN doc_id % 8 IN (4, 6, 7)
+        |            THEN CAST(n_chars AS DOUBLE) / 1000.0
+        |            ELSE -1.0 END AS quality
+        |FROM documents WHERE doc_id % 8 <> 5
+        |ORDER BY doc_id""".stripMargin
   )
 }

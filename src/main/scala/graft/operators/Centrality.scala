@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Pivot-sampled centrality: per-vertex distances to a small fixed
@@ -55,5 +55,200 @@ object Centrality {
     joined.select(
       (col("id") +: pivots.indices.map(i => col(s"dist_$i"))) :+
         harmonic.as("harmonic"): _*)
+  }
+
+  /** Register count, per-register value cap, and the shared
+    * deterministic hash pipeline for [[neighborhoodFunction]] — ALL
+    * integer arithmetic restricted to what Spark SQL and DuckDB
+    * evaluate identically (no 64-bit multiply overflow: ids are
+    * < 2^31 on every shipped graph, the multiplier < 2^31, so the
+    * product stays under 2^62 — DuckDB raises on BIGINT overflow
+    * where the JVM wraps, so staying in-range is correctness, not
+    * style). */
+  private[graft] val NfRegisters = 12
+  private[graft] val NfRhoCap = 12
+
+  /** HyperBall-style neighborhood function (Boldi-Vigna 2011): per
+    * vertex one HLL-ish register array; iteration t unions each
+    * vertex's sketch with its neighbours' (element-wise register
+    * max), so after t rounds the sketch estimates |ball(v, t)| — the
+    * neighborhood function every whole-graph distance statistic
+    * (effective diameter, average distance) integrates. This is the
+    * 100 TB route the pivot estimators ([[pivotHarmonic]]) relax to
+    * when PER-VERTEX coverage of the whole graph is needed: state is
+    * |V| × m registers (4 bits each here), cost is one exchange per
+    * round — never |V| BFS passes, never all-pairs.
+    *
+    * DETERMINISTIC by construction, so the DuckDB oracle replays it
+    * bit-exactly (the SQ8 trick — quantize the algorithm): the
+    * register hash is a fixed integer pipeline (multiply, xor-shift,
+    * mod), register updates are integer max, and the cardinality
+    * proxy `est_milli = 1000·m²·2^cap div Z` (Z = Σ 2^(cap − M[j]))
+    * is one integer division — HyperLogLog's harmonic-mean estimator
+    * with the α_m bias constant left as presentation (a monotone
+    * rescale; keeping it out keeps every value integer). Production
+    * sizing note: m = 12 × 4-bit registers caps the estimable ball
+    * near m·2^cap ≈ 5e4 — at 10^9+ vertices use 6-bit registers
+    * (cap 63) and m = 64+, same plan shape, still one long per
+    * vertex-register-word.
+    *
+    * Output: (id, regs_1, regs_2, …, regs_T packed 4-bit LE into a
+    * BIGINT, est_milli for t = T). */
+  def neighborhoodFunction(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters out of range: $iters")
+    val m = NfRegisters
+    val cap = NfRhoCap
+    val spark = edges.sparkSession
+    val verts = edges.select(col("src").as("id")).distinct()
+    // seed sketch: h = id·1315423911; g = h xor (h >> 29);
+    // j = (g >> 33) mod m; rho = 1 + trailing-zeros(g's low 20 bits),
+    // capped — the CASE chain is the trailing-zero count both engines
+    // evaluate identically
+    val h = col("id") * lit(1315423911L)
+    val g = h.bitwiseXOR(shiftright(h, 29))
+    val j = shiftright(g, 33) % lit(m.toLong)
+    val w = g.bitwiseAND(lit((1L << 20) - 1))
+    val rho = (1 to cap).map(k =>
+        (w.bitwiseAND(lit((1L << k) - 1)) === lit(1L << (k - 1)), lit(k)))
+      .foldRight(lit(cap): Column) { case ((c, v), els) =>
+        when(c, v).otherwise(els)
+      }
+    val state0 = verts.select(col("id") +:
+      (0 until m).map(k =>
+        when(j === k, rho).otherwise(lit(0)).cast("int").as(s"r$k")): _*)
+      .localCheckpoint(true)
+    // union-with-self rides the join input as explicit self-loops —
+    // one join + one grouped max per round, the Bfs exchange shape
+    val withSelf = edges.select(col("src"), col("dst"))
+      .unionByName(verts.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint(true)
+    var states = Vector(state0)
+    for (_ <- 1 to iters) {
+      val prev = states.last.withColumnRenamed("id", "src")
+      val next = withSelf.join(prev, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(max(col("r0")).as("r0"),
+          (1 until m).map(k => max(col(s"r$k")).as(s"r$k")): _*)
+        .localCheckpoint(true)
+      states :+= next
+    }
+    def packed(t: Int): Column = (0 until m).map(k =>
+      states(t)(s"r$k").cast("long") * lit(1L << (4 * k))).reduce(_ + _)
+    val zT = (0 until m).map(k =>
+      expr(s"cast(shiftleft(1, $cap - r$k) as bigint)")).reduce(_ + _)
+    val numer = 1000L * m * m * (1L << cap)
+    val out = (1 until states.size).foldLeft(
+        states.head.select(col("id"))) { (acc, t) =>
+      acc.join(states(t).select(col("id"), packed(t).as(s"regs_$t")), "id")
+    }.join(states(iters).withColumn("z", zT)
+        .withColumn("est_milli", expr(s"$numer div z"))
+        .select(col("id"), col("est_milli")), "id")
+    val result = out.localCheckpoint(true)
+    states.foreach(GraphOps.releaseCheckpointedFrame(_))
+    GraphOps.releaseCheckpointedFrame(withSelf)
+    result
+  }
+
+  /** Pivot-sampled betweenness (Brandes, 2001; pivot sampling per
+    * Brandes-Pich 2007): per pivot, one BFS pass for distances, one
+    * forward level sweep for path counts σ, one backward level sweep
+    * for dependencies δ — the O(|E|) per-pivot accumulation that
+    * replaces all-pairs counting. bc(v) = Σ over pivots of δ_p(v).
+    *
+    * FIXED-POINT dependencies, not floats: Brandes' recurrence
+    * `δ(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w))` sums fractions
+    * whose float accumulation order Spark does not pin. This
+    * implementation defines the quantized recurrence
+    * `δq(v) = Σ_w (σ(v) · (scale + δq(w))) div σ(w)` — every
+    * intermediate an exact integer, every sum order-independent, so a
+    * SQL oracle replays it bit-exactly (the SQ8 trick: quantize the
+    * ALGORITHM, not the output). δq ≈ δ·scale with per-edge
+    * truncation error < 1/scale relative.
+    *
+    * Overflow bound: the product term is ≤ σ_max · scale · (1+|V|);
+    * measured on the copurchase graph σ_max ≈ 1.1e3 at sf0.1, giving
+    * ~2e14 against Long's 9.2e18 — four orders of headroom. A graph
+    * with σ_max · scale · |V| near 2^63 needs a smaller scale (σ
+    * grows with path multiplicity, not corpus size).
+    *
+    * Scale design: k pivots × (1 BFS + 2 level sweeps over the
+    * shortest-path DAG). The DAG is built ONCE per pivot (one join of
+    * the edge table against the |V|-sized distance map) and each
+    * level sweep touches only that level's DAG slice — per-pivot cost
+    * is O(|E|) exchanged rows total, never all-pairs. Level frames
+    * are frontier-sized and eagerly checkpointed; superseded levels
+    * release their blocks in-loop (the [[RandomWalk]] discipline). */
+  def betweennessSample(edges: DataFrame, pivots: Seq[Long],
+                        scale: Long = 1000000L): DataFrame = {
+    require(pivots.nonEmpty, "need at least one pivot")
+    require(pivots.distinct.size == pivots.size, s"duplicate pivots: $pivots")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val verts = edges.select(col("src").as("id")).distinct()
+    val perPivot = pivots.zipWithIndex.map { case (p, i) =>
+      val dist = Bfs.run(edges, p).select(col("id"), col("dist"))
+        .localCheckpoint(true)
+      // shortest-path DAG: edges that advance the BFS level. Built
+      // once; both sweeps below slice it by level. Unreached vertices
+      // drop out here (no dist row).
+      val dag = edges
+        .join(dist.select(col("id").as("src"), col("dist").as("sd")), "src")
+        .join(dist.select(col("id").as("dst"), col("dist").as("dd")), "dst")
+        .filter(col("dd") === col("sd") + 1)
+        .select(col("src"), col("dst"), col("sd"))
+        .localCheckpoint(true)
+      // ecc is a bounded driver scalar (one tiny agg), not data
+      val maxD = dist.agg(max(col("dist"))).as[Long].head()
+      // forward sweep: σ level-by-level (DAG edges only go d -> d+1)
+      var sigLevels = Vector(
+        Seq((p, 1L)).toDF("id", "sigma").localCheckpoint(true))
+      for (d <- 0L until maxD) {
+        val next = dag.filter(col("sd") === d)
+          .join(sigLevels.last.select(col("id").as("src"), col("sigma")),
+            "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .localCheckpoint(true)
+        sigLevels :+= next
+      }
+      val sigma = sigLevels.reduce(_ unionByName _).localCheckpoint(true)
+      sigLevels.foreach(GraphOps.releaseCheckpointedFrame(_))
+      // backward sweep: δq from the deepest level up. Leaves (no DAG
+      // successors) have δq = 0 — the left join's coalesce.
+      var deltaNext = spark.emptyDataset[(Long, Long)].toDF("id", "delta")
+      var deltas = Vector.empty[DataFrame]
+      for (d <- (maxD - 1) to 0L by -1L) {
+        val lvl = dag.filter(col("sd") === d)
+          .join(sigma.select(col("id").as("src"), col("sigma").as("sv")),
+            "src")
+          .join(sigma.select(col("id").as("dst"), col("sigma").as("sw")),
+            "dst")
+          .join(deltaNext.select(col("id").as("dst"), col("delta")),
+            Seq("dst"), "left")
+          .withColumn("num",
+            col("sv") * (lit(scale) + coalesce(col("delta"), lit(0L))))
+          .withColumn("term", expr("num div sw"))
+          .groupBy(col("src").as("id"))
+          .agg(sum(col("term")).as("delta"))
+          .localCheckpoint(true)
+        deltas :+= lvl
+        deltaNext = lvl
+      }
+      val delta = (if (deltas.isEmpty)
+          spark.emptyDataset[(Long, Long)].toDF("id", "delta")
+        else deltas.reduce(_ unionByName _))
+        .filter(col("id") =!= p) // Brandes: the pivot's own δ is excluded
+        .select(col("id"), col("delta").as(s"delta_$i"))
+        .localCheckpoint(true)
+      deltas.foreach(GraphOps.releaseCheckpointedFrame(_))
+      Seq(dist, dag, sigma).foreach(GraphOps.releaseCheckpointedFrame(_))
+      delta
+    }
+    // id-keyed left joins of |V|-sized maps, the pivotHarmonic shape
+    val joined = perPivot.foldLeft(verts)((acc, d) =>
+      acc.join(d, Seq("id"), "left"))
+    joined.select(col("id"),
+      pivots.indices.map(i => coalesce(col(s"delta_$i"), lit(0L)))
+        .reduce(_ + _).as("bc_q"))
   }
 }

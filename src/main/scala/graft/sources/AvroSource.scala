@@ -1,0 +1,240 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Avro container-file ingest with writer/reader schema RESOLUTION —
+  * the interchange face parquet's `mergeSchema` cannot express.
+  *
+  * A Kafka-lineage corpus arrives as Avro: a directory of container
+  * files written over months by EVOLVING producer schemas, read under
+  * ONE current reader schema. Avro's resolution rules (each file's
+  * embedded writer schema matched to the reader per field name /
+  * alias / default) are the format's whole point:
+  *
+  *  - a field the reader ADDS fills from its declared default when an
+  *    old writer lacks it;
+  *  - a field the reader RENAMES still reads from old files via
+  *    `aliases` (mergeSchema would treat old and new names as two
+  *    unrelated nullable columns — the semantics this face exists to
+  *    distinguish);
+  *  - new files matching the reader exactly pass through.
+  *
+  * Spark-side plumbing mirrors [[graft.operators.Multimodal]]'s codec
+  * discipline: the container bytes ride `binaryFile` scan →
+  * `mapPartitions` decode (one file in flight per task, streaming
+  * through `DataFileStream`), schemas travel as JSON strings (Avro
+  * `Schema` is not serializable) and parse once per partition. At
+  * 100 TB each task decodes its own file split — Avro blocks are
+  * sync-marked so real connectors split within files; whole-file
+  * tasks here are the bounded-file-size simplification, same as the
+  * PNG/WAV/AVI faces.
+  *
+  * Corruption discipline ([[CsvSource]]/[[JsonlSource]] contract on a
+  * BINARY format): an overwritten header fails Avro's magic check and
+  * a truncated tail fails the TRAILING-SYNC gate this reader adds
+  * (Avro's own iterator reads a torn tail as clean EOF — silent data
+  * loss; see [[org.apache.avro.file.GraftAvroBridge]]) — either way
+  * the decode catches per-file and routes the PATH to quarantine (a
+  * binary format can't carry a corrupt-line column; the file is the
+  * quarantine unit).
+  *
+  * (Beyond-reference capability: the reference reads only whitespace
+  * edge lists, `Graph.py:4-8`.)
+  */
+object AvroSource {
+
+  /** v1 producer: the original three-field document record. */
+  val WriterV1Json: String =
+    """{"type":"record","name":"Document","namespace":"graft","fields":[
+      |{"name":"doc_id","type":"long"},
+      |{"name":"lang","type":"string"},
+      |{"name":"source","type":"string"}]}""".stripMargin
+
+  /** v2 producer: `source` renamed to `source_name`, `quality` added —
+    * the schema the reader also declares. */
+  val WriterV2Json: String =
+    """{"type":"record","name":"Document","namespace":"graft","fields":[
+      |{"name":"doc_id","type":"long"},
+      |{"name":"lang","type":"string"},
+      |{"name":"source_name","type":"string"},
+      |{"name":"quality","type":"double"}]}""".stripMargin
+
+  /** Reader schema: resolves v2 files exactly; v1 files via
+    * `aliases:["source"]` (rename) and `default:-1.0` (added field). */
+  val ReaderJson: String =
+    """{"type":"record","name":"Document","namespace":"graft","fields":[
+      |{"name":"doc_id","type":"long"},
+      |{"name":"lang","type":"string"},
+      |{"name":"source_name","type":"string","aliases":["source"]},
+      |{"name":"quality","type":"double","default":-1.0}]}""".stripMargin
+
+  /** One decoded record, or (rows null-ish, `corrupt_path` set) for a
+    * file that failed Avro's magic/checksum — the quarantine unit. */
+  final case class AvroDecoded(doc_id: Long, lang: String,
+                               source_name: String, quality: Double,
+                               corrupt_path: String)
+
+  /** Decode every `*.avro` under `dir` with the given reader schema
+    * (JSON). Each file's own embedded writer schema drives resolution.
+    * Corrupt files emit ONE sentinel row with `corrupt_path` set. */
+  def readAvro(spark: SparkSession, dir: String,
+               readerJson: String = ReaderJson): Dataset[AvroDecoded] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.avro")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = new Schema.Parser().parse(readerJson)
+        it.flatMap { case (path, bytes) =>
+          val datum = new GenericDatumReader[GenericRecord](null, reader)
+          try {
+            val in = new DataFileStream[GenericRecord](
+              new java.io.ByteArrayInputStream(bytes), datum)
+            try {
+              // a well-formed container ENDS with its 16-byte sync
+              // marker (the header writes it; every block is followed
+              // by it). Avro's own hasNext treats a truncated tail as
+              // clean EOF — measured: a file cut mid-block reads as
+              // ZERO rows, NO exception — so without this trailer
+              // check truncation is silent data loss, not quarantine.
+              val sync = org.apache.avro.file.GraftAvroBridge.syncMarker(in)
+              if (bytes.length < sync.length ||
+                  !java.util.Arrays.equals(
+                    bytes, bytes.length - sync.length, bytes.length,
+                    sync, 0, sync.length))
+                throw new java.io.EOFException(
+                  "container file does not end with its sync marker")
+              // materialize the file's rows inside the try: block
+              // decode errors must land the whole file in quarantine,
+              // not throw mid-iterator after good rows already flowed
+              val buf = scala.collection.mutable.ArrayBuffer.empty[AvroDecoded]
+              while (in.hasNext) {
+                val r = in.next()
+                buf += AvroDecoded(
+                  r.get("doc_id").asInstanceOf[Long],
+                  r.get("lang").toString,
+                  r.get("source_name").toString,
+                  r.get("quality").asInstanceOf[Double],
+                  null)
+              }
+              buf
+            } finally in.close()
+          } catch {
+            case _: java.io.IOException | _: org.apache.avro.AvroRuntimeException =>
+              Seq(AvroDecoded(-1L, null, null, 0.0, path))
+          }
+        }
+      }
+  }
+
+  /** Stage `df` (doc_id, lang, source, n_chars) as Avro container
+    * files under `dir`, one file per (task partition × producer
+    * version): rows with `doc_id % 8 <= 3` through the v1 writer
+    * schema, `% 8 in (4, 6, 7)` through v2 (quality = n_chars/1000.0),
+    * `% 8 == 5` into separate v2 files named `*-torn.avro` for the
+    * caller to corrupt. Files are written through the Hadoop
+    * FileSystem API — the same code path lands on HDFS/S3 at scale. */
+  def stageAvro(df: DataFrame, dir: String): Unit = {
+    val v1 = WriterV1Json; val v2 = WriterV2Json
+    df.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartition(4, col("doc_id"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val sV1 = new Schema.Parser().parse(v1)
+        val sV2 = new Schema.Parser().parse(v2)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        def open(name: String, s: Schema): DataFileWriter[GenericRecord] = {
+          val p = new org.apache.hadoop.fs.Path(dir, name)
+          val out = p.getFileSystem(conf).create(p, true)
+          new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](s)).create(s, out)
+        }
+        var w1: DataFileWriter[GenericRecord] = null
+        var w2: DataFileWriter[GenericRecord] = null
+        var wt: DataFileWriter[GenericRecord] = null
+        try {
+          it.foreach { row =>
+            val id = row.getLong(0)
+            val slice = ((id % 8) + 8) % 8
+            if (slice <= 3) {
+              if (w1 == null) w1 = open(s"part-$pid-v1.avro", sV1)
+              val r = new GenericData.Record(sV1)
+              r.put("doc_id", id); r.put("lang", row.getString(1))
+              r.put("source", row.getString(2))
+              w1.append(r)
+            } else {
+              val r = new GenericData.Record(sV2)
+              r.put("doc_id", id); r.put("lang", row.getString(1))
+              r.put("source_name", row.getString(2))
+              r.put("quality", row.getLong(3).toDouble / 1000.0)
+              if (slice == 5) {
+                if (wt == null) wt = open(s"part-$pid-torn.avro", sV2)
+                wt.append(r)
+              } else {
+                if (w2 == null) w2 = open(s"part-$pid-v2.avro", sV2)
+                w2.append(r)
+              }
+            }
+          }
+        } finally Seq(w1, w2, wt).filter(_ != null).foreach(_.close())
+      }
+  }
+
+  /** Gate face: Avro schema-resolution ingest end-to-end on REAL
+    * container files. Documents stage through TWO producer schema
+    * versions plus `*-torn.avro` files whose magic is then overwritten
+    * (the torn-write shape — Avro rejects the file wholesale); the
+    * read back under the single reader schema must resolve v1 files
+    * (alias rename + quality default -1.0) and v2 files (real
+    * quality), and quarantine exactly the torn files. The torn-file
+    * count is require-enforced in-face (binary quarantine has no
+    * oracle-visible rows); the surviving rows are the hash gate. */
+  def ingestFace(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = TableLayout.freshTmp("graft_avro_")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      stageAvro(docs, tmp.toString)
+      // corrupt every torn-file's MAGIC (driver-side, |files|-bounded):
+      // a failed header is the strongest whole-file rejection Avro
+      // has. The rewrite goes through the SAME Hadoop FS the reader
+      // uses, so its transport checksum stays consistent — the face
+      // tests Avro-level rejection (a producer wrote garbage), not
+      // bit rot (which the FS checksum layer catches first).
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp.toString)
+      val fs = tmpPath.getFileSystem(conf)
+      val torn = fs.globStatus(
+        new org.apache.hadoop.fs.Path(tmp.toString, "*-torn.avro"))
+      require(torn.nonEmpty, "staging produced no torn files to corrupt")
+      torn.foreach { st =>
+        val raw = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(st.getPath)
+        try in.readFully(0L, raw) finally in.close()
+        raw(0) = 'X'.toByte // Obj\x01 magic broken
+        val out = fs.create(st.getPath, true)
+        try out.write(raw) finally out.close()
+      }
+      val decoded = readAvro(spark, tmp.toString).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val bad = decoded.filter(col("corrupt_path").isNotNull)
+          .select("corrupt_path").distinct().collect() // |files|-bounded
+        require(bad.length == torn.length.toInt &&
+          bad.forall(_.getString(0).endsWith("-torn.avro")),
+          s"quarantine mismatch: expected ${torn.length} torn files, " +
+            s"got ${bad.mkString(", ")}")
+        decoded.filter(col("corrupt_path").isNull)
+          .select(col("doc_id"), col("lang"), col("source_name"),
+            col("quality"))
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+      } finally decoded.unpersist()
+    } finally TableLayout.rmTree(tmp)
+  }
+}

@@ -434,6 +434,140 @@ object StreamHarness {
     }
   }
 
+  /** Byte-rate-limited ingest (backpressure) face: the SAME CDC merge
+    * as [[availableNowCdcFace]], but the update backlog arrives as SIX
+    * similar-size files drained under `maxBytesPerTrigger` — the
+    * ingest-throughput control that keeps a catch-up run (a stream
+    * restarted after downtime facing days of backlog) from loading the
+    * whole backlog into one giant micro-batch and OOMing state. At
+    * 100 TB this knob IS the stability contract of every file-fed
+    * production stream; `maxFilesPerTrigger` (cdcApplyFace) bounds
+    * file COUNT, this bounds the actual bytes admitted.
+    *
+    * Require-enforced, all from observed batch ids/rows:
+    *  - the backlog split into >= 2 batches (the limit was honored:
+    *    one batch would mean the cap was ignored);
+    *  - fewer batches than files (some batch admitted > 1 file: the
+    *    cap aggregates BYTES, it is not a files-per-trigger in
+    *    disguise);
+    *  - batch ids are contiguous from 0 (checkpoint-consistent
+    *    progress — no skips, no replays);
+    *  - every batch's row count is bounded by the rows the byte cap
+    *    can admit (cap/minFileBytes + 1 whole files — the file
+    *    source's at-least-one-file floor);
+    *  - the batches partition the staged log exactly (sum of batch
+    *    rows = staged rows — nothing dropped, nothing duplicated).
+    *
+    * Tombstones ride IN state (the [[cdcApplyFace]] argument), so the
+    * final state is independent of HOW the limiter sliced the backlog
+    * — which is what lets this face share q_snapshot_upsert's oracle. */
+  def backpressureFace(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-backpressure-")
+    try {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"))
+      def versioned(df: DataFrame, v: Long, deleted: Boolean): DataFrame =
+        df.select(col("doc_id"), col("lang"), col("source"),
+          lit(v).as("version"), lit(deleted).as("deleted"))
+      val stateDir = root.resolve("state")
+      versioned(d, 1L, deleted = false)
+        .write.parquet(stateDir.resolve("v0").toString)
+      val input = Files.createDirectories(root.resolve("input"))
+      def stage(df: DataFrame, name: String): Unit = {
+        val tmp = root.resolve(s"stage-$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file staged in $tmp")).toPath
+        Files.move(part, input.resolve(s"$name.parquet"))
+      }
+      // the full q_snapshot_upsert update log, sliced into 6
+      // similar-size backlog files (slicing is arbitrary — retained
+      // tombstones make the final state slicing-independent)
+      val log = versioned(d.filter(col("doc_id") % 5 === 0)
+          .withColumn("lang", lit("und")), 2L, deleted = false)
+        .unionByName(versioned(d.filter(col("doc_id") % 17 === 0),
+          3L, deleted = true))
+        .unionByName(versioned(d.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L),
+          1L, deleted = false))
+        .localCheckpoint(true)
+      val logRows = log.count()
+      val nFiles = 6
+      (0 until nFiles).foreach(k =>
+        stage(log.filter(pmod(col("doc_id"), lit(nFiles)) === k), s"u$k"))
+      val sizes = new java.io.File(input.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sorted
+      require(sizes.length == nFiles, s"staged ${sizes.length} files")
+      // cap ~2.5 median files: forces >= 2 batches, admits >= 2 files
+      // in at least one batch (sizes are similar by construction)
+      val cap = sizes(nFiles / 2) * 5 / 2
+      val schema = spark.read
+        .parquet(input.resolve("u0.parquet").toString).schema
+      val observed =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val q = spark.readStream.schema(schema)
+        .option("maxBytesPerTrigger", cap.toString)
+        .parquet(input.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val prev =
+            spark.read.parquet(stateDir.resolve(s"v$batchId").toString)
+          val merged = graft.operators.Snapshot
+            .upsert(prev, batch, "doc_id", "version")
+            .localCheckpoint(true)
+          merged.write.mode("overwrite")
+            .parquet(stateDir.resolve(s"v${batchId + 1}").toString)
+          observed.add((batchId, batch.count())); ()
+        }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(120000L),
+        "AvailableNow query did not self-terminate within 120s")
+      finally q.stop()
+      import scala.jdk.CollectionConverters._
+      val runs = observed.iterator().asScala.toSeq.sortBy(_._1)
+      val ids = runs.map(_._1)
+      require(ids.size >= 2,
+        s"byte cap $cap ignored — the whole backlog ran as one batch")
+      require(ids.size < nFiles,
+        s"every batch took one file (${ids.size} batches of $nFiles " +
+          "files) — the cap never aggregated bytes")
+      require(ids == (0L until ids.size.toLong),
+        s"batch ids not contiguous from 0: $ids")
+      // at-least-one-file floor: a batch admits whole files while
+      // under cap, so rows/batch <= rows of (cap/minBytes + 1) files;
+      // bound via the largest staged file's rows
+      val maxFileRows = spark.read.parquet(input.toString)
+        .groupBy(pmod(col("doc_id"), lit(nFiles)))
+        .count().agg(max(col("count"))).head().getLong(0)
+      val admitCeil = (cap / sizes.head + 1) * maxFileRows
+      runs.foreach { case (b, n) =>
+        require(n <= admitCeil,
+          s"batch $b admitted $n rows > ceiling $admitCeil — the byte " +
+            "cap did not bound the batch")
+      }
+      require(runs.map(_._2).sum == logRows,
+        s"batches sum ${runs.map(_._2).sum} rows but the staged log " +
+          s"has $logRows — the limiter dropped or replayed data")
+      val out = spark.read
+        .parquet(stateDir.resolve(s"v${ids.size}").toString)
+        .filter(!coalesce(col("deleted"), lit(false)))
+        .drop("deleted")
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+      graft.operators.GraphOps.releaseCheckpointedFrame(log)
+      out
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
+
   /** Streaming exact-dedup, reduced to the DETERMINISTIC part of its
     * contract: the surviving key set. (Which physical row survives is
     * arrival-order dependent — not oracle-checkable; set membership

@@ -158,4 +158,36 @@ class SnapshotSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("scd2History"))
   }
 
+  test("asOfVersion: historical payloads read back, tombstones erase " +
+       "from their version onward, later ids are invisible earlier") {
+    // id 1: v1 "a" then v2 "b"; id 2: v1 live then v2 tombstone;
+    // id 3: born at v3
+    val log = corpus((1L, 1L, "a", false), (1L, 2L, "b", false),
+      (2L, 1L, "x", false), (2L, 2L, "x", true), (3L, 3L, "z", false))
+    def at(k: Long) = Snapshot
+      .asOfVersion(log, "doc_id", "version", k, deletedCol = "deleted")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(at(1L) == Seq((1L, "a"), (2L, "x")))
+    assert(at(2L) == Seq((1L, "b")))          // tombstone erased id 2
+    assert(at(3L) == Seq((1L, "b"), (3L, "z"))) // id 3 born
+  }
+
+  test("asOfVersion == upsert restricted to the version prefix " +
+       "(time travel replays the merge history)") {
+    val log = corpus((1L, 1L, "a", false), (1L, 2L, "b", false),
+      (2L, 1L, "x", false), (2L, 3L, "x", true), (3L, 2L, "z", false))
+    val prefix = log.filter(col("version") <= 2L)
+    val viaUpsert = Snapshot.upsert(prefix.limit(0), prefix,
+        "doc_id", "version", deletedCol = "deleted")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, String)].collect().toSeq.sorted
+    val viaAsOf = Snapshot
+      .asOfVersion(log, "doc_id", "version", 2L, deletedCol = "deleted")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(viaAsOf == viaUpsert && viaAsOf ==
+      Seq((1L, "b"), (2L, "x"), (3L, "z")))
+  }
+
 }

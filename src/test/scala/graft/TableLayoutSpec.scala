@@ -274,6 +274,29 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(rs.last >= 32768L, s"top of range maps too low: ${rs.last}")
   }
 
+  test("zValueN: a range whose WIDTH overflows Long (r14 advice — " +
+      "[MinValue, MaxValue]) ranks monotone via the unsigned borrow path") {
+    val lo = Long.MinValue
+    val hi = Long.MaxValue
+    // straddle the sign boundary and both extremes
+    val xs = Seq(lo, lo + 1, lo / 2, -(1L << 50), -1L, 0L, 1L,
+      1L << 50, hi / 2, hi - 1, hi)
+    val ranks = xs.toDF("x")
+      .select(TableLayout.zValueN(Seq(($"x", lo, hi), (lit(0L), 0L, 1L)))
+        .as("v"))
+      .as[Long].collect().toSeq
+    def unEven(v: Long): Long =
+      (0 until 16).map(k => ((v >> (2 * k)) & 1L) << k).sum
+    val rs = ranks.map(unEven)
+    assert(rs == rs.sorted, s"ranks not monotone: $rs")
+    assert(rs.forall(r => r >= 0L && r <= 65535L), s"rank out of range: $rs")
+    assert(rs.head == 0L, s"lo must rank 0: ${rs.head}")
+    assert(rs.last == 65535L, s"hi must rank 2^16-1: ${rs.last}")
+    // the sign boundary sits at mid-range: -1 -> 32767, 0 -> 32768
+    assert(rs(xs.indexOf(-1L)) == 32767L && rs(xs.indexOf(0L)) == 32768L,
+      s"sign boundary mis-ranked: $rs")
+  }
+
   test("zorder3LayoutFace matches the plain aggregate (span contracts inside)") {
     val got = TableLayout.zorder3LayoutFace(spark, faceDir)
       .as[(Long, Long, Long, Long, Long, Long)].head()
