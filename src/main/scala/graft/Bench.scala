@@ -122,7 +122,12 @@ object Bench {
     "q_streaming_left_join", "q_streaming_cdc_apply",
     // r14: two full BFS passes per run — multi-second iterative, full
     // spread from the start
-    "q_closeness_sample", "q_streaming_availablenow")
+    "q_closeness_sample", "q_streaming_availablenow",
+    // r15: the new multi-second iterative/stateful faces — k pivot
+    // sweeps (betweenness), 2 sketch-union rounds (neighborhood fn),
+    // and the rate-limited multi-batch streaming drain
+    "q_betweenness_sample", "q_neighborhood_fn",
+    "q_streaming_backpressure")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

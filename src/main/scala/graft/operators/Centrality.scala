@@ -150,9 +150,11 @@ object Centrality {
   }
 
   /** Pivot-sampled betweenness (Brandes, 2001; pivot sampling per
-    * Brandes-Pich 2007): per pivot, one BFS pass for distances, one
-    * forward level sweep for path counts σ, one backward level sweep
-    * for dependencies δ — the O(|E|) per-pivot accumulation that
+    * Brandes-Pich 2007): per pivot, ONE fused frontier loop computes
+    * distances AND path counts σ together (the σ sum rides the same
+    * level expansion the min-dist BFS does), then one backward level
+    * sweep accumulates dependencies δ over the σ-annotated
+    * shortest-path DAG — the O(|E|) per-pivot accumulation that
     * replaces all-pairs counting. bc(v) = Σ over pivots of δ_p(v).
     *
     * FIXED-POINT dependencies, not floats: Brandes' recurrence
@@ -185,70 +187,110 @@ object Centrality {
     val spark = edges.sparkSession
     import spark.implicits._
     val verts = edges.select(col("src").as("id")).distinct()
-    val perPivot = pivots.zipWithIndex.map { case (p, i) =>
-      val dist = Bfs.run(edges, p).select(col("id"), col("dist"))
+    // the symmetrized edge table feeds every level of every pivot —
+    // checkpoint ONCE (a plain `edges` would re-scan parquet and
+    // re-explode per level; measured as the dominant cost class)
+    val edgesC = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // every pivot-tagged map (frontier, σ, each δ level) is
+    // <= k·|V| rows of small longs — broadcast-gated at the Bfs
+    // frontier ceiling, ONE |V| count decides for all of them. A
+    // graph past the gate degrades every map-side join below to the
+    // shuffled form instead of OOMing the driver.
+    val bcGate = 4000000L
+    val small = verts.count() * pivots.size <= bcGate
+    def gated(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // ALL pivots advance in ONE pivot-tagged frontier loop — k
+    // sequential loops would pay the per-level job latency k times
+    // for the same total rows (measured: the wall cost is job count,
+    // not compute, once the sweeps are map-side). A pivot whose
+    // frontier exhausts early simply contributes no rows to deeper
+    // levels.
+    //
+    // FUSED forward sweep: dist AND σ in one loop (a separate Bfs
+    // pass + σ sweep would walk the graph twice — the sum over
+    // predecessors rides the same frontier expansion the min-dist
+    // BFS does, and never collides because each vertex settles at
+    // exactly one level per pivot). Per level: one broadcast join of
+    // the cached edges with the tagged frontier, one frontier-sized
+    // partial-agged exchange, one broadcast anti-join against the
+    // settled set. Levels are tiny — eagerly checkpointed so the
+    // loop plans stay flat; the settled set is a lazy union of
+    // checkpointed levels (never re-derived).
+    val pivotDf = pivots.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("pv", "pivot")
+    var levels = Vector(pivotDf
+      .select(col("pv"), col("pivot").as("id"), lit(1L).as("sigma"))
+      .localCheckpoint(true))
+    var seen = levels.head.select(col("pv"), col("id"))
+    var depth = 0L
+    var frontierNonEmpty = true
+    while (frontierNonEmpty) {
+      val next = edgesC
+        .join(gated(levels.last
+          .select(col("pv"), col("id").as("src"), col("sigma"))), "src")
+        .groupBy(col("pv"), col("dst").as("id"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(gated(seen), Seq("pv", "id"), "left_anti")
         .localCheckpoint(true)
-      // shortest-path DAG: edges that advance the BFS level. Built
-      // once; both sweeps below slice it by level. Unreached vertices
-      // drop out here (no dist row).
-      val dag = edges
-        .join(dist.select(col("id").as("src"), col("dist").as("sd")), "src")
-        .join(dist.select(col("id").as("dst"), col("dist").as("dd")), "dst")
-        .filter(col("dd") === col("sd") + 1)
-        .select(col("src"), col("dst"), col("sd"))
-        .localCheckpoint(true)
-      // ecc is a bounded driver scalar (one tiny agg), not data
-      val maxD = dist.agg(max(col("dist"))).as[Long].head()
-      // forward sweep: σ level-by-level (DAG edges only go d -> d+1)
-      var sigLevels = Vector(
-        Seq((p, 1L)).toDF("id", "sigma").localCheckpoint(true))
-      for (d <- 0L until maxD) {
-        val next = dag.filter(col("sd") === d)
-          .join(sigLevels.last.select(col("id").as("src"), col("sigma")),
-            "src")
-          .groupBy(col("dst").as("id"))
-          .agg(sum(col("sigma")).as("sigma"))
-          .localCheckpoint(true)
-        sigLevels :+= next
+      if (next.isEmpty) frontierNonEmpty = false
+      else {
+        levels :+= next
+        seen = seen.unionByName(next.select(col("pv"), col("id")))
+        depth += 1
       }
-      val sigma = sigLevels.reduce(_ unionByName _).localCheckpoint(true)
-      sigLevels.foreach(GraphOps.releaseCheckpointedFrame(_))
-      // backward sweep: δq from the deepest level up. Leaves (no DAG
-      // successors) have δq = 0 — the left join's coalesce.
-      var deltaNext = spark.emptyDataset[(Long, Long)].toDF("id", "delta")
-      var deltas = Vector.empty[DataFrame]
-      for (d <- (maxD - 1) to 0L by -1L) {
-        val lvl = dag.filter(col("sd") === d)
-          .join(sigma.select(col("id").as("src"), col("sigma").as("sv")),
-            "src")
-          .join(sigma.select(col("id").as("dst"), col("sigma").as("sw")),
-            "dst")
-          .join(deltaNext.select(col("id").as("dst"), col("delta")),
-            Seq("dst"), "left")
-          .withColumn("num",
-            col("sv") * (lit(scale) + coalesce(col("delta"), lit(0L))))
-          .withColumn("term", expr("num div sw"))
-          .groupBy(col("src").as("id"))
-          .agg(sum(col("term")).as("delta"))
-          .localCheckpoint(true)
-        deltas :+= lvl
-        deltaNext = lvl
-      }
-      val delta = (if (deltas.isEmpty)
-          spark.emptyDataset[(Long, Long)].toDF("id", "delta")
-        else deltas.reduce(_ unionByName _))
-        .filter(col("id") =!= p) // Brandes: the pivot's own δ is excluded
-        .select(col("id"), col("delta").as(s"delta_$i"))
-        .localCheckpoint(true)
-      deltas.foreach(GraphOps.releaseCheckpointedFrame(_))
-      Seq(dist, dag, sigma).foreach(GraphOps.releaseCheckpointedFrame(_))
-      delta
     }
-    // id-keyed left joins of |V|-sized maps, the pivotHarmonic shape
-    val joined = perPivot.foldLeft(verts)((acc, d) =>
-      acc.join(d, Seq("id"), "left"))
-    joined.select(col("id"),
-      pivots.indices.map(i => coalesce(col(s"delta_$i"), lit(0L)))
-        .reduce(_ + _).as("bc_q"))
+    val maxD = depth
+    // (pv, id, dist, σ) for every (pivot, reached vertex)
+    val sigma = levels.zipWithIndex
+      .map { case (lv, dd) => lv.withColumn("dist", lit(dd.toLong)) }
+      .reduce(_ unionByName _)
+      .localCheckpoint(true)
+    // σ-annotated shortest-path DAG for all pivots, built ONCE via
+    // two map-side joins against the broadcast (dist, σ) map — the
+    // edge table never shuffles; per-pivot unreached vertices drop
+    // out (no map row for that pv)
+    val dagS = edgesC
+      .join(gated(sigma.select(col("pv"), col("id").as("src"),
+        col("dist").as("sd"), col("sigma").as("sv"))), "src")
+      .join(gated(sigma.select(col("pv"), col("id").as("dst"),
+        col("dist").as("dd"), col("sigma").as("sw"))), Seq("pv", "dst"))
+      .filter(col("dd") === col("sd") + 1)
+      .select(col("pv"), col("src"), col("dst"), col("sd"),
+        col("sv"), col("sw"))
+      .localCheckpoint(true)
+    levels.foreach(GraphOps.releaseCheckpointedFrame(_))
+    // backward sweep: δq from the deepest level up, all pivots per
+    // level — per level ONE broadcast left join (δ of the level
+    // below) + one frontier-sized exchange; lazy, ONE
+    // materialization for the whole direction. Leaves (no DAG
+    // successors) have δq = 0 — the left join's coalesce.
+    var deltaNext = spark.emptyDataset[(Long, Long, Long)]
+      .toDF("pv", "id", "delta")
+    var deltas = Vector.empty[DataFrame]
+    for (d <- (maxD - 1) to 0L by -1L) {
+      val lvl = dagS.filter(col("sd") === d)
+        .join(gated(deltaNext.withColumnRenamed("id", "dst")),
+          Seq("pv", "dst"), "left")
+        .withColumn("num",
+          col("sv") * (lit(scale) + coalesce(col("delta"), lit(0L))))
+        .withColumn("term", expr("num div sw"))
+        .groupBy(col("pv"), col("src").as("id"))
+        .agg(sum(col("term")).as("delta"))
+      deltas :+= lvl
+      deltaNext = lvl
+    }
+    // Brandes: each pivot's own δ row is excluded; bc = Σ over pivots
+    val delta = (if (deltas.isEmpty)
+        spark.emptyDataset[(Long, Long, Long)].toDF("pv", "id", "delta")
+      else deltas.reduce(_ unionByName _))
+      .join(gated(pivotDf), Seq("pv"))
+      .filter(col("id") =!= col("pivot"))
+      .groupBy(col("id"))
+      .agg(sum(col("delta")).as("bc"))
+    val out = verts.join(delta, Seq("id"), "left")
+      .select(col("id"), coalesce(col("bc"), lit(0L)).as("bc_q"))
+      .localCheckpoint(true)
+    Seq(sigma, dagS, edgesC).foreach(GraphOps.releaseCheckpointedFrame(_))
+    out
   }
 }
