@@ -127,7 +127,7 @@ object Bench {
     // sweeps (betweenness), 2 sketch-union rounds (neighborhood fn),
     // and the rate-limited multi-batch streaming drain
     "q_betweenness_sample", "q_neighborhood_fn",
-    "q_streaming_backpressure")
+    "q_streaming_backpressure", "q_ann_pq", "q_ann_pq_rerank")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

@@ -553,6 +553,36 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Product-quantization ANN: 4-bit sub-codebook codes (a 64-dim
+    // vector becomes 32 BITS), asymmetric-distance search via
+    // per-query LUTs — the final compression rung after SQ8; integer
+    // L2² ranking, hash-exact by construction (hash-order codebooks,
+    // exact integer distances, deterministic argmin ties).
+    "q_ann_pq" -> ((s, dir) => {
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // PQ + exact re-rank — the production composition: the 32-bit-code
+    // ADC scan shortlists 50 candidates per query, then ONLY those 50
+    // full vectors are touched for the exact integer L2² top-5
+    // (recall 0.14 raw ADC -> 0.56 re-ranked on the shipped
+    // embeddings; spec-measured).
+    "q_ann_pq_rerank" -> ((s, dir) => {
+      Similarity.pqTopKReranked(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // Count-min heavy hitters: exact top-20 tokens point-queried
+    // against the one-pass d×w sketch (fixed-size mergeable exchange
+    // — the 100 TB path where exact counts shuffle the vocabulary);
+    // the one-sided guarantee (est >= exact) require-enforced, both
+    // counts hash-gated — approximate but bit-reproducible.
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.operators.CountMin.heavyHittersFace(s, dir)),
+
     // As-of join (beyond-parity: reference has no joins at all):
     // each purchase attributed to the user's latest strictly-prior view.
     "q_asof_attribution" -> ((s, dir) => {
@@ -784,6 +814,16 @@ object SparkEntry {
     // result by construction (complete mode emits every window).
     "q_streaming_window" -> ((s, dir) => {
       StreamHarness.boundedWindowedCounts(s, dir)
+        .orderBy("window_start", "event_type")
+    }),
+
+    // The same windowed aggregation under the RocksDB state store —
+    // the 100 TB state backend (native off-heap memtables + local SST
+    // files instead of JVM-heap state). The provider's engagement is
+    // require-enforced from the progress's rocksdb* custom metrics;
+    // the result must be state-backend-invisible (same oracle).
+    "q_streaming_rocksdb" -> ((s, dir) => {
+      StreamHarness.rocksdbWindowFace(s, dir)
         .orderBy("window_start", "event_type")
     }),
 
@@ -1918,6 +1958,15 @@ object SparkEntry {
     "q_orc_roundtrip" -> ((s, dir) =>
       TableLayout.orcRoundTripFace(s, dir)),
 
+    // Manifest-scoped atomic publish (the Iceberg/Delta read-isolation
+    // core on plain files): staged-but-unpublished files and a crashed
+    // writer's orphans are INVISIBLE (reader resolves pointer ->
+    // manifest -> named files, never a directory listing), the commit
+    // is one atomic rename, pinned manifests time-travel — all
+    // require-enforced; the current snapshot's aggregate is the gate.
+    "q_manifest_commit" -> ((s, dir) =>
+      TableLayout.manifestCommitFace(s, dir)),
+
     // Avro ingest with writer/reader schema RESOLUTION: documents
     // staged as real container files through two producer schema
     // versions (v1: source; v2: source_name + quality), read under
@@ -1971,6 +2020,88 @@ object SparkEntry {
   // row (legal in real corpora) diverges cross-engine
   private val toksSql =
     "string_split_regex(lower(coalesce(text, '')), '\\s+')"
+
+  /** Shared DuckDB prefix for the PQ oracles: hash-order codebooks,
+    * per-(vector, subvector, centroid) exact integer L2² table,
+    * argmin encoding, and the ADC pair distances (relation `adc`).
+    * Mirrors [[graft.operators.Similarity.pqTopK]]'s shared
+    * machinery. */
+  private def pqOraclePrefix: String = {
+    val m = graft.operators.Similarity.PqSubvectors
+    val ksub = graft.operators.Similarity.PqSubCentroids
+    val sub = 64 / m
+    s"""WITH $quantCte,
+       |sd AS MATERIALIZED (
+       |  SELECT vec_id AS cid, qe AS cqe,
+       |         row_number() OVER (ORDER BY rh, vec_id) - 1 AS cidx
+       |  FROM (SELECT vec_id, qe,
+       |          ${rhSql("CAST(vec_id AS VARCHAR)")} AS rh FROM nv)
+       |  ORDER BY rh, cid LIMIT $ksub),
+       |ss AS (SELECT unnest(range(0, $m)) AS s),
+       |subc AS MATERIALIZED (
+       |  SELECT ss.s, sd.cidx,
+       |         list_slice(sd.cqe, ss.s*$sub+1, ss.s*$sub+$sub) AS csub
+       |  FROM sd CROSS JOIN ss),
+       |subv AS MATERIALIZED (
+       |  SELECT v.vec_id, ss.s,
+       |         list_slice(v.qe, ss.s*$sub+1, ss.s*$sub+$sub) AS vsub
+       |  FROM nv v CROSS JOIN ss),
+       |d2 AS MATERIALIZED (
+       |  SELECT v.vec_id, v.s, c.cidx,
+       |    CAST(list_sum(list_transform(range(1, $sub+1),
+       |      i -> (v.vsub[i]-c.csub[i])*(v.vsub[i]-c.csub[i])))
+       |      AS BIGINT) AS d2
+       |  FROM subv v JOIN subc c ON v.s = c.s),
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, s, cidx AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |                ORDER BY d2, cidx) AS rn FROM d2)
+       |  WHERE rn = 1),
+       |adc AS MATERIALIZED (
+       |  SELECT q.vec_id, e.vec_id AS neighbor_id,
+       |         CAST(SUM(q.d2) AS BIGINT) AS dist
+       |  FROM d2 q JOIN enc e ON q.s = e.s AND q.cidx = e.code
+       |  WHERE q.vec_id <> e.vec_id
+       |  GROUP BY q.vec_id, e.vec_id)""".stripMargin
+  }
+
+  /** Generated oracle replaying [[graft.operators.CountMin]]'s sketch
+    * bit-exactly: same token stream, same rolling hash, same fixed
+    * affine row maps, same d×w counter build, same min-over-rows
+    * estimate. */
+  private def cmsOracleSql: String = {
+    val p = graft.operators.Dedup.P
+    val w = graft.operators.CountMin.Width
+    def idx(h: String, i: Int): String = {
+      val (a, b) = graft.operators.CountMin.RowCoeffs(i)
+      s"(($h*$a + $b) % $p) % $w"
+    }
+    val rows = graft.operators.CountMin.RowCoeffs.indices
+    val skUnion = rows.map(i =>
+      s"SELECT $i AS row, ${idx("h", i)} AS idx FROM h")
+      .mkString("\n    |    UNION ALL ")
+    val joins = rows.map(i =>
+      s"JOIN sk s$i ON s$i.row = $i AND s$i.idx = ${idx("eh.h", i)}")
+      .mkString("\n    |")
+    val leastC = rows.map(i => s"s$i.c").mkString(", ")
+    s"""WITH toks AS (
+    |  SELECT token FROM (SELECT unnest($toksSql) AS token FROM documents)
+    |  WHERE len(token) > 0),
+    |h AS (SELECT ${rhSql("token")} AS h FROM toks),
+    |sk AS MATERIALIZED (
+    |  SELECT row, idx, count(*) AS c FROM (
+    |    $skUnion)
+    |  GROUP BY row, idx),
+    |exact AS (
+    |  SELECT token, count(*) AS n FROM toks GROUP BY token
+    |  ORDER BY n DESC, token LIMIT 20),
+    |eh AS (SELECT e.token, e.n, ${rhSql("e.token")} AS h FROM exact e)
+    |SELECT eh.token, eh.n,
+    |       CAST(least($leastC) AS BIGINT) AS est
+    |FROM eh
+    |$joins
+    |ORDER BY eh.n DESC, eh.token""".stripMargin
+  }
 
   /** Generated oracle for [[graft.operators.Indexing.bpeLearn]]: an
     * unrolled `n`-stage CTE chain — stage i computes pair counts over
@@ -2771,6 +2902,43 @@ object SparkEntry {
          |FROM (SELECT unnest($toksSql) AS token FROM documents)
          |WHERE len(token) > 0
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // full sketch replay — see cmsOracleSql
+    "q_heavy_hitters" -> cmsOracleSql,
+
+    // PQ replay: same hash-order codebooks, same per-(vector,
+    // subvector, centroid) exact integer L2² table, same argmin
+    // encoding (d2 then cidx), same ADC sum — the adc join keys the
+    // query's distance table on the CANDIDATE's code, which is the
+    // relational form of the LUT lookup
+    "q_ann_pq" -> (pqOraclePrefix +
+      """,
+         |r AS (SELECT vec_id, neighbor_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY dist, neighbor_id) AS INT) AS rank
+         |      FROM adc)
+         |SELECT vec_id, rank, neighbor_id, dist FROM r
+         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin),
+
+    // PQ shortlist + exact integer L2² re-rank of ONLY the shortlist
+    "q_ann_pq_rerank" -> (pqOraclePrefix + s""",
+         |short AS (SELECT vec_id, neighbor_id FROM (
+         |    SELECT vec_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, neighbor_id) AS rn FROM adc)
+         |  WHERE rn <= ${graft.operators.Similarity.PqShortlist}),
+         |rer AS (
+         |  SELECT sh.vec_id, sh.neighbor_id,
+         |    CAST(a.nn + b.nn - 2*${dotSql("a.qe", "b.qe")} AS BIGINT) AS dist
+         |  FROM short sh
+         |  JOIN nv a ON a.vec_id = sh.vec_id
+         |  JOIN nv b ON b.vec_id = sh.neighbor_id),
+         |r AS (SELECT vec_id, neighbor_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY dist, neighbor_id) AS INT) AS rank
+         |      FROM rer)
+         |SELECT vec_id, rank, neighbor_id, dist FROM r
+         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin),
 
     "q_asof_attribution" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -3657,6 +3825,21 @@ object SparkEntry {
     // complete-mode streaming twin: every window reaches the sink, so
     // the oracle is q_events_window's verbatim
     "q_streaming_window" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |           AS window_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM b GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // the state backend must be result-invisible — same oracle as
+    // q_streaming_window by design (provider engagement is
+    // require-enforced in-face, not oracle-visible)
+    "q_streaming_rocksdb" ->
       """WITH b AS (
         |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
         |           AS window_start,
@@ -4824,6 +5007,19 @@ object SparkEntry {
         |       count(DISTINCT source) AS n_sources,
         |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM documents WHERE n_chars > 500
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the committed v2 snapshot replayed relationally — orphan
+    // invisibility / staging isolation / pointer atomicity are
+    // require-enforced in-face, not oracle-visible
+    "q_manifest_commit" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (SELECT doc_id,
+        |             CASE WHEN doc_id % 5 = 0 THEN 'und' ELSE lang END
+        |               AS lang, n_chars
+        |      FROM documents WHERE doc_id % 3 <> 0)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Avro resolution replayed relationally: v1-written slices

@@ -662,4 +662,127 @@ object TableLayout {
         .localCheckpoint(true)
     } finally rmTree(tmp)
   }
+
+  /** Manifest-scoped table: the ATOMIC-PUBLISH half of the lakehouse
+    * story ([[graft.operators.Snapshot]] covers the merge/time-travel
+    * half). A directory table is whatever files the listing returns —
+    * a crashed writer's half-staged files are silently read as data.
+    * A MANIFESTED table inverts that: writers stage files, then
+    * publish by writing a versioned manifest naming EXACTLY the
+    * snapshot's files, then flip a single `_current` pointer with an
+    * ATOMIC_MOVE rename (the filesystem's atomicity primitive, the
+    * same one every commit log ultimately leans on). Readers resolve
+    * pointer -> manifest -> named files; staged-but-unpublished and
+    * orphaned files are INVISIBLE by construction. This is the core
+    * read-isolation semantic of Iceberg/Delta, expressed directly on
+    * files with no table-format dependency. */
+  def writeManifested(df: DataFrame, tableDir: String, version: Long): Unit = {
+    val dataDir = java.nio.file.Paths.get(tableDir, "data", s"v$version")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val files = new java.io.File(dataDir.toString).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted // |files|-bounded driver listing
+    val manifests = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(tableDir, "_manifests"))
+    java.nio.file.Files.write(manifests.resolve(s"v$version.list"),
+      files.mkString("\n").getBytes("UTF-8"))
+    // the COMMIT: stage the pointer beside its target, then one
+    // atomic rename — readers see the old pointer or the new one,
+    // never a torn write
+    val tmpPtr = java.nio.file.Paths.get(tableDir, s"_current.tmp$version")
+    java.nio.file.Files.write(tmpPtr, s"v$version".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmpPtr,
+      java.nio.file.Paths.get(tableDir, "_current"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read the CURRENT manifest's snapshot — pointer -> manifest ->
+    * exactly the named files. Never lists the data directory. */
+  def readManifested(spark: SparkSession, tableDir: String): DataFrame = {
+    val v = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tableDir, "_current")), "UTF-8").trim
+    readManifestVersion(spark, tableDir, v)
+  }
+
+  /** Read a PINNED manifest version (time travel over manifests). */
+  def readManifestVersion(spark: SparkSession, tableDir: String,
+                          v: String): DataFrame = {
+    val files = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tableDir, "_manifests", s"$v.list")),
+      "UTF-8").split("\n").filter(_.nonEmpty)
+    spark.read.parquet(files.toSeq: _*)
+  }
+
+  /** Gate face: manifest-scoped atomic publish end-to-end.
+    *
+    *  1. v1 commits (documents with doc_id % 3 != 0);
+    *  2. an ORPHAN parquet file (the % 97 == 0 rows a crashed writer
+    *     would leave) lands INSIDE v1's data directory — a
+    *     directory-scoped reader would silently include it;
+    *     require: the manifested read still returns exactly v1;
+    *  3. v2's data files AND manifest are fully staged but the
+    *     pointer is NOT yet flipped; require: readers still see v1
+    *     (publication is the pointer flip, nothing earlier);
+    *  4. the pointer flips (atomic rename); require: readers now see
+    *     exactly v2 — and the PINNED v1 manifest still reads the
+    *     historical snapshot (manifest time travel).
+    *
+    * Output: the current (v2) snapshot aggregated per lang — the
+    * oracle replays v2's definition; every isolation property above
+    * is require-enforced in-face. */
+  def manifestCommitFace(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp("graft_manifest_")
+    val table = tmp.resolve("docs").toString
+    try {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      val v1 = d.filter(col("doc_id") % 3 =!= 0)
+      val v1Count = v1.count()
+      writeManifested(v1, table, 1L)
+      // a crashed writer's orphan, INSIDE the live data dir
+      d.filter(col("doc_id") % 97 === 0).write.mode("append")
+        .parquet(java.nio.file.Paths.get(table, "data", "v1").toString)
+      require(readManifested(spark, table).count() == v1Count,
+        "orphan files leaked into the manifested read — the reader " +
+          "is directory-scoped, not manifest-scoped")
+      // v2 fully staged (files + manifest) without flipping the pointer
+      val v2 = d.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("lang",
+          when(col("doc_id") % 5 === 0, lit("und")).otherwise(col("lang")))
+      val v2DataDir = java.nio.file.Paths.get(table, "data", "v2")
+      v2.write.mode("overwrite").parquet(v2DataDir.toString)
+      val v2Files = new java.io.File(v2DataDir.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(table, "_manifests", "v2.list"),
+        v2Files.mkString("\n").getBytes("UTF-8"))
+      val und = readManifested(spark, table)
+        .filter(col("lang") === "und" && col("doc_id") % 5 === 0).count()
+      val undV1 = v1.filter(col("lang") === "und" &&
+        col("doc_id") % 5 === 0).count()
+      require(und == undV1,
+        "v2 rows visible before the pointer flip — staging leaked")
+      // the COMMIT
+      val tmpPtr = java.nio.file.Paths.get(table, "_current.tmp2")
+      java.nio.file.Files.write(tmpPtr, "v2".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmpPtr,
+        java.nio.file.Paths.get(table, "_current"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // historical manifest still readable, bit-stable
+      require(readManifestVersion(spark, table, "v1").count() == v1Count,
+        "pinned v1 manifest no longer reads the historical snapshot")
+      readManifested(spark, table)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("lang")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
 }

@@ -108,6 +108,53 @@ object StreamHarness {
   def boundedWindowedCounts(spark: SparkSession, dir: String): DataFrame =
     runBounded(EventStream.windowedCounts(eventsStream(spark, dir)), "complete")
 
+  /** The SAME windowed aggregation under the RocksDB state store
+    * provider — the 100 TB state configuration. The default
+    * HDFSBackedStateStoreProvider keeps every key's state as JVM-heap
+    * objects (executor memory bounds total state — the thing that
+    * OOMs a large-keyspace production stream); RocksDB keeps state in
+    * native off-heap memtables + local SST files, bounding it by DISK
+    * with heap-independent eviction, which is why every large-state
+    * production deployment flips this provider. The face proves the
+    * engine's operators run unmodified on it AND that the provider
+    * genuinely engaged (require: the state operator's progress
+    * reports rocksdb* custom metrics — a silent fallback to the
+    * default provider would report none), with the result hash-gated
+    * against the same oracle as q_streaming_window (state backend
+    * must be result-invisible).
+    *
+    * Session-global conf flip for the face's duration (set inside
+    * try, restored in finally — single-threaded session assumption,
+    * the SkewOps contract). */
+  def rocksdbWindowFace(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val df = EventStream.windowedCounts(eventsStream(spark, dir))
+      val name = s"stream_face_${nameCounter.incrementAndGet()}"
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val ops = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+        require(ops.nonEmpty, "no state operator in streaming progress")
+        import scala.jdk.CollectionConverters._
+        val metricKeys = ops.flatMap(_.customMetrics.keySet.asScala)
+        require(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+          "state operator reports no rocksdb metrics — the provider " +
+            s"silently fell back (saw: ${metricKeys.mkString(", ")})")
+      } finally q.stop()
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Two-incarnation checkpoint run shared by the resume faces
     * (r12 verdict item 7): stages `dir`'s events as two TIME-ORDERED
     * parquet files (files arrive in event-time order in production,

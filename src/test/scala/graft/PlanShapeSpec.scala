@@ -516,4 +516,65 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(corpusShuffles.isEmpty, s"purge shuffles the corpus:\n$plan")
   }
 
+  test("AvroSource.readAvro decode is NARROW — scan to rows with zero " +
+      "exchanges (each task decodes its own files)") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val tmp = java.nio.file.Files.createTempDirectory("avro-shape-")
+    try {
+      import spark.implicits._
+      graft.sources.AvroSource.stageAvro(
+        Seq((1L, "en", "web", 100L)).toDF("doc_id", "lang", "source",
+          "n_chars"), tmp.toString)
+      val plan = graft.sources.AvroSource.readAvro(spark, tmp.toString)
+        .queryExecution.sparkPlan
+      val exchanges = plan.collect { case e: Exchange => e }
+      assert(exchanges.isEmpty,
+        s"binary decode must not shuffle payload bytes:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
+        .foreach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+  }
+
+  test("Snapshot.asOfVersion costs exactly ONE exchange (the id window) " +
+      "and the version filter sits under it") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("asof-shape-")
+    try {
+      // a FILE-backed log — a LocalTableScan is single-partition and
+      // would window without any exchange, hiding the shape
+      Seq((1L, 1L, "a", false), (1L, 2L, "b", false))
+        .toDF("doc_id", "version", "payload", "deleted")
+        .write.parquet(s"$tmp/log")
+      val log = spark.read.parquet(s"$tmp/log")
+      // executedPlan: exchanges are inserted by EnsureRequirements,
+      // which sparkPlan predates
+      val plan = graft.operators.Snapshot
+        .asOfVersion(log, "doc_id", "version", 2L, deletedCol = "deleted")
+        .queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1,
+        s"asOfVersion must shuffle once on the id:\n$plan")
+      // the version <= k predicate must reach the SCAN below the
+      // exchange (pushed + file-prunable when version is a layout
+      // column), not sit above the window as a residual
+      val scans = shuffles.head.child.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty &&
+        scans.head.metadata("PushedFilters").contains("LessThanOrEqual(version,2)"),
+        s"version filter did not push to the scan:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
+        .foreach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+  }
+
 }

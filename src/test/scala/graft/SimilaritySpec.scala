@@ -293,4 +293,83 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       bruteSims.get((a, b)).foreach(bs => assert(bs == s))
     }
   }
+
+  test("pqTopK: deterministic across runs; self excluded; the " +
+      "declared-dim guard fails loudly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.pqTopK(emb, "vec_id", "embedding", dim = 64)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    val b = Similarity.pqTopK(emb, "vec_id", "embedding", dim = 64)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    assert(a == b, "PQ ranking must be bit-deterministic")
+    assert(a.forall { case (v, _, n, _) => v != n }, "self in neighbors")
+    assert(a.forall(_._4 >= 0L), "L2^2 distance cannot be negative")
+    val e = intercept[Exception] {
+      Similarity.pqTopK(emb, "vec_id", "embedding", dim = 32)
+        .write.format("noop").mode("overwrite").save()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("pqTopK: recall@5 vs the exact L2 ranking bounded (PQ is an L2 " +
+      "structure — cosine-ranked references are the wrong metric)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // exact L2^2 top-5, driver-side on the tiny SF (the reference
+    // ranking in PQ's OWN metric; bruteForceTopK ranks by cosine,
+    // which genuinely disagrees with L2 on non-normalized vectors)
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val exact = (for ((va, ea) <- vecs) yield {
+      val nbrs = vecs.filter(_._1 != va).map { case (vb, eb) =>
+        val d = ea.zip(eb).map { case (x, y) =>
+          val dd = x.toDouble - y.toDouble; dd * dd }.sum
+        (d, vb)
+      }.sortBy(identity).take(5).map(_._2)
+      nbrs.map(n => (va, n))
+    }).flatten.toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", dim = 64, k = 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"PQ recall@5 vs exact L2 on sf0.001 = $recall%.3f")
+    // 32-bit codes from UNTRAINED (hash-sampled) codebooks against
+    // 2048-bit quantized vectors: the floor is deliberately modest —
+    // production recovers recall with Lloyd-trained codebooks, larger
+    // ksub, and exact re-ranking of the PQ short-list
+    // raw-ADC floor on near-random synthetic 64-d data (PQ's worst
+    // case — tiny L2 gaps vs 32-bit quantization error); the re-rank
+    // test below is the production recall story
+    assert(recall >= 0.1, f"PQ recall $recall%.3f below floor")
+  }
+
+  test("pqTopKReranked: exact re-rank of the ADC shortlist recovers " +
+      "recall (the production composition)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val exact = (for ((va, ea) <- vecs) yield {
+      val nbrs = vecs.filter(_._1 != va).map { case (vb, eb) =>
+        val d = ea.zip(eb).map { case (x, y) =>
+          val dd = x.toDouble - y.toDouble; dd * dd }.sum
+        (d, vb)
+      }.sortBy(identity).take(5).map(_._2)
+      nbrs.map(n => (va, n))
+    }).flatten.toSet
+    val rer = Similarity.pqTopKReranked(emb, "vec_id", "embedding",
+        dim = 64, k = 5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & rer).size.toDouble / exact.size
+    info(f"PQ+rerank recall@5 vs exact L2 on sf0.001 = $recall%.3f")
+    assert(recall >= 0.45, f"re-ranked recall $recall%.3f below floor")
+    // the re-ranked distances are EXACT L2^2 for the emitted pairs
+    val q = Similarity.quantize(org.apache.spark.sql.functions.col("embedding"))
+    val qmap = emb.select(org.apache.spark.sql.functions.col("vec_id"), q.as("qe"))
+      .as[(Long, Array[Long])].collect().toMap
+    Similarity.pqTopKReranked(emb, "vec_id", "embedding", dim = 64, k = 5)
+      .as[(Long, Int, Long, Long)].collect().take(50).foreach {
+        case (v, _, n, d) =>
+          val (a, b) = (qmap(v), qmap(n))
+          val want = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+          assert(d == want, s"pair ($v,$n): emitted $d, exact L2^2 $want")
+      }
+  }
 }

@@ -334,4 +334,54 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
       .filter($"doc_id" % 2 === 1).count()
     assert(se.agg(sum($"n_evolved")).as[Long].head() == oddDocs)
   }
+
+  test("manifest commit: orphans invisible, staging invisible until " +
+      "the pointer flip, pinned manifests time-travel") {
+    val tmp = java.nio.file.Files.createTempDirectory("manifest-spec-")
+    val table = tmp.resolve("t").toString
+    try {
+      val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      TableLayout.writeManifested(v1, table, 1L)
+      // a crashed writer's orphan lands INSIDE the live data dir — a
+      // directory-scoped reader would read it as data
+      Seq((99L, "orphan")).toDF("id", "v").write.mode("append")
+        .parquet(java.nio.file.Paths.get(table, "data", "v1").toString)
+      assert(TableLayout.readManifested(spark, table)
+        .as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")),
+        "orphan leaked into the manifested read")
+      // v2 fully staged WITHOUT a pointer flip: data + manifest
+      val v2 = Seq((1L, "a2"), (4L, "d")).toDF("id", "v")
+      val v2Dir = java.nio.file.Paths.get(table, "data", "v2")
+      v2.write.parquet(v2Dir.toString)
+      val files = new java.io.File(v2Dir.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(table, "_manifests", "v2.list"),
+        files.mkString("\n").getBytes("UTF-8"))
+      assert(TableLayout.readManifested(spark, table)
+        .as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")),
+        "staged v2 visible before the pointer flip")
+      // the flip (writeManifested would restage; flip the pointer raw)
+      val ptr = java.nio.file.Paths.get(table, "_current.tmpX")
+      java.nio.file.Files.write(ptr, "v2".getBytes("UTF-8"))
+      java.nio.file.Files.move(ptr,
+        java.nio.file.Paths.get(table, "_current"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      assert(TableLayout.readManifested(spark, table)
+        .as[(Long, String)].collect().toSet == Set((1L, "a2"), (4L, "d")))
+      // pinned historical manifest still reads v1 (and still excludes
+      // the orphan sitting in its directory)
+      assert(TableLayout.readManifestVersion(spark, table, "v1")
+        .as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
+        .foreach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+  }
 }
