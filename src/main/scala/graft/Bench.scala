@@ -127,7 +127,9 @@ object Bench {
     // sweeps (betweenness), 2 sketch-union rounds (neighborhood fn),
     // and the rate-limited multi-batch streaming drain
     "q_betweenness_sample", "q_neighborhood_fn",
-    "q_streaming_backpressure", "q_ann_pq", "q_ann_pq_rerank")
+    "q_streaming_backpressure", "q_ann_pq", "q_ann_pq_rerank",
+    // r15 late: the two-arrival watermark face (multi-batch stream)
+    "q_streaming_late_drop")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

@@ -827,6 +827,17 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // Watermark late-data DROP, proven from the engine's own metric:
+    // recent 30% arrives, watermark advances to max−2h, the old 70%
+    // arrives LATE; numRowsDroppedByWatermark require-equals the
+    // predicted count, and the append sink holds exactly the
+    // closed-window aggregate over on-time rows — the bounded-state
+    // contract, hash-gated.
+    "q_streaming_late_drop" -> ((s, dir) => {
+      StreamHarness.lateDropFace(s, dir)
+        .orderBy("window_start", "event_type")
+    }),
+
     // Checkpoint stop→resume: the SAME windowed aggregation as two
     // query incarnations over one durable checkpoint (state-store
     // recovery — the path a real pipeline exercises every deploy).
@@ -1966,6 +1977,16 @@ object SparkEntry {
     // require-enforced; the current snapshot's aggregate is the gate.
     "q_manifest_commit" -> ((s, dir) =>
       TableLayout.manifestCommitFace(s, dir)),
+
+    // Manifest VACUUM (retention): expire snapshots below the
+    // horizon, reclaim their exclusive files AND crashed writers'
+    // orphans — liveness defined by retained manifests' file lists
+    // (never listing/age, so deleting a reader-reachable file is
+    // structurally impossible); current-read bit-stability across
+    // the vacuum, orphan+v1 reclamation, and loud sub-horizon
+    // time-travel failure all require-enforced.
+    "q_manifest_vacuum" -> ((s, dir) =>
+      TableLayout.manifestVacuumFace(s, dir)),
 
     // Avro ingest with writer/reader schema RESOLUTION: documents
     // staged as real container files through two producer schema
@@ -3851,6 +3872,33 @@ object SparkEntry {
         |FROM b GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
 
+    // watermark semantics replayed relationally: integer split
+    // cutoff, wm = floor(max_µs/1000) − 7 200 000 ms, emitted =
+    // closed windows (end ≤ wm) over ON-TIME rows only; the drop
+    // count itself is require-enforced in-face against the engine's
+    // numRowsDroppedByWatermark metric
+    "q_streaming_late_drop" ->
+      """WITH b AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+        |  FROM events),
+        |c AS (SELECT min(us) + ((max(us) - min(us)) * 7) // 10 AS cut,
+        |             max(us) // 1000 - 7200000 AS wm_ms FROM b),
+        |a AS (SELECT b.* FROM b, c WHERE b.us > c.cut),
+        |w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+        |               AS window_end,
+        |             event_type, value
+        |      FROM a)
+        |SELECT window_start, window_end, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |         AS total_value
+        |FROM w, c
+        |WHERE epoch_ms(window_end) <= c.wm_ms
+        |GROUP BY window_start, window_end, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
     // the stop→resume incarnation pair must land on the identical
     // full aggregation — same oracle as q_streaming_window by design
     "q_streaming_resume" ->
@@ -5021,6 +5069,16 @@ object SparkEntry {
         |               AS lang, n_chars
         |      FROM documents WHERE doc_id % 3 <> 0)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the surviving (v2) snapshot replayed relationally — orphan
+    // reclamation / read-stability / manifest expiry are
+    // require-enforced in-face, not oracle-visible
+    "q_manifest_vacuum" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents WHERE doc_id % 3 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // Avro resolution replayed relationally: v1-written slices
     // (doc_id % 8 <= 3) read the reader's quality DEFAULT -1.0 and

@@ -785,4 +785,100 @@ object TableLayout {
         .localCheckpoint(true)
     } finally rmTree(tmp)
   }
+
+  /** VACUUM for the manifested table: expire every manifest version
+    * < `retainFrom`, then delete every file under `data/` that no
+    * RETAINED manifest references — which reclaims both the expired
+    * snapshots' exclusive files AND crashed writers' orphans (staged
+    * but never published, so referenced by nothing). The manifest
+    * inversion is what makes this safe: liveness is defined by the
+    * retained manifests' explicit file lists, never by directory
+    * listing or file age, so a file a concurrent reader could reach
+    * through a retained manifest is structurally impossible to
+    * delete. The data/ walk is |files|-bounded driver work (the same
+    * bound writeManifested's listing carries).
+    *
+    * Returns (filesDeleted, manifestsExpired). */
+  def vacuumManifested(tableDir: String, retainFrom: Long): (Int, Int) = {
+    val manifestDir = java.nio.file.Paths.get(tableDir, "_manifests")
+    val all = new java.io.File(manifestDir.toString).listFiles()
+      .filter(_.getName.endsWith(".list"))
+    val (expired, retained) = all.partition(f =>
+      f.getName.stripPrefix("v").stripSuffix(".list").toLong < retainFrom)
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tableDir, "_current")), "UTF-8").trim
+    require(retained.exists(_.getName == s"$cur.list"),
+      s"retainFrom $retainFrom would expire the CURRENT snapshot $cur")
+    val live: Set[String] = retained.flatMap(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty)).toSet
+    val dataDir = java.nio.file.Paths.get(tableDir, "data")
+    var deleted = 0
+    java.nio.file.Files.walk(dataDir).filter(
+        java.nio.file.Files.isRegularFile(_))
+      .forEach { p =>
+        if (!live.contains(p.toAbsolutePath.toString)) {
+          java.nio.file.Files.delete(p); deleted += 1
+        }
+      }
+    expired.foreach(f => java.nio.file.Files.delete(f.toPath))
+    (deleted, expired.length)
+  }
+
+  /** Gate face: manifest VACUUM end-to-end.
+    *
+    *  1. v1 and v2 both COMMIT (two manifests, two pointer flips) —
+    *     their data dirs share no files; a crashed writer's orphan
+    *     parquet lands in v1's data dir (referenced by no manifest);
+    *  2. vacuum(retainFrom=2): require expired manifests == 1 and
+    *     deleted files >= |v1 files| + 1 (v1's snapshot AND the
+    *     orphan reclaimed);
+    *  3. require the CURRENT read is bit-stable across the vacuum
+    *     (count + symmetric except == 0 against the pre-vacuum
+    *     materialization) — retention must be read-invisible;
+    *  4. require the expired v1 manifest is GONE (time travel below
+    *     the horizon now fails loudly, never silently re-reads).
+    *
+    * Output: the surviving snapshot aggregated per source. */
+  def manifestVacuumFace(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = freshTmp("graft_vacuum_")
+    val table = tmp.resolve("docs").toString
+    try {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      writeManifested(d.filter(col("doc_id") % 3 === 0), table, 1L)
+      // crashed writer's orphan: staged into v1's data dir, never
+      // named by any manifest
+      d.filter(col("doc_id") % 97 === 0).write.mode("append")
+        .parquet(java.nio.file.Paths.get(table, "data", "v1").toString)
+      val v2 = d.filter(col("doc_id") % 3 =!= 0)
+      writeManifested(v2, table, 2L)
+      val v1Files = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(table, "_manifests", "v1.list")),
+        "UTF-8").split("\n").count(_.nonEmpty)
+      val pre = readManifested(spark, table).localCheckpoint(true)
+      val preCount = pre.count()
+      val (deleted, expired) = vacuumManifested(table, retainFrom = 2L)
+      require(expired == 1, s"expected 1 expired manifest, got $expired")
+      require(deleted >= v1Files + 1,
+        s"vacuum deleted $deleted files; expected >= ${v1Files + 1} " +
+          "(v1's snapshot plus the orphan)")
+      val post = readManifested(spark, table)
+      require(post.count() == preCount &&
+        post.except(pre).isEmpty && pre.except(post).isEmpty,
+        "current snapshot changed across vacuum — retention is not " +
+          "read-invisible")
+      require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(table, "_manifests", "v1.list")),
+        "expired v1 manifest still present — time travel below the " +
+          "retention horizon would silently read a half-deleted snapshot")
+      post
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_sum"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("source")
+        .localCheckpoint(true)
+    } finally rmTree(tmp)
+  }
 }

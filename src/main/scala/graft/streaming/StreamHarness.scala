@@ -155,6 +155,104 @@ object StreamHarness {
     }
   }
 
+  /** Watermark LATE-DATA DROP — the semantic that makes unbounded
+    * streaming state bounded, proven end-to-end. Two staged arrivals
+    * into one running query: first the RECENT 30% of events (advances
+    * the event-time watermark to global-max − 2 h), then the old 70%
+    * arriving LATE. The aggregation operator drops every late row
+    * whose hour window was already evicted (window_end ≤ watermark) —
+    * at 100 TB/day this is the contract that keeps state at
+    * O(windows-in-flight) instead of O(history).
+    *
+    * Deterministic end-to-end, so the gate is exact:
+    *  - the split cutoff is integer arithmetic (min + 7·span/10 µs),
+    *    replayed by the oracle — no approx_percentile;
+    *  - the watermark after arrival 1 is exactly
+    *    floor(max_event_µs/1000) − 7 200 000 ms;
+    *  - REQUIRE: the state operator's numRowsDroppedByWatermark
+    *    equals the predicted count (late rows in evicted windows),
+    *    and is nonzero — the metric, not an inference;
+    *  - the append-mode sink then holds exactly the windows with
+    *    window_end ≤ watermark, aggregated from on-time rows only —
+    *    which is what the oracle replays relationally.
+    */
+  def lateDropFace(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val ev = EventStream.eventsTable(spark, dir)
+    val root = Files.createTempDirectory("graft-stream-late-")
+    val input = Files.createDirectories(root.resolve("input"))
+    try {
+      val bounds = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx")).head()
+      val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+      val cut = mn + (mx - mn) * 7L / 10L
+      def stage(df: DataFrame, name: String): java.nio.file.Path = {
+        val tmp = root.resolve(s"stage-$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file staged in $tmp")).toPath
+      }
+      val onTime = ev.filter(unix_micros(col("ts")) > cut)
+      val late = ev.filter(unix_micros(col("ts")) <= cut)
+      val fileA = stage(onTime, "a")
+      val fileB = stage(late, "b")
+      val schema = spark.read.parquet(fileA.toString).schema
+      val name = s"stream_late_${nameCounter.incrementAndGet()}"
+      val q = EventStream.windowedCounts(
+          spark.readStream.schema(schema).parquet(input.toString),
+          watermarkDelay = "2 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        Files.move(fileA, input.resolve("events-0.parquet"))
+        q.processAllAvailable() // batch 0 commits; watermark -> mx − 2h
+        Files.move(fileB, input.resolve("events-1.parquet"))
+        q.processAllAvailable() // late rows meet the advanced watermark
+        // no trailing no-data wait needed (unlike the event-time-
+        // timeout faces): window eviction/emission for wm happens in
+        // the FIRST batch that runs after the watermark advanced —
+        // serialized strictly before the late batch commits — and wm
+        // does not advance again after the late batch, so the sink is
+        // complete when the second processAllAvailable returns.
+        // (A wait loop here also stalls ~10 s on
+        // spark.sql.streaming.noDataProgressEventInterval — no-data
+        // progress is only REPORTED at that cadence; measured 12.1s
+        // -> 2.4s on sf0.01 when removed.)
+        val dropped = q.recentProgress.flatMap(_.stateOperators)
+          .map(_.numRowsDroppedByWatermark).sum
+        val wmMs = mx / 1000L - 2L * 3600L * 1000L
+        // the metric counts rows REACHING THE STATE STORE — i.e.
+        // post-shuffle merged (window, event_type) GROUP rows, not
+        // raw input rows (the drop filter sits above the partial
+        // aggregate; measured: 2361 groups vs 6996 input rows on
+        // sf0.01) — so the prediction is the DISTINCT evicted keys
+        val expected = late.filter(
+          (expr("unix_micros(ts) div 3600000000") + 1L) * 3600000L
+            <= wmMs)
+          .select(expr("unix_micros(ts) div 3600000000"), col("event_type"))
+          .distinct().count()
+        require(expected > 0,
+          "late-drop face degenerate: no late row falls in an evicted " +
+            "window — the events span is too short for the 2h delay")
+        require(dropped == expected,
+          s"watermark dropped $dropped late rows; the semantics " +
+            s"predict $expected (wm=${wmMs}ms) — late-data handling drifted")
+      } finally q.stop()
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      out
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).forEach(rm(_))
+        Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+  }
+
   /** Two-incarnation checkpoint run shared by the resume faces
     * (r12 verdict item 7): stages `dir`'s events as two TIME-ORDERED
     * parquet files (files arrive in event-time order in production,

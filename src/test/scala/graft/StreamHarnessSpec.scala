@@ -133,4 +133,33 @@ class StreamHarnessSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("watermark late-drop face == batch closed-window aggregate over " +
+      "on-time rows only") {
+    val ev = EventStream.eventsTable(spark, dir)
+    val b = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val cut = mn + (mx - mn) * 7L / 10L
+    val wmMs = mx / 1000L - 2L * 3600L * 1000L
+    // batch twin: on-time rows, windows closed by the final watermark
+    val batch = EventStream.windowedCounts(
+        ev.filter(unix_micros(col("ts")) > cut))
+      .filter(unix_micros(col("window_end")) / 1000L <= wmMs)
+    val streamed = StreamHarness.lateDropFace(spark, dir)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the face's internal require already pinned the drop METRIC to
+    // the predicted distinct evicted (window, event_type) keys; here
+    // pin that late windows really are absent from the output
+    val lateWindows = EventStream.windowedCounts(
+        ev.filter(unix_micros(col("ts")) <= cut))
+      .select(col("window_start")).distinct()
+    val leaked = streamed.join(
+      lateWindows.except(
+        EventStream.windowedCounts(ev.filter(unix_micros(col("ts")) > cut))
+          .select(col("window_start")).distinct()),
+      Seq("window_start")).count()
+    assert(leaked == 0, "late-only windows leaked into the append output")
+  }
+
 }

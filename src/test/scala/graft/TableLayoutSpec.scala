@@ -384,4 +384,47 @@ class TableLayoutSpec extends AnyFunSuite with SparkTestBase {
         .foreach(x => java.nio.file.Files.deleteIfExists(x))
     }
   }
+
+  test("manifest vacuum reclaims expired snapshots and orphans, keeps " +
+      "the current read bit-stable, refuses to expire the current") {
+    val tmp = java.nio.file.Files.createTempDirectory("vacuum-spec-")
+    val table = tmp.resolve("t").toString
+    try {
+      TableLayout.writeManifested(
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v"), table, 1L)
+      // orphan: staged into v1's dir, referenced by no manifest
+      Seq((99L, "orphan")).toDF("id", "v").write.mode("append")
+        .parquet(java.nio.file.Paths.get(table, "data", "v1").toString)
+      TableLayout.writeManifested(
+        Seq((1L, "a2"), (3L, "c")).toDF("id", "v"), table, 2L)
+      // refusing to expire the current snapshot
+      intercept[IllegalArgumentException] {
+        TableLayout.vacuumManifested(table, retainFrom = 3L)
+      }
+      def dataFiles(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(
+            java.nio.file.Paths.get(table, "data"))
+          .iterator().asScala
+          .count(java.nio.file.Files.isRegularFile(_)).toLong
+      }
+      val before = dataFiles()
+      val (deleted, expired) = TableLayout.vacuumManifested(table, 2L)
+      assert(expired == 1)
+      assert(deleted >= 2, s"v1's file(s) + the orphan, got $deleted")
+      assert(dataFiles() == before - deleted)
+      // current read bit-stable across the vacuum
+      assert(TableLayout.readManifested(spark, table)
+        .as[(Long, String)].collect().toSet == Set((1L, "a2"), (3L, "c")))
+      // sub-horizon time travel fails loudly (manifest gone), never
+      // silently reads a half-deleted snapshot
+      intercept[Exception] {
+        TableLayout.readManifestVersion(spark, table, "v1").collect()
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverseIterator
+        .foreach(x => java.nio.file.Files.deleteIfExists(x))
+    }
+  }
 }
