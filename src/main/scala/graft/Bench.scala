@@ -128,8 +128,10 @@ object Bench {
     // and the rate-limited multi-batch streaming drain
     "q_betweenness_sample", "q_neighborhood_fn",
     "q_streaming_backpressure", "q_ann_pq", "q_ann_pq_rerank",
+    "q_ann_ivf_pq",
     // r15 late: the two-arrival watermark face (multi-batch stream)
-    "q_streaming_late_drop")
+    // and the doubly-iterative Borůvka forest
+    "q_streaming_late_drop", "q_msf")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

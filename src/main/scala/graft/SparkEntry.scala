@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.{AsOfJoin, Bfs, Centrality, ConnectedComponents,
   CorpusOps, Dedup, Funnel, GraphOps, Indexing, KCore, LabelPropagation,
   Multimodal, PageRank, Profile, RandomWalk, RangeJoin, Redaction, Retention,
-  SequencePacking, Similarity, SkewOps, Snapshot, Sssp, TextAnalysis}
+  SequencePacking, Similarity, SkewOps, Snapshot, SpanningForest, Sssp,
+  TextAnalysis}
 import graft.sources.TableLayout
 import graft.streaming.{EventStream, StreamHarness}
 import graft.functions.{SimHashExpr, TopKBySim}
@@ -160,7 +161,9 @@ object SparkEntry {
     * count, element-wise MAX union rounds, packed registers, and
     * integer harmonic-denominator estimate as
     * [[graft.operators.Centrality.neighborhoodFunction]]. */
-  private def neighborhoodOracleSql(iters: Int): String = {
+  /** Shared WITH-prefix for the HyperBall oracles: seed registers +
+    * `iters` materialized sketch-union rounds n1..n<iters>. */
+  private def nfRoundsCte(iters: Int): String = {
     val m = graft.operators.Centrality.NfRegisters
     val cap = graft.operators.Centrality.NfRhoCap
     val rho = (1 to cap).map(k =>
@@ -179,16 +182,7 @@ object SparkEntry {
          |  FROM es e JOIN $prev s ON e.src = s.id GROUP BY e.dst)"""
         .stripMargin
     }
-    def packed(src: String) = regCols.zipWithIndex
-      .map { case (r, k) => s"CAST($src.$r AS BIGINT) * ${1L << (4 * k)}" }
-      .mkString(" + ")
-    val z = regCols.map(r => s"(1 << ($cap - n$iters.$r))").mkString(" + ")
-    val numer = 1000L * m * m * (1L << cap)
-    val packedCols = (1 to iters)
-      .map(t => s"${packed(s"n$t")} AS regs_$t").mkString(",\n       |       ")
-    val packJoins = (1 until iters)
-      .map(t => s"JOIN n$t ON n$t.id = n$iters.id").mkString("\n")
-    s"""WITH $copurchaseEdgesSql,
+    s"""$copurchaseEdgesSql,
        |v AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
        |seed AS MATERIALIZED (
        |  SELECT id, (g >> 33) % $m AS j,
@@ -202,13 +196,54 @@ object SparkEntry {
        |es AS MATERIALIZED (
        |  SELECT src, dst FROM edges
        |  UNION ALL SELECT id, id FROM v),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def neighborhoodOracleSql(iters: Int): String = {
+    val m = graft.operators.Centrality.NfRegisters
+    val cap = graft.operators.Centrality.NfRhoCap
+    val regCols = (0 until m).map(k => s"r$k")
+    def packed(src: String) = regCols.zipWithIndex
+      .map { case (r, k) => s"CAST($src.$r AS BIGINT) * ${1L << (4 * k)}" }
+      .mkString(" + ")
+    val z = regCols.map(r => s"(1 << ($cap - n$iters.$r))").mkString(" + ")
+    val numer = 1000L * m * m * (1L << cap)
+    val packedCols = (1 to iters)
+      .map(t => s"${packed(s"n$t")} AS regs_$t").mkString(",\n       |       ")
+    val packJoins = (1 until iters)
+      .map(t => s"JOIN n$t ON n$t.id = n$iters.id").mkString("\n")
+    s"""WITH ${nfRoundsCte(iters)}
        |SELECT n$iters.id,
        |       $packedCols,
        |       CAST($numer // (CAST($z AS BIGINT)) AS BIGINT) AS est_milli
        |FROM n$iters
        |$packJoins
        |ORDER BY n$iters.id""".stripMargin
+  }
+
+  /** Per-round cardinality sums + the 90%-coverage effective-diameter
+    * pick, over the same materialized rounds. */
+  private def effectiveDiameterOracleSql(iters: Int): String = {
+    val m = graft.operators.Centrality.NfRegisters
+    val cap = graft.operators.Centrality.NfRhoCap
+    val numer = 1000L * m * m * (1L << cap)
+    val perRound = (1 to iters).map { t =>
+      val z = (0 until m)
+        .map(k => s"(1 << ($cap - r$k))").mkString(" + ")
+      s"""SELECT $t AS t,
+         |  SUM(CAST($numer // (CAST($z AS BIGINT)) AS BIGINT))
+         |    AS sum_est_milli FROM n$t"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${nfRoundsCte(iters)},
+       |sums AS (
+       |  $perRound),
+       |eff AS (SELECT min(t) AS te FROM sums
+       |        WHERE sum_est_milli * 10 >=
+       |          (SELECT sum_est_milli FROM sums WHERE t = $iters) * 9)
+       |SELECT t, CAST(sum_est_milli AS BIGINT) AS sum_est_milli,
+       |       t = (SELECT te FROM eff) AS eff
+       |FROM sums ORDER BY t""".stripMargin
   }
 
   /** SQL fragment mirroring [[copurchaseEdges]] for DuckDB oracles. */
@@ -294,6 +329,43 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Effective diameter from the HyperBall neighborhood function:
+    // run 6 sketch-union rounds, unpack each round's registers to its
+    // integer cardinality proxy, sum per round = the distance
+    // distribution S(t); the effective diameter is the first t whose
+    // coverage reaches 90% of the horizon's (10·S(t) ≥ 9·S(T) — the
+    // Boldi-Vigna statistic, integer-exact relative to horizon T;
+    // production iterates to stabilization, same plan shape). Output:
+    // (t, sum_est_milli, eff) — 6 rows, every value hash-gated.
+    "q_effective_diameter" -> ((s, dir) => {
+      val m = Centrality.NfRegisters
+      val cap = Centrality.NfRhoCap
+      val iters = 6
+      val numer = 1000L * m * m * (1L << cap)
+      val nf = Centrality.neighborhoodFunction(copurchaseEdges(s, dir),
+        iters = iters)
+      val sums = (1 to iters).map { tt =>
+        val z = (0 until m).map(k =>
+            expr(s"cast(shiftleft(1, $cap - ((regs_$tt div ${1L << (4 * k)})" +
+              s" % 16)) as bigint)"))
+          .reduce(_ + _)
+        nf.select(z.as("z"))
+          .agg(sum(expr(s"$numer div z")).as("s"))
+          .select(lit(tt).as("t"), col("s").as("sum_est_milli"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val s6 = sums.filter(col("t") === iters)
+        .select(col("sum_est_milli").as("s6"))
+      sums.crossJoin(broadcast(s6))
+        .withColumn("reached", col("sum_est_milli") * 10 >= col("s6") * 9)
+        .withColumn("t_eff",
+          min(when(col("reached"), col("t"))).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(1))))
+        .select(col("t"), col("sum_est_milli"),
+          (col("t") === col("t_eff")).as("eff"))
+        .orderBy("t")
+    }),
+
     // Pivot-sampled betweenness (Brandes): per pivot one BFS + one
     // forward σ sweep + one backward δ sweep over the shortest-path
     // DAG. Dependencies in FIXED-POINT (scale 1e6, integer div) so the
@@ -303,6 +375,24 @@ object SparkEntry {
       Centrality.betweennessSample(copurchaseEdges(s, dir), Seq(2L, 4L),
           scale = BetweennessScale)
         .orderBy("id")
+    }),
+
+    // Minimum spanning forest (Borůvka) on a weighted co-purchase
+    // subgraph — deterministic weights from the canonical endpoints,
+    // strict total order (weight, src, dst) ⇒ the forest is UNIQUE,
+    // so the oracle's per-edge Kruskal cut rule (endpoint not
+    // reachable through strictly-lighter edges, one product-space
+    // recursive CTE) lands on the identical edge set.
+    "q_msf" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o2 = col("l_orderkey") * 2
+      val p2 = col("l_partkey") * 2 + 1
+      val e = li
+        .filter(col("l_orderkey") % 20 === 0 && col("l_partkey") % 5 === 0)
+        .select(least(o2, p2).as("src"), greatest(o2, p2).as("dst"))
+        .withColumn("weight",
+          (col("src") * 7 + col("dst") * 13) % 1000 + 1)
+      SpanningForest.boruvka(e).orderBy("src", "dst")
     }),
 
     // Connected components by min-label propagation on the
@@ -571,6 +661,16 @@ object SparkEntry {
     // embeddings; spec-measured).
     "q_ann_pq_rerank" -> ((s, dir) => {
       Similarity.pqTopKReranked(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // IVF-PQ (the FAISS IVFPQ shape, completing the ANN matrix:
+    // flat/SQ8/PQ × flat/IVF): coarse full-precision centroid
+    // assignment prunes to nprobe clusters; the fine stage scores
+    // only those candidates by 32-bit-code asymmetric distance.
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id",
           "embedding", dim = 64)
         .orderBy("vec_id", "rank")
     }),
@@ -1520,6 +1620,52 @@ object SparkEntry {
           SampleRates.toMap, SampleDefaultPct)
         .select(col("doc_id"), col("lang"), col("sampled"))
         .orderBy("doc_id")
+    }),
+
+    // Fixed-SIZE deterministic sampling (bottom-k by hash priority):
+    // exactly 5 docs per language, a pure function of row identity —
+    // the bounded TopKBySim aggregate (|strata|·k exchange rows at
+    // any corpus size), where stratifiedSample's Bernoulli rate gives
+    // a variable-size sample.
+    "q_priority_sample" -> ((s, dir) => {
+      CorpusOps.prioritySample(t(s, dir, "documents"), "doc_id", "lang", 5)
+        .select(col("stratum").as("lang"), col("rank"),
+          col("id").as("doc_id"), col("priority"))
+        .orderBy("lang", "rank")
+    }),
+
+    // Mergeable histogram-sketch quantiles (the quantile member of
+    // the deterministic sketch family): 512-bucket integer histogram
+    // per returnflag over price cents; p50/p95 = first bucket whose
+    // running count reaches the rank; the one-bucket-width error
+    // bound require-enforced in-face against the exact discrete
+    // quantile, and BOTH est and exact hash-gated.
+    "q_hist_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          // double cents -> long by TRUNCATION (positive, so == floor;
+          // the oracle replays with floor() — DuckDB's bare
+          // double->bigint CAST rounds, Spark's truncates)
+          (col("l_extendedprice") * 100).cast("long").as("cents"))
+      val sk = Profile.histogramQuantiles(li, "cents", "l_returnflag")
+      // exact discrete quantiles (value at rank ⌈p·n/100⌉) — the
+      // holistic baseline; deliberately the full-sort shape the
+      // sketch replaces, run here to CHECK the sketch's bound
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      val exact = li.withColumn("rn", row_number().over(w))
+        .join(sk.select(col("l_returnflag"), col("n")), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(when(col("rn") * 100L >= col("n") * 50L, col("cents")))
+            .as("d50"),
+          min(when(col("rn") * 100L >= col("n") * 95L, col("cents")))
+            .as("d95"))
+      sk.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n"), col("lo"), col("hi"),
+          col("width"), col("q50"), col("q95"), col("d50"), col("d95"),
+          (abs(col("q50") - col("d50")) < col("width")).as("ok50"),
+          (abs(col("q95") - col("d95")) < col("width")).as("ok95"))
+        .orderBy("l_returnflag")
     }),
 
     // Corpus document frequency (the IDF input): per-token doc counts
@@ -2893,6 +3039,10 @@ object SparkEntry {
     // deterministic-HLL sketch replay — see neighborhoodOracleSql
     "q_neighborhood_fn" -> neighborhoodOracleSql(2),
 
+    // per-round sketch sums + the 90%-coverage pick — see
+    // effectiveDiameterOracleSql (same materialized rounds)
+    "q_effective_diameter" -> effectiveDiameterOracleSql(6),
+
     // two recursive-CTE BFS maps + per-row harmonic arithmetic (pure
     // IEEE division in a fixed order — bit-identical across engines)
     "q_closeness_sample" ->
@@ -2958,6 +3108,35 @@ object SparkEntry {
          |        CAST(row_number() OVER (PARTITION BY vec_id
          |               ORDER BY dist, neighbor_id) AS INT) AS rank
          |      FROM rer)
+         |SELECT vec_id, rank, neighbor_id, dist FROM r
+         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin),
+
+    // IVF-PQ: the q_ann_ivf coarse CTEs (cents/asg/idx/probes over
+    // the same nv base) restrict the PQ adc pair stream to
+    // cluster-local candidates; ranking stays integer ADC L2² asc
+    "q_ann_ivf_pq" -> (pqOraclePrefix + s""",
+         |${centsSql()},
+         |asg AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY csim DESC, cid) AS crank
+         |  FROM (SELECT v.vec_id, c.cid,
+         |          ${cosineQSql("v.qe", "c.cqe", "v.nn", "c.cnn")} AS csim
+         |        FROM nv v CROSS JOIN cents c)),
+         |idx AS (SELECT vec_id AS neighbor_id, cid AS cluster
+         |        FROM asg WHERE crank = 1),
+         |probes AS (SELECT vec_id, cid AS cluster
+         |           FROM asg WHERE crank <= 3),
+         |p AS (
+         |  SELECT ad.vec_id, ad.neighbor_id, ad.dist
+         |  FROM adc ad
+         |  JOIN probes pr ON pr.vec_id = ad.vec_id
+         |  JOIN idx ix ON ix.neighbor_id = ad.neighbor_id
+         |             AND ix.cluster = pr.cluster),
+         |r AS (SELECT vec_id, neighbor_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY vec_id
+         |               ORDER BY dist, neighbor_id) AS INT) AS rank
+         |      FROM p)
          |SELECT vec_id, rank, neighbor_id, dist FROM r
          |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin),
 
@@ -4067,6 +4246,37 @@ object SparkEntry {
          |)
          |SELECT id, min(dist) AS dist FROM bfs GROUP BY id ORDER BY id""".stripMargin,
 
+    // Kruskal's cut rule per edge: with the strict total order
+    // (w, src, dst), e is in THE unique MSF iff its endpoints are not
+    // connected using strictly-smaller edges — replayed as one
+    // product-space reachability CTE (state (edge_rank, vertex):
+    // vertices reachable from e.src through edges ranked below e).
+    // Bounded by construction: the face's subgraph keeps components
+    // small, so |state| ≈ Σ|component(e)| — never |V|·|E|.
+    "q_msf" ->
+      """WITH RECURSIVE
+        |eraw AS (
+        |  SELECT DISTINCT least(l_orderkey*2, l_partkey*2+1) AS src,
+        |         greatest(l_orderkey*2, l_partkey*2+1) AS dst
+        |  FROM lineitem
+        |  WHERE l_orderkey % 20 = 0 AND l_partkey % 5 = 0),
+        |e AS (
+        |  SELECT src, dst, (src*7 + dst*13) % 1000 + 1 AS w,
+        |         row_number() OVER (
+        |           ORDER BY (src*7 + dst*13) % 1000 + 1, src, dst) AS rk
+        |  FROM eraw),
+        |reach(ek, v) AS (
+        |  SELECT rk, src FROM e
+        |  UNION
+        |  SELECT r.ek, CASE WHEN x.src = r.v THEN x.dst ELSE x.src END
+        |  FROM reach r JOIN e x
+        |    ON x.rk < r.ek AND (x.src = r.v OR x.dst = r.v)
+        |)
+        |SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS weight FROM e
+        |LEFT JOIN reach r ON r.ek = e.rk AND r.v = e.dst
+        |WHERE r.v IS NULL
+        |ORDER BY e.src, e.dst""".stripMargin,
+
     "q_connected_components" ->
       """WITH RECURSIVE oedges(src, dst) AS (
         |  SELECT o_custkey*2, o_orderkey*2+1 FROM orders
@@ -4112,6 +4322,61 @@ object SparkEntry {
          |  ${rhSql("CAST(doc_id AS VARCHAR)")} % 100 < ($sampleCaseSql)
          |    AS sampled
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // bottom-k replayed as the window the operator's bounded
+    // aggregate REPLACES: rank by (priority, id) per stratum
+    "q_priority_sample" ->
+      s"""WITH h AS (SELECT lang, doc_id,
+         |  ${rhSql("CAST(doc_id AS VARCHAR)")} AS priority FROM documents),
+         |r AS (SELECT lang, doc_id, priority,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY priority, doc_id) AS INT) AS rank
+         |      FROM h)
+         |SELECT lang, rank, doc_id, priority FROM r
+         |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    // full histogram-sketch replay: same integer width/bucket/rank
+    // arithmetic (floor for the double->cents truncation — DuckDB's
+    // bare CAST rounds where Spark's truncates), plus the exact
+    // discrete quantiles and the one-width error flags (predicted
+    // true — a drifting sketch flips a boolean and fails the hash)
+    "q_hist_quantiles" ->
+      """WITH v AS (SELECT l_returnflag,
+        |             CAST(floor(l_extendedprice*100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |s AS (SELECT l_returnflag, min(cents) AS lo, max(cents) AS hi,
+        |             count(*) AS n,
+        |             (max(cents)-min(cents)+1+511)//512 AS width
+        |      FROM v GROUP BY l_returnflag),
+        |b AS (SELECT v.l_returnflag, (v.cents - s.lo)//s.width AS bucket,
+        |             count(*) AS c
+        |      FROM v JOIN s USING (l_returnflag)
+        |      GROUP BY v.l_returnflag, (v.cents - s.lo)//s.width),
+        |cum AS (SELECT l_returnflag, bucket,
+        |          sum(c) OVER (PARTITION BY l_returnflag
+        |            ORDER BY bucket) AS cum
+        |        FROM b),
+        |q AS (SELECT c.l_returnflag,
+        |        min(CASE WHEN c.cum*100 >= s.n*50 THEN c.bucket END) AS b50,
+        |        min(CASE WHEN c.cum*100 >= s.n*95 THEN c.bucket END) AS b95
+        |      FROM cum c JOIN s USING (l_returnflag)
+        |      GROUP BY c.l_returnflag),
+        |d AS (SELECT l_returnflag,
+        |        min(CASE WHEN rn*100 >= n*50 THEN cents END) AS d50,
+        |        min(CASE WHEN rn*100 >= n*95 THEN cents END) AS d95
+        |      FROM (SELECT v.l_returnflag, v.cents, s.n,
+        |              row_number() OVER (PARTITION BY v.l_returnflag
+        |                ORDER BY v.cents) AS rn
+        |            FROM v JOIN s USING (l_returnflag))
+        |      GROUP BY l_returnflag)
+        |SELECT s.l_returnflag, s.n, s.lo, s.hi, s.width,
+        |       s.lo + (q.b50+1)*s.width - 1 AS q50,
+        |       s.lo + (q.b95+1)*s.width - 1 AS q95,
+        |       d.d50, d.d95,
+        |       abs(s.lo + (q.b50+1)*s.width - 1 - d.d50) < s.width AS ok50,
+        |       abs(s.lo + (q.b95+1)*s.width - 1 - d.d95) < s.width AS ok95
+        |FROM s JOIN q USING (l_returnflag) JOIN d USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     // per-source rollup of the shared quality CTE; mean quality summed
     // as floor(q·10⁹) BIGINTs (order-free, mirroring the fixed-point

@@ -629,6 +629,41 @@ object CorpusOps extends CachePinning {
     df.withColumn("sampled", bucket < pct)
   }
 
+  /** Fixed-SIZE deterministic per-stratum sample — bottom-k by hash
+    * priority. [[stratifiedSample]]'s Bernoulli keep-rate yields a
+    * VARIABLE-size sample (fine for corpus mixing); an eval set or a
+    * debugging slice needs exactly-k-per-stratum. Keeping the k rows
+    * with the SMALLEST rolling-hash priority (ties by id) gives that
+    * while staying a pure function of row identity: no RNG, engines
+    * agree bit-for-bit, and growing the stratum only ever DISPLACES
+    * members by priority (the bottom-k sketch property — this is
+    * consistent/priority sampling, the same idea as MinHash's
+    * bottom-k signature).
+    *
+    * Scale: the bounded [[graft.functions.TopKBySim]] aggregate, not
+    * a window — k-element buffer per stratum, map-side combine, the
+    * exchange carries |strata|·k rows regardless of corpus size (a
+    * `row_number() OVER (PARTITION BY stratum ORDER BY hash)` would
+    * shuffle and sort the full corpus).
+    *
+    * Output: (stratum, rank 1..k, id, priority), rank by
+    * (priority asc, id asc). Priorities are < 2^30 (the rolling-hash
+    * modulus), so the aggregate's double sim channel is exact. */
+  def prioritySample(df: DataFrame, idCol: String, strataCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    val pr = TextAnalysis.rollingHash(col(idCol).cast("string"))
+    df.select(col(strataCol).as("stratum"), col(idCol).cast("long").as("id"),
+        pr.as("priority"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.TopKBySim.top_k_by_sim(
+        -col("priority").cast("double"), col("id"), k).as("tk"))
+      .select(col("stratum"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("stratum"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.neighbor_id").as("id"),
+        (-col("e.sim")).cast("long").as("priority"))
+  }
+
   /** Fixed-point scale for order-free quality aggregation (the
     * [[PageRank]] trick: a double sum drifts with partition order; a
     * long sum of floor(q·10⁹) is exact and byte-stable). */

@@ -76,4 +76,62 @@ object Profile {
             .as("violations"))
         .select(lit(name).as("rule"), col("checked"), col("violations"))
     }.reduce(_ unionByName _).orderBy("rule")
+
+  /** Histogram-sketch quantiles — the MERGEABLE quantile member of
+    * the deterministic sketch family ([[CountMin]] = frequencies,
+    * HyperBall registers = cardinality): per group, a `buckets`-cell
+    * equi-width integer histogram over `valueCol` (a LONG), then
+    * quantile p = the upper edge of the first bucket whose running
+    * count reaches ⌈p·n/100⌉. All arithmetic integral, so estimates
+    * are bit-reproducible and any engine replays them — the SQ8
+    * discipline: quantize the ALGORITHM, keep the gate exact. Error
+    * is bounded by one bucket width ⌈span/buckets⌉ (the guarantee the
+    * face require-enforces against the exact discrete quantile).
+    *
+    * Scale: pass 1 computes per-group (min, max, n) — |groups| rows;
+    * pass 2 aggregates counts per (group, bucket) — the exchange
+    * carries ≤ |groups|·buckets rows at ANY data size, and partials
+    * merge by addition across partitions/days/shards. Compare the
+    * exact holistic quantile, which must shuffle and sort the full
+    * column. Spark's own approx_percentile is the production default
+    * ([[graft.SparkEntry]] q_sketch_stats); THIS shape exists for
+    * the cross-engine-reproducible case (an estimate the oracle can
+    * replay exactly, e.g. audit pipelines that pin outputs).
+    *
+    * Output: (group, n, lo, hi, width, q<p> per requested p). */
+  def histogramQuantiles(df: DataFrame, valueCol: String,
+                         groupCol: String, buckets: Int = 512,
+                         ps: Seq[Int] = Seq(50, 95)): DataFrame = {
+    require(buckets > 0 && ps.nonEmpty && ps.forall(p => p > 0 && p <= 100),
+      s"invalid buckets=$buckets / ps=$ps")
+    val v = col(valueCol).cast("long")
+    val stats = df.filter(v.isNotNull).groupBy(col(groupCol))
+      .agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n"))
+      // integer ceil: (span + buckets - 1) div buckets
+      .withColumn("width",
+        expr(s"(hi - lo + 1 + ${buckets - 1}) div $buckets"))
+    // bucket index by integer division of the offset — stays in
+    // [0, buckets) by the ceil-width construction
+    val bucketed = df.filter(v.isNotNull).select(col(groupCol), v.as("v"))
+      .join(stats.select(col(groupCol), col("lo"), col("width")), Seq(groupCol))
+      .groupBy(col(groupCol), expr("(v - lo) div width").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val cum = bucketed
+      .withColumn("cum", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(col("bucket"))))
+    val qCols = ps.map { p =>
+      // first bucket whose running count reaches ceil(p*n/100):
+      // min bucket among those with cum >= rank
+      min(when(col("cum") * 100L >= col("n") * p, col("bucket")))
+        .as(s"b$p")
+    }
+    cum.join(stats, Seq(groupCol))
+      .groupBy(col(groupCol), col("n"), col("lo"), col("hi"), col("width"))
+      .agg(qCols.head, qCols.tail: _*)
+      .select(Seq(col(groupCol), col("n"), col("lo"), col("hi"),
+        col("width")) ++
+        ps.map(p => (col("lo") + (col(s"b$p") + 1L) * col("width") - 1L)
+          .as(s"q$p")): _*)
+  }
 }

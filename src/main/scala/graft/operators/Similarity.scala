@@ -222,11 +222,75 @@ object Similarity extends CachePinning {
         (-col("sim")).cast("long").as("dist"))
   }
 
+  /** IVF-PQ — the two scale levers composed the way FAISS's IVFPQ
+    * does: the COARSE stage assigns every vector to its nearest
+    * centroid in full quantized precision and queries probe their
+    * `nprobe` nearest clusters (exactly [[ivfTopK]]'s structure); the
+    * FINE stage scores only the probed clusters' candidates by PQ
+    * asymmetric distance — per pair m LUT lookups against 32-bit
+    * codes, no vector arithmetic. At 100 TB: IVF prunes the candidate
+    * set to nprobe clusters, PQ shrinks every candidate touched to 32
+    * bits — the index that fits where even SQ8 doesn't. (No residual
+    * encoding: codes quantize the raw vectors, not centroid
+    * residuals — documented simplification; residuals would break
+    * the shared-codebook determinism the oracle replays.)
+    *
+    * Ranking: integer ADC L2² asc, neighbor id tie-break — the
+    * [[pqTopK]] contract restricted to IVF candidates; hash-exact by
+    * the same construction. */
+  def ivfPqTopK(df: DataFrame, idCol: String, embCol: String, dim: Int,
+                k: Int = 5, m: Int = PqSubvectors,
+                ksub: Int = PqSubCentroids,
+                seeding: CentroidSeeding = HashSampledCentroids(),
+                nprobe: Int = 3): DataFrame = {
+    val (base, codes, luts) = pqCodesAndLuts(df, idCol, embCol, dim, m, ksub)
+    val ranked = ivfAssignmentOverBase(base, seeding, nprobe)
+    val (index, probes) = ivfIndexAndProbes(ranked)
+    // candidate pairs cluster-locally: each candidate lives in ONE
+    // home cluster, so a (query, candidate) pair arises at most once
+    val cand = probes.select(col("cluster"), col("vec_id"))
+      .join(index.select(col("cluster"), col("neighbor_id")), Seq("cluster"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+    val pairs = cand.join(luts, Seq("vec_id"))
+      .join(broadcast(codes.select(col("vec_id").as("neighbor_id"),
+        col("codes"))), Seq("neighbor_id"))
+      .withColumn("dist", adcDist(m, ksub))
+    explodeRanked(pairs.groupBy(col("vec_id"))
+      .agg(TopKBySim.top_k_by_sim(-col("dist").cast("double"),
+        col("neighbor_id"), k).as("tk")))
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        (-col("sim")).cast("long").as("dist"))
+  }
+
+  /** ADC distance for one (lut, codes) pair row: Σ_s LUT[s·ksub +
+    * code_s] — m codegen'd element_at lookups. */
+  private def adcDist(m: Int, ksub: Int): org.apache.spark.sql.Column =
+    (0 until m).map(s =>
+        element_at(col("lut"),
+          (element_at(col("codes"), s + 1) + lit(s * ksub) + 1)
+            .cast("int")))
+      .reduce(_ + _)
+
   /** Shared PQ machinery: codebooks, encoding, query LUTs, and the
     * ADC pair stream — returns (pinned base, pairs-with-dist). */
   private def pqAdcPairs(df: DataFrame, idCol: String, embCol: String,
                          dim: Int, m: Int,
                          ksub: Int): (DataFrame, DataFrame) = {
+    val (base, codes, luts) = pqCodesAndLuts(df, idCol, embCol, dim, m, ksub)
+    val pairs = luts.join(
+        broadcast(codes.select(col("vec_id").as("neighbor_id"),
+          col("codes"))),
+        col("vec_id") =!= col("neighbor_id"))
+      .withColumn("dist", adcDist(m, ksub))
+    (base, pairs)
+  }
+
+  /** PQ codebooks/encoding/LUTs shared by the flat and IVF searchers:
+    * returns (pinned quantized base, per-vector codes, per-query
+    * LUTs). */
+  private def pqCodesAndLuts(df: DataFrame, idCol: String, embCol: String,
+                             dim: Int, m: Int,
+                             ksub: Int): (DataFrame, DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim not divisible by $m subvectors")
     val sub = dim / m
     val base = pin(quantized(df, idCol, embCol))
@@ -273,19 +337,10 @@ object Similarity extends CachePinning {
       .groupBy(col("vec_id"))
       .agg(transform(sort_array(collect_list(struct(col("s"), col("cidx"),
         col("d2")))), x => x.getField("d2")).as("lut"))
-    // ADC: query LUT rows × broadcast candidate codes (n rows of
-    // 32-bit codes — the compressed index IS the broadcast), m
-    // element_at lookups per pair
-    val pairs = luts.join(
-        broadcast(codes.select(col("vec_id").as("neighbor_id"),
-          col("codes"))),
-        col("vec_id") =!= col("neighbor_id"))
-      .withColumn("dist", (0 until m).map(s =>
-          element_at(col("lut"),
-            (element_at(col("codes"), s + 1) + lit(s * ksub) + 1)
-              .cast("int")))
-        .reduce(_ + _))
-    (base, pairs)
+    // ADC consumers: query LUT rows × broadcast candidate codes (n
+    // rows of 32-bit codes — the compressed index IS the broadcast),
+    // m element_at lookups per pair
+    (base, codes, luts)
   }
 
   /** Per-vector int8 scalar quantization (the FAISS-style SQ8 shape):

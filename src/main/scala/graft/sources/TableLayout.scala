@@ -813,16 +813,20 @@ object TableLayout {
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         .split("\n").filter(_.nonEmpty)).toSet
     val dataDir = java.nio.file.Paths.get(tableDir, "data")
-    var deleted = 0
-    java.nio.file.Files.walk(dataDir).filter(
-        java.nio.file.Files.isRegularFile(_))
-      .forEach { p =>
-        if (!live.contains(p.toAbsolutePath.toString)) {
-          java.nio.file.Files.delete(p); deleted += 1
-        }
-      }
+    // materialize the listing before deleting (mutating a directory
+    // under a live Files.walk stream is unspecified), and close the
+    // stream deterministically
+    val walk = java.nio.file.Files.walk(dataDir)
+    val dead = try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filterNot(p => live.contains(p.toAbsolutePath.toString))
+        .toVector
+    } finally walk.close()
+    dead.foreach(java.nio.file.Files.delete(_))
     expired.foreach(f => java.nio.file.Files.delete(f.toPath))
-    (deleted, expired.length)
+    (dead.length, expired.length)
   }
 
   /** Gate face: manifest VACUUM end-to-end.

@@ -244,12 +244,11 @@ object StreamHarness {
       spark.catalog.dropTempView(name)
       out
     } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(p))
-          Files.list(p).forEach(rm(_))
-        Files.deleteIfExists(p)
-      }
-      rm(root)
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 

@@ -319,4 +319,39 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(out(s)._3 - serial) < 1e-12, s"mean drift for $s")
     }
   }
+
+  /** Serial twin of the rolling hash for id strings. */
+  private def rh(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % graft.operators.Dedup.P)
+
+  test("prioritySample: exactly min(k, |stratum|) rows, bottom-k by " +
+      "(hash, id), and growth only DISPLACES (never reshuffles)") {
+    import spark.implicits._
+    val a = (1L to 40L).map(i => (i, if (i % 3 == 0) "x" else "y")) ++
+      Seq((100L, "z")) // stratum smaller than k
+    val df = a.toDF("doc_id", "lang")
+    val got = graft.operators.CorpusOps
+      .prioritySample(df, "doc_id", "lang", 5)
+      .as[(String, Int, Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((stratum, members) <- a.groupBy(_._2)) {
+      val expect = members.map(_._1).sortBy(id => (rh(id.toString), id)).take(5)
+      val g = got(stratum)
+      assert(g.map(_._3) == expect, s"stratum $stratum")
+      assert(g.map(_._4) == expect.map(id => rh(id.toString)), s"$stratum priorities")
+      assert(g.map(_._2) == (1 to g.size), s"$stratum ranks")
+    }
+    assert(got("z").size == 1) // min(k, |stratum|)
+    // growth property: doubling the corpus keeps each retained member
+    // of the old sample iff it still wins on priority — the new sample
+    // is the bottom-k of the UNION, never a reshuffle
+    val b = a ++ (41L to 80L).map(i => (i, if (i % 3 == 0) "x" else "y"))
+    val got2 = graft.operators.CorpusOps
+      .prioritySample(b.toDF("doc_id", "lang"), "doc_id", "lang", 5)
+      .as[(String, Int, Long, Long)].collect().toSeq.groupBy(_._1)
+    for ((stratum, members) <- b.groupBy(_._2)) {
+      val expect = members.map(_._1).sortBy(id => (rh(id.toString), id)).take(5)
+      assert(got2(stratum).sortBy(_._2).map(_._3) == expect, s"grown $stratum")
+    }
+  }
 }

@@ -47,4 +47,30 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
       ("fk_orphans", 3L, 1L),
       ("neg_ids", 3L, 0L)))
   }
+
+  test("histogramQuantiles: estimate within one bucket width of the " +
+      "exact discrete quantile on random data; exact when width is 1") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map(_ => ("a", rnd.nextLong(1000000L))) ++
+      (1 to 300).map(_ => ("b", rnd.nextLong(200L))) ++ // narrow: width 1
+      Seq(("c", 7L)) // single-row group
+    val df = rows.toDF("g", "v")
+    val got = graft.operators.Profile
+      .histogramQuantiles(df, "v", "g", buckets = 512, ps = Seq(50, 95))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((g, vs) <- rows.groupBy(_._1)) {
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      def disc(p: Int): Long = sorted((n * p + 99) / 100 - 1)
+      val r = got(g)
+      val width = r.getLong(4)
+      assert(math.abs(r.getLong(5) - disc(50)) < width, s"$g p50")
+      assert(math.abs(r.getLong(6) - disc(95)) < width, s"$g p95")
+      if (width == 1L) { // bucket == value: the sketch is exact
+        assert(r.getLong(5) == disc(50) && r.getLong(6) == disc(95), g)
+      }
+    }
+    // single-row group: lo == hi == both quantiles
+    assert(got("c").getLong(5) == 7L && got("c").getLong(6) == 7L)
+  }
 }

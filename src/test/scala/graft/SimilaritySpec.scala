@@ -372,4 +372,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
           assert(d == want, s"pair ($v,$n): emitted $d, exact L2^2 $want")
       }
   }
+
+  test("ivfPqTopK: a subset of the flat PQ ranking (IVF only prunes " +
+      "candidates), deterministic, and cluster-locally consistent") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val flat = Similarity.pqTopK(emb, "vec_id", "embedding", dim = 64,
+        k = 1000) // >= |vectors| at sf0.001: the FULL ADC ranking
+      .select("vec_id", "neighbor_id", "dist")
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, n, d) => (v, n) -> d }.toMap
+    val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding", dim = 64)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(ivfpq.nonEmpty)
+    // every emitted pair carries the IDENTICAL ADC distance the flat
+    // scan assigns — IVF restricts the candidate set, never the math
+    ivfpq.foreach { case (v, _, n, d) =>
+      assert(flat((v, n)) == d, s"($v,$n): ivfpq $d != flat ${flat((v, n))}")
+    }
+    // determinism across runs
+    val again = Similarity.ivfPqTopK(emb, "vec_id", "embedding", dim = 64)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(ivfpq.sorted == again.sorted)
+    // pruning is real on this data: at least one query's IVF-PQ top-5
+    // differs from the flat PQ top-5 (otherwise the face would be
+    // indistinguishable from q_ann_pq and prove nothing)
+    val flatTop = Similarity.pqTopK(emb, "vec_id", "embedding", dim = 64)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfTop = ivfpq.map { case (v, _, n, _) => (v, n) }.toSet
+    assert(ivfTop != flatTop, "IVF probing pruned nothing — face degenerate")
+  }
 }
