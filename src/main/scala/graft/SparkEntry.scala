@@ -1008,6 +1008,25 @@ object SparkEntry {
         .orderBy("event_id", "v_ts")
     }),
 
+    // Stream-stream FULL OUTER interval join — the join matrix
+    // completed: unmatched purchases null-extend the view side AND
+    // unattributed views null-extend the purchase side, both
+    // watermark-gated; compared on the both-sides-decided region
+    // (max_ts − delay − window − 1s). Null keys/timestamps coalesce
+    // to sentinels on BOTH sides so the hash compare is
+    // dtype-stable.
+    "q_streaming_full_join" -> ((s, dir) => {
+      StreamHarness.boundedAttributionFull(s, dir)
+        .select(coalesce(col("event_id"), lit(-1L)).as("event_id"),
+          col("user_id"),
+          coalesce(col("p_ts"), timestamp_micros(lit(0L))).as("p_ts"),
+          coalesce(col("v_ts"), timestamp_micros(lit(0L))).as("v_ts"),
+          col("p_ts").isNotNull.cast("long").as("has_p"),
+          col("v_ts").isNotNull.cast("long").as("has_v"),
+          col("value"))
+        .orderBy("user_id", "event_id", "p_ts", "v_ts")
+    }),
+
     // Stream-static enrichment: streaming views pick up a static
     // per-user purchase-LTV dimension (broadcast per micro-batch).
     "q_streaming_enrich" -> ((s, dir) => {
@@ -4136,14 +4155,20 @@ object SparkEntry {
         |ORDER BY p.event_id, v.ts""".stripMargin,
 
     // LEFT OUTER face of the same interval join, restricted to the
-    // watermark-decided region (cutoff = max(ts) - delay(600s) -
-    // window(3600s) - 1s margin — see boundedAttributionOuter);
-    // unmatched rows carry the epoch-0 sentinel + matched=0
+    // watermark-decided region. The watermark is the MIN across the
+    // two filtered branches' watermark nodes (each tracks ITS OWN max
+    // ts − delay), so the cutoff basis is the smaller of the per-type
+    // maxima, not the overall max: p_ts <= wm − 1s — see
+    // boundedAttributionOuter. Unmatched rows carry the epoch-0
+    // sentinel + matched=0.
     "q_streaming_left_join" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |                  value, event_type FROM events),
         |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
-        |v AS (SELECT user_id, ts, value FROM e WHERE event_type = 'view')
+        |v AS (SELECT user_id, ts, value FROM e WHERE event_type = 'view'),
+        |w AS (SELECT min(m) - 600000000 AS wm FROM (
+        |        SELECT max(epoch_us(ts)) AS m FROM p
+        |        UNION ALL SELECT max(epoch_us(ts)) FROM v))
         |SELECT p.event_id, p.user_id, p.ts AS p_ts,
         |       COALESCE(v.ts, TIMESTAMP '1970-01-01 00:00:00') AS v_ts,
         |       CAST(CASE WHEN v.ts IS NULL THEN 0 ELSE 1 END AS BIGINT)
@@ -4152,10 +4177,41 @@ object SparkEntry {
         |FROM p LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.ts < p.ts
         | AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000
-        |WHERE epoch_us(p.ts) <=
-        |      (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
-        |      - 4201000000
+        |WHERE epoch_us(p.ts) <= (SELECT wm FROM w) - 1000000
         |ORDER BY p.event_id, v_ts""".stripMargin,
+
+    // batch FULL join on the same strict interval, restricted to the
+    // per-side decided regions (wm = min of the two branches' max ts
+    // − delay; purchase side decided at p_ts <= wm − 1s, view side at
+    // v_ts <= wm − window − 1s — the engine's measured state-eviction
+    // bounds, see boundedAttributionFull); sentinel coalescing
+    // mirrors the face
+    "q_streaming_full_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  value, event_type FROM events),
+        |p AS (SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, value FROM e WHERE event_type = 'view'),
+        |j AS (SELECT p.event_id, COALESCE(p.user_id, v.user_id) AS user_id,
+        |             p.ts AS p_ts, v.ts AS v_ts, v.value
+        |      FROM p FULL JOIN v
+        |        ON p.user_id = v.user_id AND v.ts < p.ts
+        |       AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000),
+        |w AS (SELECT min(m) - 600000000 AS wm FROM (
+        |        SELECT max(epoch_us(ts)) AS m FROM p
+        |        UNION ALL SELECT max(epoch_us(ts)) FROM v))
+        |SELECT COALESCE(event_id, -1) AS event_id, user_id,
+        |       COALESCE(p_ts, TIMESTAMP '1970-01-01 00:00:00') AS p_ts,
+        |       COALESCE(v_ts, TIMESTAMP '1970-01-01 00:00:00') AS v_ts,
+        |       CAST(CASE WHEN p_ts IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |         AS has_p,
+        |       CAST(CASE WHEN v_ts IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |         AS has_v,
+        |       value
+        |FROM j, w
+        |WHERE (p_ts IS NOT NULL AND epoch_us(p_ts) <= wm - 1000000)
+        |   OR (p_ts IS NULL AND
+        |       epoch_us(v_ts) <= wm - 3600000000 - 1000000)
+        |ORDER BY user_id, event_id, p_ts, v_ts""".stripMargin,
 
     // batch sessions restricted to the watermark-closed region the
     // bounded stream provably emitted: session_end + gap(6h) + 1s

@@ -295,7 +295,10 @@ object EventStream extends Serializable {
     p.join(v, col("p_user") === col("v_user") &&
         col("v_ts") < col("p_ts") &&
         col("v_ts") > col("p_ts") - expr(s"INTERVAL $windowDur"), joinType)
-      .select(col("event_id"), col("p_user").as("user_id"),
+      // coalesce is a no-op for inner/left (p_user never null there);
+      // for full_outer it keeps the user on view-only rows
+      .select(col("event_id"),
+        coalesce(col("p_user"), col("v_user")).as("user_id"),
         col("p_ts"), col("v_ts"), col("value"))
   }
 

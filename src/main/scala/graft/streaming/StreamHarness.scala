@@ -744,6 +744,26 @@ object StreamHarness {
       "append")
   }
 
+  /** The final global watermark (µs) of the bounded attribution run.
+    *
+    * BOTH filtered branches of the events stream carry their own
+    * `withWatermark` node, and Spark's global watermark is the MIN
+    * across watermark nodes of (that node's max event time − delay) —
+    * NOT `max(all ts) − delay`. The purchase branch's max ts trails
+    * the view branch's by ~32 min at sf0.01, so deriving the decided
+    * region from the overall max silently over-claims by that gap
+    * (measured: two view-side null-extensions the engine correctly
+    * withheld, because its watermark was 30 min lower than the naive
+    * formula assumed). */
+  def attributionWatermarkUs(spark: SparkSession, dir: String,
+                             delaySec: Long): Long = {
+    val perSide = EventStream.eventsTable(spark, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy("event_type").agg(max(unix_micros(col("ts"))).as("m"))
+      .agg(min(col("m"))).head().getLong(0)
+    perSide - delaySec * 1000000L
+  }
+
   /** Stream-stream LEFT OUTER interval join, drained bounded, then
     * restricted to the watermark-closed region. The outer face is the
     * one a real attribution pipeline runs — purchases with NO
@@ -754,15 +774,13 @@ object StreamHarness {
     * watermark passes `p_ts` (no admissible view can then satisfy
     * `v_ts < p_ts` — see [[EventStream.streamAttribution]]), which for
     * the bounded run happens in the trailing no-data batch at the
-    * final watermark `max(ts) - delay`. Purchases above that watermark
-    * never learn their outer fate, so — exactly like
-    * [[boundedSessions]] — the face compares a provably-decided
-    * region, applied identically to the batch oracle:
-    * `p_ts <= max(ts) - delay - window - 1s`. The extra `window`
-    * subtraction makes the cutoff robust to the engine's state-
-    * watermark derivation being conservative by up to the join window
-    * (the eviction bound Spark derives from the two-sided interval
-    * condition); the 1 s margin covers the watermark's ms rounding. */
+    * final watermark wm = [[attributionWatermarkUs]]. The compared
+    * region is the provably-decided `p_ts <= wm − 1s`, applied
+    * identically to the batch oracle: a MemoryStream probe (dense
+    * unmatched purchases, single view driving the watermark) measured
+    * the engine's purchase-state eviction at exactly `p_ts <= wm` —
+    * the bound Spark derives from the `v_ts < p_ts` inequality — and
+    * the 1 s margin covers the watermark's ms flooring. */
   def boundedAttributionOuter(spark: SparkSession, dir: String,
                               delaySec: Long = 600,
                               windowSec: Long = 3600): DataFrame = {
@@ -774,10 +792,44 @@ object StreamHarness {
         watermarkDelay = s"$delaySec seconds",
         joinType = "left_outer"),
       "append", awaitNoDataBatch = true)
-    val maxUs = EventStream.eventsTable(spark, dir)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val cutoffUs = maxUs - (delaySec + windowSec + 1) * 1000000L
+    val cutoffUs = attributionWatermarkUs(spark, dir, delaySec) - 1000000L
     joined.filter(unix_micros(col("p_ts")) <= cutoffUs)
+  }
+
+  /** Stream-stream FULL OUTER interval join — completing the
+    * streaming join matrix (inner / left_outer / full_outer /
+    * stream-static): purchases with no qualifying view null-extend on
+    * the view side (the left face), AND views that attributed no
+    * purchase null-extend on the purchase side — the "unattributed
+    * inventory" rows an attribution pipeline audits. The two
+    * null-extensions have DIFFERENT decision bounds, both measured
+    * with a MemoryStream probe against wm =
+    * [[attributionWatermarkUs]]:
+    *  - purchase side: emitted once `p_ts <= wm` (from `v_ts < p_ts`
+    *    no later view can match);
+    *  - view side: emitted once `v_ts <= wm − window` (a view at
+    *    v_ts can match purchases up to `v_ts + window`, so its state
+    *    outlives it by the window — Spark's state-value watermark
+    *    from the `v_ts > p_ts − window` inequality).
+    * The compared region applies each bound to its own side, minus
+    * the 1 s ms-flooring margin, mirrored in the batch oracle. */
+  def boundedAttributionFull(spark: SparkSession, dir: String,
+                             delaySec: Long = 600,
+                             windowSec: Long = 3600): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val joined = runBounded(
+      EventStream.streamAttribution(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        watermarkDelay = s"$delaySec seconds",
+        joinType = "full_outer"),
+      "append", awaitNoDataBatch = true)
+    val wmUs = attributionWatermarkUs(spark, dir, delaySec)
+    val pCutUs = wmUs - 1000000L
+    val vCutUs = wmUs - windowSec * 1000000L - 1000000L
+    joined.filter(
+      (col("p_ts").isNotNull && unix_micros(col("p_ts")) <= pCutUs) ||
+      (col("p_ts").isNull && unix_micros(col("v_ts")) <= vCutUs))
   }
 
   /** Stream-static enrichment join — the remaining streaming join

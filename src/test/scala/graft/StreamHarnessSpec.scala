@@ -40,8 +40,10 @@ class StreamHarnessSpec extends AnyFunSuite with SparkTestBase {
   test("bounded stream-stream LEFT OUTER join == batch left join on the " +
       "decided region, and null-extends at least one purchase") {
     val ev = EventStream.eventsTable(spark, dir)
-    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val cutoffUs = maxUs - (600L + 3600L + 1L) * 1000000L
+    // wm basis = MIN of the per-branch maxima (each withWatermark node
+    // tracks its own max ts), not the overall max
+    val cutoffUs = StreamHarness.attributionWatermarkUs(spark, dir, 600L) -
+      1000000L
     val batch = EventStream.streamAttribution(
         ev.filter(col("event_type") === "purchase"),
         ev.filter(col("event_type") === "view"),
@@ -131,6 +133,37 @@ class StreamHarnessSpec extends AnyFunSuite with SparkTestBase {
     val streamed = StreamHarness.boundedEnrichment(spark, dir)
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("bounded stream-stream FULL OUTER join == batch full join on the " +
+      "decided region, null-extending BOTH sides") {
+    val ev = EventStream.eventsTable(spark, dir)
+    // per-side decision bounds (measured eviction semantics — see
+    // boundedAttributionFull): purchase side wm − 1s, view side
+    // wm − window − 1s
+    val wmUs = StreamHarness.attributionWatermarkUs(spark, dir, 600L)
+    val pCutUs = wmUs - 1000000L
+    val vCutUs = wmUs - 3600L * 1000000L - 1000000L
+    val batch = EventStream.streamAttribution(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        joinType = "full_outer")
+      .filter(
+        (col("p_ts").isNotNull && unix_micros(col("p_ts")) <= pCutUs) ||
+        (col("p_ts").isNull && unix_micros(col("v_ts")) <= vCutUs))
+    val streamed = StreamHarness.boundedAttributionFull(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.filter(col("v_ts").isNull).count() > 0,
+      "no view-side null-extension — full face adds nothing over inner")
+    assert(streamed.filter(col("p_ts").isNull).count() > 0,
+      "no purchase-side null-extension — full face adds nothing over left")
+    // the matched subset equals the inner face on the same region
+    val inner = StreamHarness.boundedAttribution(spark, dir)
+      .filter(unix_micros(col("p_ts")) <= pCutUs)
+    val matched = streamed.filter(col("p_ts").isNotNull && col("v_ts").isNotNull)
+    assert(matched.count() == inner.count())
+    assert(matched.exceptAll(inner).isEmpty && inner.exceptAll(matched).isEmpty)
   }
 
   test("watermark late-drop face == batch closed-window aggregate over " +
