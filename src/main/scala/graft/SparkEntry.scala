@@ -1027,6 +1027,17 @@ object SparkEntry {
         .orderBy("user_id", "event_id", "p_ts", "v_ts")
     }),
 
+    // TWO stateful operators chained in ONE streaming query:
+    // stream-stream interval join → windowed aggregation (attributed
+    // revenue per 30-min purchase window), append mode, one
+    // checkpoint. Compared on w_end <= wm − joinWindow − 1s — the
+    // watermark Spark propagates PAST the join to the agg (see
+    // boundedChainedAgg).
+    "q_streaming_chained_agg" -> ((s, dir) => {
+      StreamHarness.boundedChainedAgg(s, dir)
+        .orderBy("w_start")
+    }),
+
     // Stream-static enrichment: streaming views pick up a static
     // per-user purchase-LTV dimension (broadcast per micro-batch).
     "q_streaming_enrich" -> ((s, dir) => {
@@ -4212,6 +4223,34 @@ object SparkEntry {
         |   OR (p_ts IS NULL AND
         |       epoch_us(v_ts) <= wm - 3600000000 - 1000000)
         |ORDER BY user_id, event_id, p_ts, v_ts""".stripMargin,
+
+    // batch replay of the chained join→agg pipeline: same interval
+    // join, 30-min tumbling windows on p_ts (integer µs bucketing),
+    // decimal(18,6) sums, restricted to w_end <= wm − joinWindow − 1s
+    // (the watermark the agg sees after propagation past the join)
+    "q_streaming_chained_agg" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  value, event_type FROM events),
+        |p AS (SELECT user_id, ts FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, value FROM e WHERE event_type = 'view'),
+        |w AS (SELECT min(m) - 600000000 AS wm FROM (
+        |        SELECT max(epoch_us(ts)) AS m FROM p
+        |        UNION ALL SELECT max(epoch_us(ts)) FROM v)),
+        |j AS (SELECT p.ts AS p_ts, v.value
+        |      FROM p JOIN v
+        |        ON p.user_id = v.user_id AND v.ts < p.ts
+        |       AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000),
+        |g AS (SELECT (epoch_us(p_ts) // 1800000000) * 1800000000 AS ws_us,
+        |             count(*) AS pairs,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |               AS view_value
+        |      FROM j GROUP BY 1)
+        |SELECT make_timestamp(ws_us) AS w_start,
+        |       make_timestamp(ws_us + 1800000000) AS w_end,
+        |       pairs, view_value
+        |FROM g, w
+        |WHERE ws_us + 1800000000 <= wm - 3600000000 - 1000000
+        |ORDER BY w_start""".stripMargin,
 
     // batch sessions restricted to the watermark-closed region the
     // bounded stream provably emitted: session_end + gap(6h) + 1s

@@ -832,6 +832,42 @@ object StreamHarness {
       (col("p_ts").isNull && unix_micros(col("v_ts")) <= vCutUs))
   }
 
+  /** TWO stateful operators chained in ONE streaming query —
+    * stream-stream interval join feeding a windowed aggregation, the
+    * shape a production attribution pipeline actually runs (join the
+    * raw streams, aggregate attributed revenue per window, one
+    * checkpoint, no intermediate sink). Pre-3.5 Spark rejected this
+    * outright (`Multiple streaming aggregations are not supported`
+    * class of restrictions); modern Spark runs it by propagating a
+    * SIMULATED watermark past the join: the join holds view-side rows
+    * up to `window` behind the input watermark, so the aggregation
+    * downstream sees `wm_agg = wm − window` and closes only windows
+    * whose end has passed THAT. The compared region mirrors it:
+    * `w_end <= wm − window − 1s` (wm = [[attributionWatermarkUs]],
+    * 1 s for ms flooring), applied identically to the batch oracle.
+    * Sums ride `decimal(18,6)` so the cross-engine totals are
+    * order-independent ([[EventStream.windowedCounts]] discipline). */
+  def boundedChainedAgg(spark: SparkSession, dir: String,
+                        delaySec: Long = 600,
+                        windowSec: Long = 3600,
+                        aggWindow: String = "30 minutes"): DataFrame = {
+    val ev = eventsStream(spark, dir)
+    val joined = EventStream.streamAttribution(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "view"),
+      watermarkDelay = s"$delaySec seconds")
+    val agg = joined
+      .groupBy(window(col("p_ts"), aggWindow).as("w"))
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("value").cast("decimal(18,6)")).as("view_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("pairs"), col("view_value").cast("double").as("view_value"))
+    val out = runBounded(agg, "append", awaitNoDataBatch = true)
+    val cutUs = attributionWatermarkUs(spark, dir, delaySec) -
+      windowSec * 1000000L - 1000000L
+    out.filter(unix_micros(col("w_end")) <= cutUs)
+  }
+
   /** Stream-static enrichment join — the remaining streaming join
     * kind after the stream-stream face: each streaming view event
     * picks up its user's lifetime purchase value from a STATIC

@@ -166,6 +166,26 @@ class StreamHarnessSpec extends AnyFunSuite with SparkTestBase {
     assert(matched.exceptAll(inner).isEmpty && inner.exceptAll(matched).isEmpty)
   }
 
+  test("chained stateful ops (stream-stream join → windowed agg) == " +
+      "batch join+agg on the propagated-watermark region") {
+    val ev = EventStream.eventsTable(spark, dir)
+    val cutUs = StreamHarness.attributionWatermarkUs(spark, dir, 600L) -
+      3600L * 1000000L - 1000000L
+    val batch = EventStream.streamAttribution(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"))
+      .groupBy(window(col("p_ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("value").cast("decimal(18,6)")).as("view_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("pairs"), col("view_value").cast("double").as("view_value"))
+      .filter(unix_micros(col("w_end")) <= cutUs)
+    val streamed = StreamHarness.boundedChainedAgg(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0, "no closed windows emitted — face is vacuous")
+  }
+
   test("watermark late-drop face == batch closed-window aggregate over " +
       "on-time rows only") {
     val ev = EventStream.eventsTable(spark, dir)
