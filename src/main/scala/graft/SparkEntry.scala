@@ -8,7 +8,7 @@ import graft.operators.{AsOfJoin, Bfs, Centrality, ConnectedComponents,
   CorpusOps, Dedup, Funnel, GraphOps, Indexing, KCore, LabelPropagation,
   Multimodal, PageRank, Profile, RandomWalk, RangeJoin, Redaction, Retention,
   SequencePacking, Similarity, SkewOps, Snapshot, SpanningForest, Sssp,
-  TextAnalysis}
+  TextAnalysis, TimeSeries}
 import graft.sources.TableLayout
 import graft.streaming.{EventStream, StreamHarness}
 import graft.functions.{SimHashExpr, TopKBySim}
@@ -1120,6 +1120,17 @@ object SparkEntry {
             .as("moving_value"),
           count(lit(1)).over(w).as("n_window"))
         .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // Time-series regularization: each user's events resampled onto
+    // an hourly bucket grid over their observed span, gaps filled
+    // LOCF; within-bucket last under the (ts, event_id) total order
+    // (see TimeSeries.resampleLocf).
+    "q_timeseries_fill" -> ((s, dir) => {
+      TimeSeries.resampleLocf(EventStream.eventsTable(s, dir),
+          "user_id", "ts", "event_id", "value", stepUs = 3600L * 1000000)
+        .withColumnRenamed("k", "user_id")
+        .orderBy("user_id", "bucket_ts")
     }),
 
     // Binned range join (equi-join on (key, time-bucket), never a
@@ -3190,6 +3201,32 @@ object SparkEntry {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // hourly LOCF resample: same (ts, event_id) within-bucket argmax,
+    // same per-key [min,max] grid (generate_series), IGNORE NULLS
+    // carry; values pass through untouched so doubles stay bit-equal
+    "q_timeseries_fill" ->
+      """WITH e AS (SELECT user_id AS k,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bi,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id AS i, value AS v
+        |  FROM events),
+        |obs AS (SELECT k, bi, count(*) AS n_obs,
+        |          CAST(max(row(us, i, v))
+        |               AS ROW(us BIGINT, i BIGINT, v DOUBLE)) AS m
+        |        FROM e GROUP BY 1, 2),
+        |spans AS (SELECT k, min(bi) AS b0, max(bi) AS b1 FROM obs GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(b0, b1)) AS bi FROM spans),
+        |j AS (SELECT g.k, g.bi, o.n_obs, o.m FROM grid g
+        |      LEFT JOIN obs o ON o.k = g.k AND o.bi = g.bi)
+        |SELECT k AS user_id, make_timestamp(bi * 3600000000) AS bucket_ts,
+        |       COALESCE(n_obs, 0) AS n_obs,
+        |       CAST(CASE WHEN m IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS is_gap,
+        |       last_value(m.v IGNORE NULLS) OVER (
+        |         PARTITION BY k ORDER BY bi
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS v_filled
+        |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
 
     "q_range_attribution" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
