@@ -632,6 +632,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Personalized PageRank (random walk with restart): restart mass
+    // only on the seed vertices {2, 4} (the pivot convention) — rank
+    // = proximity to the seeds, the recommender variant. Same
+    // fixed-point accumulation; oracle unrolls the same iterations
+    // with the personalized init/base terms.
+    "q_pagerank_personalized" -> ((s, dir) => {
+      PageRank.personalized(copurchaseEdges(s, dir), Seq(2L, 4L),
+          iterations = PageRankIters)
+        .orderBy("id")
+    }),
+
     // Corpus token frequencies, top 20 (explode + global sort + limit;
     // deterministic tie-break on the token).
     "q_top_tokens" -> ((s, dir) => {
@@ -4032,6 +4043,35 @@ object SparkEntry {
          |n AS (SELECT count(*) AS n FROM deg),
          |r0 AS (SELECT id, outdeg,
          |         CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS rank FROM deg),
+         |$layers
+         |SELECT id, rank FROM r$PageRankIters ORDER BY id""".stripMargin
+    },
+
+    // personalized variant: identical layer unrolling, init/base mass
+    // on the seed set {2,4} only — (1-d)/|S| and 1/|S| are the same
+    // IEEE ops both engines evaluate, so the chain stays bit-stable
+    "q_pagerank_personalized" -> {
+      val layers = (1 to PageRankIters).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT e.dst AS id,
+           |    CAST(trunc(r.rank / r.outdeg * 1e15) AS BIGINT) AS c
+           |  FROM r${i - 1} r JOIN edges e ON e.src = r.id),
+           |s$i AS MATERIALIZED (
+           |  SELECT id, sum(c) AS csum FROM c$i GROUP BY id),
+           |r$i AS MATERIALIZED (
+           |  SELECT d.id, d.outdeg,
+           |    CASE WHEN d.id IN (2, 4)
+           |         THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 2
+           |         ELSE CAST(0.0 AS DOUBLE) END
+           |      + CAST(0.85 AS DOUBLE)
+           |        * (CAST(coalesce(s.csum, 0) AS DOUBLE) / 1e15) AS rank
+           |  FROM deg d LEFT JOIN s$i s ON s.id = d.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $copurchaseEdgesSql,
+         |deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (SELECT id, outdeg,
+         |         CASE WHEN id IN (2, 4) THEN CAST(0.5 AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS rank FROM deg),
          |$layers
          |SELECT id, rank FROM r$PageRankIters ORDER BY id""".stripMargin
     },

@@ -108,4 +108,90 @@ object PageRank {
     e.unpersist(false)
     state.select($"id", $"rank")
   }
+
+  /** Personalized PageRank (Jeh-Widom 2003 "random walk with
+    * restart"): identical power iteration, but the restart mass lands
+    * ONLY on the source set S — rank becomes proximity TO S, the
+    * recommender/graph-feature variant (seed products → related
+    * products). init = 1/|S| on S, 0 elsewhere; per-round base term
+    * = (1-d)/|S| on S, 0 elsewhere. Same fixed-point determinism
+    * contract as [[run]] (scaled-long contribution sums), same
+    * dangling-mass simplification, same one-shuffle round shape (the
+    * teleport flag rides the state rows like outdeg does — no extra
+    * join). A SEPARATE loop rather than a parameterized [[runLoop]]:
+    * the uniform face is bench-anchored and a conditional base column
+    * would perturb its plan for no gain.
+    *
+    * @param sources distinct vertex ids receiving restart mass; every
+    *                source must exist in the graph (require-checked —
+    *                a silently-absent source would skew all mass
+    *                normalization) */
+  def personalized(edges: DataFrame, sources: Seq[Long],
+                   iterations: Int = 10, damping: Double = 0.85,
+                   keepAqe: Boolean = false): DataFrame = {
+    require(iterations > 0)
+    require(damping >= 0.0 && damping < 1.0,
+      s"damping must be in [0, 1), got $damping")
+    require(sources.nonEmpty, "need at least one source")
+    require(sources.distinct.size == sources.size,
+      s"duplicate sources: $sources")
+    val spark = edges.sparkSession
+    GraphOps.withLoopAqeDisabled(spark, keepAqe) {
+      personalizedLoop(edges, sources, iterations, damping)
+    }
+  }
+
+  private def personalizedLoop(edges: DataFrame, sources: Seq[Long],
+                               iterations: Int,
+                               damping: Double): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val e = edges.select($"src", $"dst")
+      .repartition($"src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degrees = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
+    val stateBase = GraphOps.vertices(e)
+      .join(degrees, Seq("id"), "left_outer")
+      .select($"id", coalesce($"outdeg", lit(0L)).as("outdeg"),
+        $"id".isin(sources: _*).cast("long").as("tele"))
+      .localCheckpoint(true)
+    val nSrc = stateBase.filter($"tele" === 1L).count()
+    require(nSrc == sources.size,
+      s"${sources.size - nSrc} source(s) absent from the graph: $sources")
+
+    val baseMass = (1.0 - damping) / sources.size
+    var state: DataFrame = stateBase.withColumn("rank",
+      when($"tele" === 1L, lit(1.0 / sources.size)).otherwise(lit(0.0)))
+
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var iter = 0
+    while (iter < iterations) {
+      iter += 1
+      val tRound = System.nanoTime()
+      val contribs = state.as("s").hint("shuffle_hash")
+        .join(e.as("e"), col("s.id") === col("e.src"))
+        .select(col("e.dst").as("id"), lit(null).cast("long").as("outdeg"),
+          lit(null).cast("long").as("tele"),
+          ($"s.rank" / $"s.outdeg" * Scale).cast("long").as("c"))
+      val carry = state.select($"id", $"outdeg", $"tele",
+        lit(null).cast("long").as("c"))
+      val newState = carry.union(contribs)
+        .groupBy($"id")
+        .agg(max($"outdeg").as("outdeg"), max($"tele").as("tele"),
+          sum($"c").as("csum"))
+        .select($"id", $"outdeg", $"tele",
+          (when($"tele" === 1L, lit(baseMass)).otherwise(lit(0.0)) +
+            lit(damping) *
+              (coalesce($"csum", lit(0L)).cast("double") / Scale)).as("rank"))
+        .localCheckpoint(true)
+      System.err.println(
+        f"[ppr] round $iter ${(System.nanoTime() - tRound) / 1e9}%.2fs")
+      toRelease += state
+      state = newState
+    }
+    toRelease.foreach(_.unpersist(false))
+    e.unpersist(false)
+    state.select($"id", $"rank")
+  }
 }
