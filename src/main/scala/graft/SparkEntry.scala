@@ -928,6 +928,15 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // SLIDING windows (1h window / 15min slide): each event explodes
+    // into 4 overlapping windows map-side before the partial agg —
+    // the alerting/dashboard shape; complete mode, so the drained
+    // stream equals the batch replay bit-for-bit.
+    "q_streaming_sliding" -> ((s, dir) => {
+      StreamHarness.boundedSlidingCounts(s, dir)
+        .orderBy("window_start", "event_type")
+    }),
+
     // The same windowed aggregation under the RocksDB state store —
     // the 100 TB state backend (native off-heap memtables + local SST
     // files instead of JVM-heap state). The provider's engagement is
@@ -4183,6 +4192,22 @@ object SparkEntry {
         |FROM w, c
         |WHERE epoch_ms(window_end) <= c.wm_ms
         |GROUP BY window_start, window_end, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // sliding replay: each event expands to its 4 member windows
+    // (15-min bucket minus k slides, k = 0..3; with window = 4·slide
+    // every k qualifies), then the tumbling aggregation verbatim
+    "q_streaming_sliding" ->
+      """WITH k AS (SELECT unnest(range(0, 4)) AS k),
+        |b AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |           - k.k * INTERVAL '15 minutes' AS window_start,
+        |         event_type, value
+        |  FROM events, k)
+        |SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM b GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
 
     // the stop→resume incarnation pair must land on the identical

@@ -110,6 +110,27 @@ object EventStream extends Serializable {
         col("event_type"), col("n_events"),
         col("total_value").cast("double").as("total_value"))
 
+  /** SLIDING-window aggregation: each event lands in window/slide
+    * overlapping windows (the alerting/dashboard shape — a 1 h metric
+    * refreshed every 15 min). Same columns and decimal discipline as
+    * [[windowedCounts]]; the only physical difference is the
+    * `window()` expression exploding each row into its
+    * (windowDur / slideDur) member windows BEFORE the partial
+    * aggregation — map-side fan-out, the exchange still carries one
+    * row per (window, type) group. Runs identically on batch and
+    * readStream input. */
+  def slidingCounts(events: DataFrame, windowDur: String = "1 hour",
+                    slideDur: String = "15 minutes",
+                    watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur, slideDur).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+
   /** Exact microseconds since epoch of a Timestamp (getTime alone
     * truncates to ms — gap comparisons must match the batch/oracle
     * epoch_us arithmetic exactly). */

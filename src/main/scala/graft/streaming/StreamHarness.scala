@@ -108,6 +108,14 @@ object StreamHarness {
   def boundedWindowedCounts(spark: SparkSession, dir: String): DataFrame =
     runBounded(EventStream.windowedCounts(eventsStream(spark, dir)), "complete")
 
+  /** Streaming SLIDING-window counts, complete mode — the overlapping
+    * twin of [[boundedWindowedCounts]]: every event lands in
+    * window/slide windows, every window is in the sink at drain, so
+    * the bounded run equals the batch [[EventStream.slidingCounts]]
+    * bit-for-bit. */
+  def boundedSlidingCounts(spark: SparkSession, dir: String): DataFrame =
+    runBounded(EventStream.slidingCounts(eventsStream(spark, dir)), "complete")
+
   /** The SAME windowed aggregation under the RocksDB state store
     * provider — the 100 TB state configuration. The default
     * HDFSBackedStateStoreProvider keeps every key's state as JVM-heap

@@ -19,6 +19,19 @@ class StreamHarnessSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("bounded streaming sliding windows == batch slidingCounts, and " +
+      "each event lands in window/slide windows") {
+    val batch = EventStream.slidingCounts(EventStream.eventsTable(spark, dir))
+    val streamed = StreamHarness.boundedSlidingCounts(spark, dir)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // overlap factor: total window memberships = 4x the event count
+    val nEvents = EventStream.eventsTable(spark, dir).count()
+    val members = streamed.agg(sum(col("n_events"))).head().getLong(0)
+    assert(members == 4 * nEvents,
+      s"expected ${4 * nEvents} window memberships, got $members")
+  }
+
   test("bounded streaming dedup keys == batch DISTINCT") {
     val streamed = StreamHarness.boundedDedupKeys(spark, dir)
     val batch = EventStream.eventsTable(spark, dir)
