@@ -1695,6 +1695,19 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // Per-ROW-weight priority sample: 10 docs with odds monotone in
+    // character length — key = (hash · 2^20) div weight, the
+    // integer-quantized Efraimidis-Spirakis race (see
+    // CorpusOps.weightedPrioritySample).
+    "q_weighted_sample" -> ((s, dir) => {
+      CorpusOps.weightedPrioritySample(
+          t(s, dir, "documents")
+            .withColumn("wlen", length(col("text")).cast("long")),
+          "doc_id", "wlen", 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("rank")
+    }),
+
     // Mergeable histogram-sketch quantiles (the quantile member of
     // the deterministic sketch family): 512-bucket integer histogram
     // per returnflag over price cents; p50/p95 = first bucket whose
@@ -4531,6 +4544,21 @@ object SparkEntry {
          |      FROM h)
          |SELECT lang, rank, doc_id, priority FROM r
          |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    // weighted race replayed: same hash, same 2^20 scale, same
+    // integer div by the char-length weight, rank by (key, id)
+    "q_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS w
+         |           FROM documents WHERE len(text) > 0),
+         |h AS (SELECT doc_id, w,
+         |  (${rhSql("CAST(doc_id AS VARCHAR)")} * 1048576) // w AS key
+         |  FROM d),
+         |r AS (SELECT doc_id, w, key,
+         |        CAST(row_number() OVER (ORDER BY key, doc_id) AS INT)
+         |          AS rank
+         |      FROM h)
+         |SELECT rank, doc_id, w AS weight, key FROM r
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // full histogram-sketch replay: same integer width/bucket/rank
     // arithmetic (floor for the double->cents truncation — DuckDB's

@@ -664,6 +664,54 @@ object CorpusOps extends CachePinning {
         (-col("e.sim")).cast("long").as("priority"))
   }
 
+  /** Weighted fixed-size priority sample — the per-ROW-weight
+    * counterpart of [[prioritySample]] (which weighs every row
+    * equally) and [[mixtureSample]] (which weighs whole strata): keep
+    * the k rows with the smallest key = (hash(id) · 2²⁰) div weight,
+    * so selection odds grow monotonically with weight (doubling a
+    * row's weight halves its expected key) — length-/quality-
+    * proportional corpus sampling, the Efraimidis-Spirakis
+    * weighted-reservoir idea under the repo's determinism doctrine.
+    * Exact E-S runs the exponential race -ln(u)/w; its float log is
+    * not bit-shared across engines, so the integer key trades exact
+    * inclusion proportionality for a sample that is a pure function
+    * of row identity: reproducible across engines, runs, cluster
+    * sizes, and corpus growth (new rows only ever displace by key).
+    *
+    * Rows with weight ≤ 0 are excluded by definition (weight 0 =
+    * never sample), not an error — the natural semantics for derived
+    * weights like token counts.
+    *
+    * Scale: the same bounded [[graft.functions.TopKBySim]] aggregate
+    * as [[prioritySample]] — k-element buffer per partition,
+    * map-side combine, the exchange carries k rows per partition
+    * regardless of corpus size. Keys are < P·2²⁰ ≈ 10¹⁵ < 2⁵³, so
+    * the aggregate's double channel carries them exactly.
+    *
+    * Output: (rank 1..k, id, weight, key), rank by (key asc, id asc). */
+  def weightedPrioritySample(df: DataFrame, idCol: String,
+                             weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    val keyed = df.filter(col(weightCol) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        col(weightCol).cast("long").as("w"),
+        (TextAnalysis.rollingHash(col(idCol).cast("string")) *
+          lit(1L << 20)).as("pnum"))
+      .withColumn("key", expr("pnum div w"))
+    val winners = keyed
+      .groupBy()
+      .agg(graft.functions.TopKBySim.top_k_by_sim(
+        -col("key").cast("double"), col("id"), k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("e.neighbor_id").as("id"),
+        (-col("e.sim")).cast("long").as("key"))
+    // weight recovery: broadcast the k winners back against the keyed
+    // projection — one extra scan, never a corpus-sized collect
+    broadcast(winners).join(keyed.select(col("id"), col("w")), Seq("id"))
+      .select(col("rank"), col("id"), col("w").as("weight"), col("key"))
+  }
+
   /** Fixed-point scale for order-free quality aggregation (the
     * [[PageRank]] trick: a double sum drifts with partition order; a
     * long sum of floor(q·10⁹) is exact and byte-stable). */

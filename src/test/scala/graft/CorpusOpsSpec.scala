@@ -354,4 +354,30 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(got2(stratum).sortBy(_._2).map(_._3) == expect, s"grown $stratum")
     }
   }
+
+  test("weightedPrioritySample: bottom-k by (hash·2^20) div w, zero/neg " +
+      "weights excluded, growth only displaces") {
+    import spark.implicits._
+    def key(id: Long, w: Long): Long =
+      math.floorDiv(rh(id.toString) * (1L << 20), w)
+    val a = (1L to 60L).map(i => (i, (i % 7) + 1)) ++
+      Seq((200L, 0L), (201L, -5L)) // excluded by definition
+    val got = graft.operators.CorpusOps
+      .weightedPrioritySample(a.toDF("doc_id", "wt"), "doc_id", "wt", 8)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val eligible = a.filter(_._2 > 0)
+    val expect = eligible.sortBy { case (id, w) => (key(id, w), id) }.take(8)
+    assert(got.map(_._2) == expect.map(_._1))
+    assert(got.map(_._3) == expect.map(_._2)) // weights recovered
+    assert(got.map(_._4) == expect.map { case (id, w) => key(id, w) })
+    assert(!got.exists(r => r._2 == 200L || r._2 == 201L))
+    // growth: the grown sample is the bottom-k of the union
+    val b = a ++ (61L to 120L).map(i => (i, (i % 5) + 1))
+    val got2 = graft.operators.CorpusOps
+      .weightedPrioritySample(b.toDF("doc_id", "wt"), "doc_id", "wt", 8)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expect2 = b.filter(_._2 > 0)
+      .sortBy { case (id, w) => (key(id, w), id) }.take(8)
+    assert(got2.map(_._2) == expect2.map(_._1))
+  }
 }
