@@ -1153,6 +1153,17 @@ object SparkEntry {
         .orderBy("user_id", "bucket_ts")
     }),
 
+    // Grouped OLS: per-user linear spend trend over hourly buckets,
+    // closed-form normal equations in exact BIGINT (milli-cents per
+    // bucket) — one exchange, |users| rows (see
+    // TimeSeries.groupedTrend).
+    "q_user_trend" -> ((s, dir) => {
+      TimeSeries.groupedTrend(EventStream.eventsTable(s, dir),
+          "user_id", "ts", "value", stepUs = 3600L * 1000000)
+        .withColumnRenamed("k", "user_id")
+        .orderBy("user_id")
+    }),
+
     // Binned range join (equi-join on (key, time-bucket), never a
     // non-equi NLJ): views in the strictly-preceding hour per purchase.
     "q_range_attribution" -> ((s, dir) => {
@@ -3260,6 +3271,36 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS v_filled
         |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
+
+    // grouped OLS replay: identical shifted sums and integer slope /
+    // intercept formulas; floor(value*100) is the same IEEE multiply
+    // + floor; zero x-variance keys guard the // with NULL
+    "q_user_trend" ->
+      """WITH e AS (SELECT user_id AS k,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS bi,
+        |  CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+        |a AS (SELECT k, count(*) AS n, min(bi) AS b0,
+        |        CAST(sum(bi) AS BIGINT) AS sbi,
+        |        CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(bi * y) AS BIGINT) AS sbiy,
+        |        CAST(sum(bi * bi) AS BIGINT) AS sbii
+        |      FROM e GROUP BY k),
+        |s AS (SELECT k, n, sbi - n * b0 AS sx, sy,
+        |        sbiy - b0 * sy AS sxy,
+        |        sbii - 2 * b0 * sbi + n * b0 * b0 AS sxx
+        |      FROM a),
+        |d AS (SELECT k, n, sx, sy, sxy,
+        |        n * sxx - sx * sx AS den FROM s),
+        |t AS (SELECT k, n, sx, sy, den,
+        |        CASE WHEN den = 0 THEN NULL
+        |             ELSE ((n * sxy - sx * sy) * 1000) // den END
+        |          AS slope_milli
+        |      FROM d)
+        |SELECT k AS user_id, n, slope_milli,
+        |       CASE WHEN den = 0 THEN NULL
+        |            ELSE (sy * 1000 - slope_milli * sx) // n END
+        |         AS intercept_milli
+        |FROM t ORDER BY user_id""".stripMargin,
 
     "q_range_attribution" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

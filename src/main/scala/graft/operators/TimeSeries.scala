@@ -86,4 +86,59 @@ object TimeSeries {
         col("m").isNull.cast("long").as("is_gap"),
         last(col("m.v"), ignoreNulls = true).over(w).as("v_filled"))
   }
+
+  /** Per-key linear trend — grouped OLS over (bucket index, value) in
+    * EXACT integer arithmetic: is each user's spend rising or falling,
+    * and how fast? The closed-form normal equations need only five
+    * sums, so the whole regression is ONE partial-aggregated exchange
+    * with |keys| output rows — the grouped-model-fit pattern (per-key
+    * OLS today; the same sums-only shape carries per-key variance,
+    * covariance, Pearson r) without any per-key iteration or collect.
+    *
+    * Determinism (the quantize-the-algorithm doctrine): x = bucket
+    * index shifted to the key's own origin (min bucket), y = value in
+    * cents (floor of value·100 — the established double→cents
+    * contract); slope is the integer
+    * `(n·Σxy − Σx·Σy) · 1000 div (n·Σx² − (Σx)²)` (milli-cents per
+    * bucket), intercept `(Σy·1000 − slope·Σx) div n` (milli-cents at
+    * the key's origin, defined ON the truncated slope) — every
+    * intermediate a BIGINT both engines evaluate identically. A key
+    * whose events all land in one bucket has zero x-variance: slope
+    * and intercept are NULL (guarded — ANSI div would throw).
+    *
+    * Overflow headroom: with per-key span ≤ S buckets, n rows, cents
+    * ≤ C, the largest term n·Σxy is ≤ n²·S·C — at S=10³, C=10⁵ that
+    * holds to n ≈ 3·10⁵ rows per key; beyond, widen the sums to
+    * decimal(38,0) (same plan shape, ~2× agg cost — the measured
+    * decimal penalty from the PageRank accumulator). */
+  def groupedTrend(events: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive: $stepUs")
+    val agg = events.select(
+        col(keyCol).as("k"),
+        expr(s"unix_micros($tsCol) div $stepUs").as("bi"),
+        floor(col(valCol) * 100).cast("long").as("y"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), min(col("bi")).as("b0"),
+        sum(col("bi")).as("sbi"), sum(col("y")).as("sy"),
+        sum(col("bi") * col("y")).as("sbiy"),
+        sum(col("bi") * col("bi")).as("sbii"))
+    // shift to the per-key origin: Σx = Σbi − n·b0 etc — exact, and
+    // keeps every product far from 2^63 (bi alone is ~5·10^5 for
+    // epoch-hours; shifted x is the key's span)
+    agg.select(col("k"), col("n"),
+        (col("sbi") - col("n") * col("b0")).as("sx"),
+        col("sy"),
+        (col("sbiy") - col("b0") * col("sy")).as("sxy"),
+        (col("sbii") - lit(2) * col("b0") * col("sbi") +
+          col("n") * col("b0") * col("b0")).as("sxx"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_milli",
+        when(col("den") === 0L, lit(null).cast("long"))
+          .otherwise(expr("((n * sxy - sx * sy) * 1000) div den")))
+      .withColumn("intercept_milli",
+        when(col("den") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(sy * 1000 - slope_milli * sx) div n")))
+      .select(col("k"), col("n"), col("slope_milli"), col("intercept_milli"))
+  }
 }

@@ -50,6 +50,36 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(col("v_filled").isNull).count() == 0)
   }
 
+  test("groupedTrend: exact OLS on a hand case; zero-x-variance key " +
+      "yields NULL slope") {
+    // key 1: y_cents = (100, 300, 500) at buckets 0,1,2 → slope
+    // exactly 200 cents/bucket = 200000 milli, intercept 100 cents =
+    // 100000 milli. key 2: all in one bucket → NULL slope/intercept.
+    val out = TimeSeries.groupedTrend(
+        frame((1L, 0L, 1L, 1.0), (1L, 1000000L, 2L, 3.0),
+          (1L, 2000000L, 3L, 5.0),
+          (2L, 0L, 4L, 7.0), (2L, 100L, 5L, 9.0)),
+        "k", "ts", "v", StepUs)
+      .orderBy("k").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getLong(2) == 200000L)
+    assert(out(0).getLong(3) == 100000L)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
+  test("groupedTrend: slope truncation follows integer div (toward " +
+      "negative infinity in both engines' div)") {
+    // y = (0, 100) over buckets 0..1 with a third point breaking the
+    // exact fit: y_cents = 0, 100, 50 → n=3, sx=3, sy=150, sxy=200,
+    // sxx=5; den=6; slope = (3*200-3*150)*1000 div 6 = 25000
+    val out = TimeSeries.groupedTrend(
+        frame((1L, 0L, 1L, 0.0), (1L, 1000000L, 2L, 1.0),
+          (1L, 2000000L, 3L, 0.5)),
+        "k", "ts", "v", StepUs).collect()
+    assert(out.head.getLong(2) == 25000L)
+  }
+
   test("explosion guard trips on a runaway span") {
     val e = intercept[IllegalArgumentException] {
       TimeSeries.resampleLocf(
