@@ -131,7 +131,12 @@ object Bench {
     "q_ann_ivf_pq",
     // r15 late: the two-arrival watermark face (multi-batch stream)
     // and the doubly-iterative Borůvka forest
-    "q_streaming_late_drop", "q_msf")
+    "q_streaming_late_drop", "q_msf",
+    // r15 session 3: the new multi-second stateful/iterative faces —
+    // the full-outer and chained-agg streaming drains (left-join
+    // cost class) and the 10-round personalized power iteration
+    "q_streaming_full_join", "q_streaming_chained_agg",
+    "q_pagerank_personalized")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

@@ -1072,6 +1072,15 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // The BUILT-IN session_window aggregation — the state-store-native
+    // route to the same gap sessions (split at >= gap, end carries
+    // the gap; see boundedNativeSessions). Relational aggregation
+    // makes the value total order-free, so it IS hash-gated here.
+    "q_streaming_session_window" -> ((s, dir) => {
+      StreamHarness.boundedNativeSessions(s, dir)
+        .orderBy("user_id", "session_start")
+    }),
+
     // Checkpoint stop→resume of CUSTOM flatMapGroupsWithState state —
     // deeper than q_streaming_resume's built-in window-agg recovery:
     // sessions straddling the stop point exist ONLY if incarnation 2
@@ -4435,6 +4444,37 @@ object SparkEntry {
         |FROM g, m
         |WHERE epoch_us(session_end)
         |      <= mx - 600000000 - 21600000000 - 1000000
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // native session_window replay: split at >= gap (windows
+    // [ts, ts+gap) don't overlap at exactly gap — vs the custom
+    // face's strict >), end = last event + gap, decided once the
+    // watermark passes the END (which already carries the gap)
+    "q_streaming_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |                  value FROM events),
+        |x AS (SELECT user_id, event_id, ts, value,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                     >= 21600000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS session_no
+        |      FROM x),
+        |g AS (SELECT user_id, session_no,
+        |             min(ts) AS session_start,
+        |             max(ts) + INTERVAL 6 HOUR AS session_end,
+        |             count(*) AS n_events,
+        |             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |               AS total_value
+        |      FROM s GROUP BY user_id, session_no),
+        |m AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx FROM events)
+        |SELECT user_id, session_start, session_end, n_events, total_value
+        |FROM g, m
+        |WHERE epoch_us(session_end) <= mx - 600000000 - 1000000
         |ORDER BY user_id, session_start""".stripMargin,
 
     // the two-incarnation union on the same closed region must equal

@@ -939,4 +939,43 @@ object StreamHarness {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
   }
+
+  /** Sessionization via the BUILT-IN `session_window` aggregation —
+    * the state-store-native counterpart of [[boundedSessions]]'s
+    * custom flatMapGroupsWithState operator (the engine proves BOTH
+    * routes: bring-your-own state for bespoke semantics, the built-in
+    * for the common gap-session case, which also unlocks Spark's
+    * session-merge state format and per-window eviction).
+    *
+    * Two semantic deltas vs the custom face, both inherent to the
+    * built-in and mirrored in the oracle:
+    *  - a session's window is `[first_ts, last_ts + gap)`, so
+    *    `session_end` = last event + gap (the custom face reports
+    *    last event);
+    *  - sessions split when the inter-event gap is ≥ gap (windows
+    *    `[ts, ts+gap)` don't overlap at exactly gap), where the
+    *    custom face splits strictly > gap.
+    * A session is decided once the watermark passes its window end:
+    * `end <= max(ts) − delay − 1s` (end already carries the gap).
+    * decimal(18,6) value sums — the built-in aggregates relationally,
+    * so unlike [[boundedSessions]]'s event-order double fold the
+    * total IS order-free and hash-gateable. */
+  def boundedNativeSessions(spark: SparkSession, dir: String,
+                            gapDur: String = "6 hours",
+                            delaySec: Long = 600): DataFrame = {
+    val out = runBounded(
+      eventsStream(spark, dir)
+        .withWatermark("ts", s"$delaySec seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), gapDur).as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("total_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"),
+          col("total_value").cast("double").as("total_value")),
+      "append", awaitNoDataBatch = true)
+    val maxUs = EventStream.eventsTable(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoffUs = maxUs - delaySec * 1000000L - 1000000L
+    out.filter(unix_micros(col("session_end")) <= cutoffUs)
+  }
 }

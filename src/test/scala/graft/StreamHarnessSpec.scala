@@ -112,6 +112,32 @@ class StreamHarnessSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("native session_window sessions == custom sessionize on the " +
+      "shared closed region (start/count agree; native end = last + gap)") {
+    val native = StreamHarness.boundedNativeSessions(spark, dir)
+    val custom = StreamHarness.boundedSessions(spark, dir,
+      gapMs = 6L * 3600000, delaySec = 600)
+    // custom's region is TIGHTER (cutoff subtracts the gap twice over
+    // native's, since its end lacks the gap): compare on custom's
+    // region, where both faces are decided. At µs-resolution data no
+    // inter-event gap is exactly 6h, so the >= vs > split boundary
+    // cannot bite and the session SETS must agree.
+    val nOnRegion = native
+      .withColumn("last_ts",
+        timestamp_micros(unix_micros(col("session_end")) - 21600000000L))
+      .join(custom.select(col("user_id"), col("session_start")),
+        Seq("user_id", "session_start"))
+    assert(nOnRegion.count() == custom.count(),
+      "session starts disagree between native and custom on the region")
+    val mism = nOnRegion
+      .join(custom.withColumnRenamed("session_end", "c_end")
+          .withColumnRenamed("n_events", "c_n"),
+        Seq("user_id", "session_start"))
+      .filter(col("last_ts") =!= col("c_end") ||
+        col("n_events") =!= col("c_n"))
+    assert(mism.isEmpty, "native (end-gap, n) != custom (end, n)")
+  }
+
   test("checkpoint stop-resume (window state) == single bounded run") {
     val dir = "/root/testdata/sf0.001"
     val resumed = StreamHarness.resumedWindowedCounts(spark, dir)
