@@ -643,6 +643,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Exact phrase search on positional postings: adjacency = integer
+    // position equality, |phrase|-1 equi-joins over term-filtered
+    // postings (see Indexing.phraseSearch).
+    "q_phrase_search" -> ((s, dir) => {
+      Indexing.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+          Seq("value", "table", "part"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus token frequencies, top 20 (explode + global sort + limit;
     // deterministic tie-break on the token).
     "q_top_tokens" -> ((s, dir) => {
@@ -3254,6 +3263,26 @@ object SparkEntry {
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    // positional phrase replay: 1-based list index → 0-based pos,
+    // each later term's postings shifted back by its offset, then the
+    // same equi-join chain
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+        |             string_split_regex(lower(text), '\s+') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, u.pos, u.term FROM (
+        |        SELECT doc_id, unnest(list_transform(range(1, len(toks)+1),
+        |          i -> struct_pack(pos := i - 1, term := toks[i]))) AS u
+        |        FROM t)),
+        |a AS (SELECT doc_id, pos FROM p WHERE term = 'value'),
+        |b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'table'),
+        |c AS (SELECT doc_id, pos - 2 AS pos FROM p WHERE term = 'part'),
+        |m AS (SELECT a.doc_id, a.pos
+        |      FROM a JOIN b USING (doc_id, pos) JOIN c USING (doc_id, pos))
+        |SELECT doc_id, count(*) AS n_matches,
+        |       CAST(min(pos) AS INTEGER) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // hourly LOCF resample: same (ts, event_id) within-bucket argmax,
     // same per-key [min,max] grid (generate_series), IGNORE NULLS

@@ -55,6 +55,46 @@ object Indexing {
           .as("postings"))
   }
 
+  /** Exact phrase search over POSITIONAL postings — the retrieval face
+    * [[invertedIndex]]'s term-level index cannot answer (term postings
+    * prove co-occurrence, not adjacency; "new york" must not match
+    * "york ... new"). Positions are token-array indices, so the
+    * adjacency predicate is pure integer equality: an occurrence of
+    * the phrase at position p means term_i sits at p + i for every i.
+    *
+    * Shape at 100 TB: the positional explode is a map-side projection
+    * immediately FILTERED to the phrase's terms — only the |phrase|
+    * terms' postings ever reach an exchange (a selective phrase means
+    * tiny frames; a stop-word-only phrase degrades to those terms'
+    * postings, never the corpus). The join chain is |phrase|−1
+    * equi-joins keyed (doc_id, pos), each shrinking the candidate
+    * set; per-doc match counting is one final partial-agged exchange.
+    * Production refinement (documented, not needed at gate SF): order
+    * the chain rarest-term-first from [[CorpusOps]] doc frequencies —
+    * the same plan shape, smaller intermediates.
+    *
+    * @return (doc_id, n_matches, first_pos) — one row per document
+    *         containing the phrase at least once */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phrase terms must be single non-empty tokens: $phrase")
+    val pos = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val anchor = pos.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = phrase.zipWithIndex.drop(1)
+      .foldLeft(anchor) { case (acc, (t, i)) =>
+        acc.join(pos.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+    matches.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
+
   /** Deterministic global shuffle into training shards: every document
     * lands in one of `nBatches` batches with a stable position — the
     * "shuffle the training data" step, reproducible across runs and

@@ -182,4 +182,41 @@ class IndexingSpec extends AnyFunSuite with SparkTestBase {
     assert(got2 == Map("aa" -> 2L, "ab" -> 3L))
   }
 
+
+  test("phraseSearch: adjacency not co-occurrence; overlapping and " +
+      "repeated matches counted; positions are array indices") {
+    val docs = Seq(
+      (1L, "new york new york"),      // 2 matches at pos 0, 2
+      (2L, "york new"),               // co-occurrence, wrong order
+      (3L, "new deal in york"),       // co-occurrence, not adjacent
+      (4L, "a new york b new york"),  // 2 matches at pos 1, 4
+      (5L, "nothing here")).toDF("doc_id", "text")
+    val got = Indexing.phraseSearch(docs, "doc_id", "text",
+        Seq("new", "york"))
+      .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0), (4L, 2L, 1)))
+  }
+
+  test("phraseSearch: repeated term inside the phrase; single-term " +
+      "phrase degrades to term occurrences") {
+    val docs = Seq(
+      (1L, "go go go"),          // "go go" matches at 0 and 1
+      (2L, "go stop go")).toDF("doc_id", "text")
+    val two = Indexing.phraseSearch(docs, "doc_id", "text", Seq("go", "go"))
+      .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(two == Seq((1L, 2L, 0)))
+    val one = Indexing.phraseSearch(docs, "doc_id", "text", Seq("go"))
+      .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(one == Seq((1L, 3L, 0), (2L, 2L, 0)))
+  }
+
+  test("phraseSearch rejects multi-word or empty terms") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Indexing.phraseSearch(docs, "doc_id", "text", Seq("a b"))
+    }
+    intercept[IllegalArgumentException] {
+      Indexing.phraseSearch(docs, "doc_id", "text", Seq.empty)
+    }
+  }
 }
