@@ -577,4 +577,68 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("groupedTrend costs exactly ONE exchange (the key groupBy) and " +
+      "stays in HashAggregate") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = graft.operators.TimeSeries.groupedTrend(
+        graft.streaming.EventStream.eventsTable(spark, dir),
+        "user_id", "ts", "value", 3600L * 1000000)
+      .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.size == 1,
+      s"grouped OLS must be one partial-agged exchange:\n$plan")
+    assert(!plan.toString.contains("SortAggregate"),
+      s"five-sum aggregation fell back to SortAggregate:\n$plan")
+  }
+
+  test("resampleLocf: the grid explode sits ABOVE the span aggregate " +
+      "(|keys| input rows), never over the corpus; no nested-loop joins") {
+    val plan = SparkEntry.queries("q_timeseries_fill")(spark, dir)
+      .queryExecution.sparkPlan
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join crept in:\n$p")
+    // every Generate (the sequence explode) must be fed by the span
+    // aggregate — directly, or through its persisted InMemoryRelation
+    // (spans are cached for the guard action) — exploding
+    // pre-aggregation would materialize the grid off corpus-sized
+    // input
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty, s"no explode found:\n$p")
+    gens.foreach { g =>
+      val aggFed = g.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.nonEmpty
+      val cacheFed = g.child.collect {
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+      }.nonEmpty
+      assert(aggFed || cacheFed,
+        s"grid explode not fed by the span aggregate:\n$p")
+    }
+  }
+
+  test("phraseSearch joins are equi-joins on (doc_id, pos) — no " +
+      "cartesian/NLJ; term filters sit under the joins") {
+    val p = planOf("q_phrase_search")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase adjacency must be equi-joins:\n$p")
+    assert(p.contains("Join") || p.contains("join"),
+      s"expected a join chain:\n$p")
+  }
+
+  test("weightedPrioritySample recovers weights via BROADCAST join — " +
+      "the k winners, never a corpus-sized side") {
+    val p = planOf("q_weighted_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight recovery lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"weight recovery degraded to a corpus shuffle join:\n$p")
+  }
+
 }
