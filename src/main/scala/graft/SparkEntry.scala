@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, Centrality, ConnectedComponents,
   CorpusOps, Dedup, Funnel, GraphOps, Indexing, KCore, LabelPropagation,
-  Multimodal, PageRank, Profile, RandomWalk, RangeJoin, Redaction, Retention,
-  SequencePacking, Similarity, SkewOps, Snapshot, SpanningForest, Sssp,
-  TextAnalysis, TimeSeries}
+  MarketBasket, Multimodal, PageRank, Profile, RandomWalk, RangeJoin,
+  Redaction, Retention, RobustStats, SequencePacking, Similarity, SkewOps,
+  Snapshot, SpanningForest, Sssp, TextAnalysis, TimeSeries}
 import graft.sources.TableLayout
 import graft.streaming.{EventStream, StreamHarness}
 import graft.functions.{SimHashExpr, TopKBySim}
@@ -1769,6 +1769,34 @@ object SparkEntry {
           (abs(col("q50") - col("d50")) < col("width")).as("ok50"),
           (abs(col("q95") - col("d95")) < col("width")).as("ok95"))
         .orderBy("l_returnflag")
+    }),
+
+    // Market-basket association rules over order baskets:
+    // support/confidence/lift in exact truncating ppm integers
+    // (quantize-the-metric, like the OLS slope); pair generation
+    // self-joins co-partitioned on basket, bounded by the
+    // maxBasketSize all-pairs guard; minSupport = the apriori prune.
+    "q_assoc_rules" -> ((s, dir) => {
+      MarketBasket.assocRules(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey")
+        .orderBy("item_a", "item_b")
+    }),
+
+    // Robust per-group anomaly detection: lower-median + MAD over
+    // value cents via the VALUE-FREQUENCY selection (the exchange
+    // carries distinct cents per group, never the corpus rows — the
+    // scalable exact order statistic); flags dev > 3·MAD, robust z
+    // in integer milli-MADs.
+    "q_outlier_mad" -> ((s, dir) => {
+      val ev = EventStream.eventsTable(s, dir)
+        .select(col("event_type"), col("event_id"),
+          // double cents -> long by TRUNCATION (positive == floor)
+          (col("value") * 100).cast("long").as("cents"))
+      RobustStats.madOutliers(ev, "event_type", "event_id", "cents", k = 3)
+        .select(col("g").as("event_type"), col("id").as("event_id"),
+          col("v").as("cents"), col("med"), col("mad"), col("dev"),
+          col("rz_milli"))
+        .orderBy("event_type", "event_id")
     }),
 
     // Corpus document frequency (the IDF input): per-token doc counts
@@ -4712,6 +4740,54 @@ object SparkEntry {
         |       abs(s.lo + (q.b95+1)*s.width - 1 - d.d95) < s.width AS ok95
         |FROM s JOIN q USING (l_returnflag) JOIN d USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // distinct basket membership -> whole-basket size cap -> pair
+    // self-join -> exact truncating ppm metrics (// floors; all
+    // operands positive, so it matches Spark's truncating div)
+    "q_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |sized AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000),
+        |bb AS (SELECT b.bk, b.it FROM b JOIN sized USING (bk)),
+        |nn AS (SELECT count(DISTINCT bk) AS n FROM bb),
+        |c AS (SELECT it, count(*) AS cnt FROM bb GROUP BY it),
+        |p AS (SELECT a.it AS item_a, x.it AS item_b, count(*) AS support
+        |      FROM bb a JOIN bb x ON a.bk = x.bk AND a.it < x.it
+        |      GROUP BY a.it, x.it HAVING count(*) >= 2)
+        |SELECT item_a, item_b, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  support * 1000000 // (SELECT n FROM nn) AS support_ppm,
+        |  support * 1000000 // ca.cnt AS conf_ab_ppm,
+        |  support * 1000000 // cb.cnt AS conf_ba_ppm,
+        |  support * (SELECT n FROM nn) * 1000000 // (ca.cnt * cb.cnt)
+        |    AS lift_ppm
+        |FROM p JOIN c ca ON ca.it = p.item_a JOIN c cb ON cb.it = p.item_b
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // value-frequency selection replayed relationally: running counts
+    // over DISTINCT cents find the ceil(n/2)-th order statistic for
+    // median and MAD; dev > 3*mad filter, milli-MAD robust z
+    "q_outlier_mad" ->
+      """WITH r AS (SELECT event_type AS g, event_id AS id,
+        |             CAST(floor(value*100) AS BIGINT) AS v FROM events),
+        |f AS (SELECT g, v, count(*) AS c FROM r GROUP BY g, v),
+        |w AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |             sum(c) OVER (PARTITION BY g) AS n FROM f),
+        |med AS (SELECT g, min(CASE WHEN cum >= (n+1)//2 THEN v END) AS med
+        |        FROM w GROUP BY g),
+        |dv AS (SELECT r.g, r.id, r.v, med.med, abs(r.v - med.med) AS dev
+        |       FROM r JOIN med USING (g)),
+        |f2 AS (SELECT g, dev, count(*) AS c FROM dv GROUP BY g, dev),
+        |w2 AS (SELECT g, dev,
+        |         sum(c) OVER (PARTITION BY g ORDER BY dev) AS cum,
+        |         sum(c) OVER (PARTITION BY g) AS n FROM f2),
+        |mad AS (SELECT g, min(CASE WHEN cum >= (n+1)//2 THEN dev END) AS mad
+        |        FROM w2 GROUP BY g)
+        |SELECT dv.g AS event_type, dv.id AS event_id, dv.v AS cents,
+        |  dv.med, mad.mad, dv.dev,
+        |  CASE WHEN mad.mad > 0 THEN dv.dev * 1000 // mad.mad END AS rz_milli
+        |FROM dv JOIN mad USING (g)
+        |WHERE dv.dev > 3 * mad.mad
+        |ORDER BY event_type, event_id""".stripMargin,
 
     // per-source rollup of the shared quality CTE; mean quality summed
     // as floor(q·10⁹) BIGINTs (order-free, mirroring the fixed-point
