@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, Centrality, ConnectedComponents,
   CorpusOps, Dedup, Funnel, GraphOps, Indexing, KCore, LabelPropagation,
-  MarketBasket, Multimodal, PageRank, Profile, RandomWalk, RangeJoin,
+  MarketBasket, Multimodal, PageRank, Profile, RandomWalk, RangeJoin, Ranking,
   Redaction, Retention, RobustStats, SequencePacking, Similarity, SkewOps,
   Snapshot, SpanningForest, Sssp, TextAnalysis, TimeSeries}
 import graft.sources.TableLayout
@@ -650,6 +650,18 @@ object SparkEntry {
       Indexing.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
           Seq("value", "table", "part"))
         .orderBy("doc_id")
+    }),
+
+    // BM25 ranked retrieval: Okapi scoring of a 4-term query against
+    // the corpus, idf in fixed-point log2 (integer square-and-
+    // renormalize, F=8) and tf saturation cleared to one truncating
+    // BIGINT division — both replayed bit-exact by the oracle. 'dup'
+    // is the rare discriminator (df 25 vs ~380 at sf0.001), so the
+    // face exercises real idf spread. See Ranking.bm25TopK.
+    "q_bm25_topk" -> ((s, dir) => {
+      Ranking.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          Seq("dup", "hash", "join", "vector"), k = 10)
+        .orderBy("rank")
     }),
 
     // Corpus token frequencies, top 20 (explode + global sort + limit;
@@ -3311,6 +3323,53 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_matches,
         |       CAST(min(pos) AS INTEGER) AS first_pos
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BM25 replay: the 8-round fixed-point log2 runs as a recursive
+    // CTE over the |Q|-row term frame (pure integer shifts/multiplies,
+    // bit-for-bit the engine's chain); scoring is the same one
+    // truncating BIGINT division per (doc, term)
+    "q_bm25_topk" ->
+      s"""WITH RECURSIVE
+         |tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tk AS (SELECT doc_id, tok FROM tok WHERE len(tok) > 0),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+         |gl AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS a FROM dl),
+         |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tk
+         |       WHERE tok IN ('dup','hash','join','vector')
+         |       GROUP BY doc_id, tok),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |e0t AS (SELECT term, 2*n + 2 AS p, 2*df + 1 AS q,
+         |          length(bin(2*n + 2)) - length(bin(2*df + 1)) AS e0
+         |        FROM dfq, gl),
+         |et AS (SELECT term, p, q,
+         |         CASE WHEN p < (q << e0) THEN e0 - 1 ELSE e0 END AS e
+         |       FROM e0t),
+         |fx AS (
+         |  SELECT term, 0 AS i, CAST(p AS BIGINT) AS pp,
+         |         CAST(q << e AS BIGINT) AS qq, CAST(0 AS BIGINT) AS frac
+         |  FROM et
+         |  UNION ALL
+         |  SELECT term, i + 1, ps,
+         |         CASE WHEN ps >= 2*qs THEN 2*qs ELSE qs END,
+         |         frac*2 + CASE WHEN ps >= 2*qs THEN 1 ELSE 0 END
+         |  FROM (SELECT term, i, frac,
+         |          (pp >> sh)*(pp >> sh) AS ps, (qq >> sh)*(qq >> sh) AS qs
+         |        FROM (SELECT *, greatest(length(bin(pp)) - 31, 0) AS sh
+         |              FROM fx WHERE i < 8) s) s2),
+         |idf AS (SELECT et.term, et.e*256 + fx.frac AS idf
+         |        FROM et JOIN fx ON fx.term = et.term AND fx.i = 8),
+         |sc AS (SELECT tf.doc_id,
+         |         CAST(sum(idf.idf*22*a*tf
+         |                  // (10*a*tf + 3*a + 9*dl.dl*n)) AS BIGINT)
+         |           AS score,
+         |         count(*) AS matched
+         |       FROM tf JOIN dl USING (doc_id) JOIN idf USING (term), gl
+         |       GROUP BY tf.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |            AS INTEGER) AS rank,
+         |       doc_id, score, matched
+         |FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 10)
+         |ORDER BY rank""".stripMargin,
 
     // hourly LOCF resample: same (ts, event_id) within-bucket argmax,
     // same per-key [min,max] grid (generate_series), IGNORE NULLS

@@ -641,4 +641,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"weight recovery degraded to a corpus shuffle join:\n$p")
   }
 
+  test("bm25TopK: global top-k is TakeOrderedAndProject (never a full " +
+      "sort); idf and N/A totals ride broadcasts, not corpus shuffles") {
+    val p = planOf("q_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 top-k degraded to a full global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"idf/global-totals lost their broadcast:\n$p")
+    // the post-limit rank window runs over exactly k rows — the only
+    // unpartitioned window in the plan must sit ABOVE the top-k limit
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian in bm25 plan:\n$p")
+  }
+
 }
