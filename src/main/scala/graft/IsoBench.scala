@@ -32,6 +32,8 @@ object IsoBench {
       graft.operators.Similarity.releaseCaches(blocking = true)
       graft.operators.CorpusOps.releaseCaches(blocking = true)
       graft.operators.Redaction.releaseCaches(blocking = true)
+      graft.operators.Distributions.releaseCaches(blocking = true)
+      graft.operators.Ranking.releaseCaches(blocking = true)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }

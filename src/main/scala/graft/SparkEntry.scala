@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, Centrality, ConnectedComponents,
-  CorpusOps, Dedup, Funnel, GraphOps, Indexing, KCore, LabelPropagation,
+  CorpusOps, Dedup, Distributions, Funnel, GraphOps, Indexing, KCore,
+  LabelPropagation,
   MarketBasket, Multimodal, PageRank, Profile, RandomWalk, RangeJoin, Ranking,
   Redaction, Retention, RobustStats, SequencePacking, Similarity, SkewOps,
   Snapshot, SpanningForest, Sssp, TextAnalysis, TimeSeries}
@@ -662,6 +663,28 @@ object SparkEntry {
       Ranking.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
           Seq("dup", "hash", "join", "vector"), k = 10)
         .orderBy("rank")
+    }),
+
+    // Mixture-drift monitor: Laplace-smoothed token-distribution KL
+    // divergence between the even-id and odd-id corpus splits, with
+    // per-token drift attribution (top 20 KL(A||B) contributors).
+    // The signed log runs in the shared fixed-point integer log2
+    // (F=8), contributions stay raw BIGINTs, both global KLs are
+    // sign-safe truncating milli-bit divisions — all replayed exactly.
+    "q_kl_drift" -> ((s, dir) => {
+      Distributions.klDriftTopK(t(s, dir, "documents"),
+          "doc_id", "text", k = 20)
+        .orderBy("rank")
+    }),
+
+    // Unigram-LM perplexity quality scores: model trained on even-id
+    // docs (Laplace over the union vocab), every odd-id doc scored by
+    // exact integer bit cost — the CCNet-style perplexity filter with
+    // the model join co-partitioned on token (vocab never broadcast).
+    "q_unigram_ppl" -> ((s, dir) => {
+      Distributions.unigramPerplexity(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     // Corpus token frequencies, top 20 (explode + global sort + limit;
@@ -3370,6 +3393,110 @@ object SparkEntry {
          |       doc_id, score, matched
          |FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 10)
          |ORDER BY rank""".stripMargin,
+
+    // KL drift replay: the same 8-round fixed-point log2 chain as the
+    // bm25 oracle, run over the UNION-vocab frame on the magnitude
+    // ratio big/small, sign restored from num vs den; contributions
+    // raw; global KLs via the same sign-safe truncating division
+    "q_kl_drift" ->
+      s"""WITH RECURSIVE
+         |tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tk AS (SELECT doc_id % 2 = 0 AS in_a, tok AS token FROM tok
+         |       WHERE len(tok) > 0),
+         |cnt AS (SELECT token,
+         |          CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |          CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+         |        FROM tk GROUP BY token),
+         |gl AS (SELECT CAST(sum(c_a) AS BIGINT) AS ca,
+         |              CAST(sum(c_b) AS BIGINT) AS cb,
+         |              count(*) AS v FROM cnt),
+         |r AS (SELECT token, c_a, c_b,
+         |        (c_a + 1)*(cb + v) AS num, (c_b + 1)*(ca + v) AS den
+         |      FROM cnt, gl),
+         |et0 AS (SELECT token, num, den,
+         |          greatest(num, den) AS p, least(num, den) AS q,
+         |          length(bin(greatest(num, den)))
+         |            - length(bin(least(num, den))) AS e0
+         |        FROM r),
+         |et AS (SELECT token, num, den, p, q,
+         |         CASE WHEN p < (q << e0) THEN e0 - 1 ELSE e0 END AS e
+         |       FROM et0),
+         |fx AS (
+         |  SELECT token, 0 AS i, CAST(p AS BIGINT) AS pp,
+         |         CAST(q << e AS BIGINT) AS qq, CAST(0 AS BIGINT) AS frac
+         |  FROM et
+         |  UNION ALL
+         |  SELECT token, i + 1, ps,
+         |         CASE WHEN ps >= 2*qs THEN 2*qs ELSE qs END,
+         |         frac*2 + CASE WHEN ps >= 2*qs THEN 1 ELSE 0 END
+         |  FROM (SELECT token, i, frac,
+         |          (pp >> sh)*(pp >> sh) AS ps, (qq >> sh)*(qq >> sh) AS qs
+         |        FROM (SELECT *, greatest(length(bin(pp)) - 31, 0) AS sh
+         |              FROM fx WHERE i < 8) s) s2),
+         |sl AS (SELECT et.token, r.c_a, r.c_b,
+         |         CASE WHEN et.num >= et.den THEN et.e*256 + fx.frac
+         |              ELSE -(et.e*256 + fx.frac) END AS slog2_q8
+         |       FROM et JOIN fx ON fx.token = et.token AND fx.i = 8
+         |       JOIN r ON r.token = et.token),
+         |w AS (SELECT token, c_a, c_b, slog2_q8,
+         |        (c_a + 1)*slog2_q8 AS contrib_q8,
+         |        (c_b + 1)*(-slog2_q8) AS w_ba
+         |      FROM sl),
+         |kl AS (SELECT
+         |    CASE WHEN s_ab >= 0 THEN (1000*s_ab) // ((ca + v)*256)
+         |         ELSE -((1000*(-s_ab)) // ((ca + v)*256)) END AS kl_ab_milli,
+         |    CASE WHEN s_ba >= 0 THEN (1000*s_ba) // ((cb + v)*256)
+         |         ELSE -((1000*(-s_ba)) // ((cb + v)*256)) END AS kl_ba_milli
+         |  FROM (SELECT CAST(sum(contrib_q8) AS BIGINT) AS s_ab,
+         |               CAST(sum(w_ba) AS BIGINT) AS s_ba FROM w), gl)
+         |SELECT CAST(row_number() OVER (ORDER BY contrib_q8 DESC, token)
+         |            AS INTEGER) AS rank,
+         |       token, c_a, c_b, slog2_q8, contrib_q8,
+         |       kl_ab_milli, kl_ba_milli
+         |FROM (SELECT * FROM w ORDER BY contrib_q8 DESC, token LIMIT 20), kl
+         |ORDER BY rank""".stripMargin,
+
+    // unigram perplexity replay: model chain over the union vocab
+    // (numerator CA+V >= denominator c_a+1 always — no sign branch),
+    // candidate tf join, one truncating division per doc
+    "q_unigram_ppl" ->
+      s"""WITH RECURSIVE
+         |tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tk AS (SELECT doc_id, doc_id % 2 = 0 AS in_a, tok AS token
+         |       FROM tok WHERE len(tok) > 0),
+         |voc AS (SELECT token,
+         |          CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a
+         |        FROM tk GROUP BY token),
+         |gl AS (SELECT CAST(sum(c_a) AS BIGINT) AS ca, count(*) AS v
+         |       FROM voc),
+         |et0 AS (SELECT token, ca + v AS p, c_a + 1 AS q,
+         |          length(bin(ca + v)) - length(bin(c_a + 1)) AS e0
+         |        FROM voc, gl),
+         |et AS (SELECT token, p, q,
+         |         CASE WHEN p < (q << e0) THEN e0 - 1 ELSE e0 END AS e
+         |       FROM et0),
+         |fx AS (
+         |  SELECT token, 0 AS i, CAST(p AS BIGINT) AS pp,
+         |         CAST(q << e AS BIGINT) AS qq, CAST(0 AS BIGINT) AS frac
+         |  FROM et
+         |  UNION ALL
+         |  SELECT token, i + 1, ps,
+         |         CASE WHEN ps >= 2*qs THEN 2*qs ELSE qs END,
+         |         frac*2 + CASE WHEN ps >= 2*qs THEN 1 ELSE 0 END
+         |  FROM (SELECT token, i, frac,
+         |          (pp >> sh)*(pp >> sh) AS ps, (qq >> sh)*(qq >> sh) AS qs
+         |        FROM (SELECT *, greatest(length(bin(pp)) - 31, 0) AS sh
+         |              FROM fx WHERE i < 8) s) s2),
+         |model AS (SELECT et.token, et.e*256 + fx.frac AS nll_tok_q8
+         |          FROM et JOIN fx ON fx.token = et.token AND fx.i = 8),
+         |ctf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+         |        WHERE NOT in_a GROUP BY doc_id, token)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+         |       CAST(sum(tf*nll_tok_q8) AS BIGINT) AS nll_q8,
+         |       CAST((1000*CAST(sum(tf*nll_tok_q8) AS BIGINT))
+         |            // (256*CAST(sum(tf) AS BIGINT)) AS BIGINT) AS bits_milli
+         |FROM ctf JOIN model USING (token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // hourly LOCF resample: same (ts, event_id) within-bucket argmax,
     // same per-key [min,max] grid (generate_series), IGNORE NULLS

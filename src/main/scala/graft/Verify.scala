@@ -37,6 +37,8 @@ object Verify {
       graft.operators.Similarity.releaseCaches()
       graft.operators.CorpusOps.releaseCaches()
       graft.operators.Redaction.releaseCaches()
+      graft.operators.Distributions.releaseCaches()
+      graft.operators.Ranking.releaseCaches()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -55,7 +55,7 @@ import org.apache.spark.sql.functions._
   * map-side combine; the global top-k is TakeOrderedAndProject
   * (never a full sort). The final row_number window ranks k rows.
   */
-object Ranking {
+object Ranking extends CachePinning {
 
   /** Exact BigInt reference of the fixed-point log2 — the spec
     * oracle for the columnar chain below (never used in a plan). */
@@ -74,6 +74,44 @@ object Ranking {
     e.toLong * (1L << fracBits) + frac
   }
 
+  /** Columnar form of [[log2FixedRef]]: appends `out` =
+    * floor(2^fracBits · log2(pCol/qCol)), requiring pCol ≥ qCol ≥ 1
+    * rowwise. The chain is fracBits rounds of integer shifts,
+    * multiplies and compares — every step codegen'd, no floating
+    * point anywhere — so DuckDB replays it bit-for-bit as a
+    * recursive CTE. Shared by BM25 idf, KL-drift, and unigram
+    * perplexity (Distributions). Intermediate `_l2_*` columns are
+    * dropped; callers must not use that prefix. */
+  def withLog2Fixed(df: DataFrame, pCol: String, qCol: String,
+                    out: String, fracBits: Int): DataFrame = {
+    require(fracBits >= 1 && fracBits <= 16, s"fracBits 1..16: $fracBits")
+    var d = df
+      .withColumn("_l2_e0",
+        expr(s"length(bin($pCol)) - length(bin($qCol))"))
+      .withColumn("_l2_e", expr(s"CASE WHEN $pCol < " +
+        s"shiftleft($qCol, _l2_e0) THEN _l2_e0 - 1 ELSE _l2_e0 END"))
+      .withColumn("_l2_pp", col(pCol).cast("long"))
+      .withColumn("_l2_qq", expr(s"shiftleft($qCol, _l2_e)"))
+      .withColumn("_l2_frac", lit(0L))
+    for (_ <- 0 until fracBits) {
+      d = d
+        .withColumn("_l2_sh",
+          expr("greatest(length(bin(_l2_pp)) - 31, 0)"))
+        .withColumn("_l2_ps",
+          expr("shiftright(_l2_pp, _l2_sh) * shiftright(_l2_pp, _l2_sh)"))
+        .withColumn("_l2_qs",
+          expr("shiftright(_l2_qq, _l2_sh) * shiftright(_l2_qq, _l2_sh)"))
+        .withColumn("_l2_pp", col("_l2_ps"))
+        .withColumn("_l2_frac", expr(
+          "_l2_frac * 2 + CASE WHEN _l2_ps >= 2 * _l2_qs THEN 1 ELSE 0 END"))
+        .withColumn("_l2_qq",
+          expr("CASE WHEN _l2_ps >= 2 * _l2_qs THEN 2 * _l2_qs ELSE _l2_qs END"))
+    }
+    d.withColumn(out, expr(s"_l2_e * ${1L << fracBits} + _l2_frac"))
+      .drop("_l2_e0", "_l2_e", "_l2_pp", "_l2_qq", "_l2_frac",
+        "_l2_sh", "_l2_ps", "_l2_qs")
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int = 10,
                fracBits: Int = 8): DataFrame = {
@@ -84,37 +122,24 @@ object Ranking {
     val tok = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // pinned: dl feeds the N/A totals AND the scoring join; tf feeds
+    // the df aggregate AND the scoring join — without the pins each
+    // consumer re-runs the corpus tokenize scan (4 scans of the
+    // 100 TB input instead of 2: one for dl, one for the term-
+    // filtered tf). Callers release via releaseCaches.
+    val dl = pin(tok.groupBy("doc_id").agg(count(lit(1)).as("dl")))
     val gl = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("a"))
-    val tf = tok.filter(col("tok").isin(queryTerms: _*))
+    val tf = pin(tok.filter(col("tok").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("tok").as("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // fixed-point log2((2N+2)/(2df+1)) on the |Q|-row term frame
-    var idf = dfq.crossJoin(broadcast(gl))
-      .withColumn("p", expr("2 * n + 2"))
-      .withColumn("q", expr("2 * df + 1"))
-      .withColumn("e0", expr("length(bin(p)) - length(bin(q))"))
-      .withColumn("e",
-        expr("CASE WHEN p < shiftleft(q, e0) THEN e0 - 1 ELSE e0 END"))
-      .withColumn("pp", col("p"))
-      .withColumn("qq", expr("shiftleft(q, e)"))
-      .withColumn("frac", lit(0L))
-    for (_ <- 0 until fracBits) {
-      idf = idf
-        .withColumn("sh", expr("greatest(length(bin(pp)) - 31, 0)"))
-        .withColumn("ps",
-          expr("shiftright(pp, sh) * shiftright(pp, sh)"))
-        .withColumn("qs",
-          expr("shiftright(qq, sh) * shiftright(qq, sh)"))
-        .withColumn("pp", col("ps"))
-        .withColumn("frac",
-          expr("frac * 2 + CASE WHEN ps >= 2 * qs THEN 1 ELSE 0 END"))
-        .withColumn("qq",
-          expr("CASE WHEN ps >= 2 * qs THEN 2 * qs ELSE qs END"))
-    }
-    val idfT = idf.select(col("term"),
-      expr(s"e * ${1L << fracBits} + frac").as("idf"))
+    val idf = withLog2Fixed(
+      dfq.crossJoin(broadcast(gl))
+        .withColumn("p", expr("2 * n + 2"))
+        .withColumn("q", expr("2 * df + 1")),
+      "p", "q", "idf", fracBits)
+    val idfT = idf.select(col("term"), col("idf"))
     val scored = tf.join(dl, "doc_id")
       .crossJoin(broadcast(gl))
       .join(broadcast(idfT), "term")

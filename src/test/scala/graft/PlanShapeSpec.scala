@@ -28,6 +28,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     graft.operators.Dedup.releaseCaches()
     graft.operators.Similarity.releaseCaches()
     graft.operators.CorpusOps.releaseCaches()
+    graft.operators.Ranking.releaseCaches()
+    graft.operators.Distributions.releaseCaches()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     super.afterAll()
@@ -639,6 +641,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       s"weight recovery lost its broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"weight recovery degraded to a corpus shuffle join:\n$p")
+  }
+
+  // typed walk: collect() does not descend into an InMemoryRelation's
+  // cached plan, so a GenerateExec found here means a consumer
+  // re-derives the tokenize explode PAST the pin (a corpus re-scan);
+  // the explode inside the pinned relation itself is invisible — and
+  // correct.
+  private def exec(name: String) = {
+    val plan = SparkEntry.queries(name)(spark, dir)
+      .queryExecution.sparkPlan
+    (plan,
+      plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g },
+      plan.collect {
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c })
+  }
+
+  test("klDriftTopK: top-k attribution is TakeOrderedAndProject; the " +
+      "pinned count frame backs every consumer (no corpus re-scan)") {
+    val (plan, gens, scans) = exec("q_kl_drift")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"drift attribution degraded to a full global sort:\n$plan")
+    assert(scans.size >= 2,
+      s"pinned count frame not shared by the consumers:\n$plan")
+    assert(gens.isEmpty,
+      s"a consumer re-derives the tokenize scan past the pin:\n$plan")
+    graft.operators.Distributions.releaseCaches()
+  }
+
+  test("unigramPerplexity: model join is SortMergeJoin on token " +
+      "(vocabulary-sized model — never broadcast); scoring reads the " +
+      "pinned doc-term frame") {
+    val (plan, gens, scans) = exec("q_unigram_ppl")
+    assert(plan.toString.contains("SortMergeJoin"),
+      s"model join lost its merge shape:\n$plan")
+    assert(scans.size >= 2,
+      s"pinned doc-term frame not shared by the consumers:\n$plan")
+    assert(gens.isEmpty,
+      s"a consumer re-derives the tokenize scan past the pin:\n$plan")
+    graft.operators.Distributions.releaseCaches()
   }
 
   test("bm25TopK: global top-k is TakeOrderedAndProject (never a full " +

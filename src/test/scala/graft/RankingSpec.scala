@@ -7,6 +7,11 @@ import graft.operators.Ranking
 class RankingSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  override def afterAll(): Unit = {
+    Ranking.releaseCaches()
+    super.afterAll()
+  }
+
   test("fixed-point log2 stays within 1 ulp of exact log2 across the " +
       "(N, df) grid the idf ever sees") {
     for (n <- Seq(2L, 10L, 499L, 5000L, 1000000L);
