@@ -2222,6 +2222,14 @@ object SparkEntry {
     "q_bloom_join" -> ((s, dir) =>
       graft.operators.RuntimeFilters.bloomPrunedJoinFace(s, dir)),
 
+    // Dynamic partition pruning: star join where the selective
+    // predicate sits on a dim ATTRIBUTE (tier), so only the runtime
+    // dynamicpruning subquery can prune the partitioned fact scan —
+    // injection require-checked typed, pruning require-checked via
+    // runtime metrics (2/5 partitions read). Production-default confs.
+    "q_dpp_join" -> ((s, dir) =>
+      graft.operators.RuntimeFilters.dppJoinFace(s, dir)),
+
     // Append-only schema evolution under mergeSchema: old files
     // surface the evolved column as null; the gate pins the exact
     // union-schema semantics.
@@ -5837,6 +5845,21 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 2
         |GROUP BY p_size ORDER BY p_size""".stripMargin,
+
+    // DPP replay: the partitioned fact copy holds exactly the events
+    // rows, so the oracle runs the same star join over events with
+    // the tier dim as a VALUES list
+    "q_dpp_join" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       min(event_id) AS min_event_id,
+        |       max(event_id) AS max_event_id
+        |FROM events
+        |JOIN (VALUES ('purchase','rev'), ('signup','acq'),
+        |             ('click','eng'), ('view','eng'), ('error','ops'))
+        |  AS dim(event_type, tier) USING (event_type)
+        |WHERE tier IN ('rev','acq')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_schema_evolution" ->
       """WITH merged AS (

@@ -219,10 +219,10 @@ object TableLayout {
   // pattern).
   // ------------------------------------------------------------------
 
-  private[sources] def freshTmp(prefix: String): java.nio.file.Path =
+  private[graft] def freshTmp(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(prefix)
 
-  private[sources] def rmTree(p: java.nio.file.Path): Unit = {
+  private[graft] def rmTree(p: java.nio.file.Path): Unit = {
     import java.nio.file._
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())

@@ -27,6 +27,25 @@ class RuntimeFiltersSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("dppJoinFace matches the plain star join (DPP is " +
+      "result-invisible) and selects exactly the rev/acq tiers") {
+    // the face's own require gates already enforce injection +
+    // measured pruning on this execution — a throw here IS a failure
+    val got = RuntimeFilters.dppJoinFace(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val expected = graft.streaming.EventStream.eventsTable(spark, dir)
+      .where($"event_type".isin("purchase", "signup"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        min($"event_id").as("min_event_id"),
+        max($"event_id").as("max_event_id"))
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._1) == Seq("purchase", "signup"))
+  }
+
   test("the face restores every session conf it touches") {
     val keys = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled",
