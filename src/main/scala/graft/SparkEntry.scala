@@ -546,6 +546,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Cross-document exact-substring duplication (Lee et al. 2022):
+    // merged spans of 8-token windows whose rolling-hash fingerprint
+    // occurs in >= 2 documents — the span-level signal document
+    // fingerprints can't see. One pinned tokenize scan, fingerprint
+    // postings never collected, islands window doc-bounded.
+    "q_substring_dedup" -> ((s, dir) => {
+      Dedup.substringDupSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = SubstringDupK)
+        .orderBy("doc_id")
+    }),
+
     // SimHash fingerprint (native one-pass Catalyst expression).
     "q_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -606,6 +617,18 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
         .orderBy("vec_id", "rank")
+    }),
+
+    // Recall@5 of the IVF index against the brute-force ground truth
+    // — the eval every ANN deployment runs before trusting an index.
+    // Set-membership only (integer counts + one truncating div), so
+    // the evaluation of an approximate path is itself hash-exact.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.recallAtK(
+          Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5))
+        .orderBy("vec_id")
     }),
 
     // One Lloyd (k-means) refinement step over the IVF assignment —
@@ -1163,6 +1186,29 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) => {
       Funnel.funnelCounts(EventStream.eventsTable(s, dir),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: one lead() window (user-bounded state), a
+    // |types|²-row rollup whose shuffle is collapsed map-side, and
+    // truncating per-mille probabilities (integer — oracle-exact).
+    "q_markov_transitions" -> ((s, dir) => {
+      Funnel.transitionMatrix(EventStream.eventsTable(s, dir),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    }),
+
+    // 2-D skyline (Pareto frontier): cheapest-per-size parts —
+    // bucket-local staircase prune then a frontier-sized global
+    // pass; the all-pairs NOT EXISTS lives only in the oracle.
+    "q_skyline" -> ((s, dir) => {
+      val pts = t(s, dir, "part")
+        .groupBy(col("p_retailprice").as("cost"),
+          col("p_size").cast("long").as("benefit"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("p_partkey")).as("min_partkey"))
+      graft.operators.Skyline.skyline2d(pts, "cost", "benefit")
+        .orderBy("cost", "benefit")
     }),
 
     // Cohort retention triangle: users cohorted by week of first
@@ -2173,6 +2219,21 @@ object SparkEntry {
         req, "req_id")
     }),
 
+    // k-anonymity suppression release over customer
+    // (nation, segment) quasi-identifiers, k=8: cells under k merge
+    // into one '*' bucket — the releasable aggregate view plus the
+    // re-identification audit in one pass. One QI exchange
+    // (map-side-collapsed); the pinned cell frame feeds both the
+    // safe filter and the bucket rollup.
+    "q_k_anonymity" -> ((s, dir) => {
+      Redaction.kAnonymize(
+          t(s, dir, "customer")
+            .select(col("c_nationkey").cast("string").as("qi_nation"),
+              col("c_mktsegment").as("qi_segment")),
+          Seq("qi_nation", "qi_segment"), k = KAnonymityK)
+        .orderBy("qi_nation", "qi_segment")
+    }),
+
     // ---- Physical-layout faces (TableLayout): the storage-side
     // levers a 100 TB table lives or dies by, each one actually
     // exercised (real writes) with its physical property enforced by
@@ -2332,6 +2393,22 @@ object SparkEntry {
     * the false candidates to exercise the filter. The oracle
     * interpolates the same constant. */
   private val EditNearDupMaxEdits = 16
+
+  /** Window width (tokens) for q_substring_dedup. 8 is wide enough
+    * that no two INDEPENDENT sf documents share a window (0 false
+    * spans observed) while the seeded near-dup families light up with
+    * partial spans (47/500 docs at sf0.01, many strictly < full-doc —
+    * the span-merge path is exercised, not just whole-doc matches).
+    * The oracle interpolates the same constant. */
+  private val SubstringDupK = 8
+
+  /** Anonymity threshold for q_k_anonymity — a POLICY constant (HIPAA
+    *-era deidentification guidance uses single-digit k), not a tuned
+    * one. At sf0.01 11 of 125 (nation, segment) cells fall under it
+    * (the suppression path runs at the driver's own gate scale); at
+    * sf0.1 every cell clears it and the release is the identity — the
+    * bucket row's absence is itself gated. */
+  private val KAnonymityK = 8
 
   /** Mixture weights + corpus budget for q_lang_mix — zh's target
     * exceeds its stratum size, exercising the keep_bp cap. The oracle
@@ -2668,6 +2745,35 @@ object SparkEntry {
        |       FROM q8
        |       WHERE list_sum(list_transform(qe, v -> v*v)) > 0)""".stripMargin
 
+  /** IVF search body over an upstream `nv` relation (emitted by
+    * [[quantCte]] or [[quantCte8]]): hash-order centroids, crank
+    * assignment, nprobe=3 probes, cluster-local search, ranked
+    * neighbours as relation `r`. Shared by the q_ann_ivf,
+    * q_ann_ivf_q8 and q_ann_recall oracles so the three replay ONE
+    * construction and can't drift. */
+  private def ivfSearchCtes: String =
+    s"""${centsSql()},
+       |asg AS (
+       |  SELECT vec_id, cid, qe, nn,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY csim DESC, cid) AS crank
+       |  FROM (SELECT v.vec_id, c.cid, v.qe, v.nn,
+       |          ${cosineQSql("v.qe", "c.cqe", "v.nn", "c.cnn")} AS csim
+       |        FROM nv v CROSS JOIN cents c)),
+       |idx AS (SELECT vec_id AS neighbor_id, cid AS cluster, qe, nn
+       |        FROM asg WHERE crank = 1),
+       |probes AS (SELECT vec_id, cid AS cluster, qe, nn
+       |           FROM asg WHERE crank <= 3),
+       |p AS (
+       |  SELECT a.vec_id, b.neighbor_id,
+       |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
+       |  FROM probes a JOIN idx b
+       |    ON a.cluster = b.cluster AND a.vec_id <> b.neighbor_id),
+       |r AS (SELECT vec_id, neighbor_id, sim,
+       |        row_number() OVER (PARTITION BY vec_id
+       |                           ORDER BY sim DESC, neighbor_id) AS rank
+       |      FROM p)""".stripMargin
+
   private val fingerprintSql =
     """md5(trim(regexp_replace(regexp_replace(lower(text),
       |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))""".stripMargin
@@ -2972,6 +3078,47 @@ object SparkEntry {
          |       doc_id = cluster AS is_canonical
          |FROM asg ORDER BY doc_id""".stripMargin,
 
+    // mirrors Dedup.substringDupSpans: k-token windows fingerprinted
+    // with the shared rolling hash, duplicated iff the fingerprint
+    // spans >= 2 docs, per-doc gaps-and-islands span merge, all
+    // arithmetic integer (one truncating per-mille division)
+    "q_substring_dedup" ->
+      s"""WITH ft AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE len($toksSql) >= $SubstringDupK),
+         |g AS (
+         |  SELECT doc_id, i AS pos, array_to_string(
+         |    list_slice(toks, i, i+${SubstringDupK - 1}), ' ') AS gram
+         |  FROM ft, unnest(range(1, len(toks)-${SubstringDupK}+2)) AS u(i)),
+         |w AS (SELECT doc_id, pos, ${rhSql("gram")} AS h FROM g),
+         |tot AS (SELECT doc_id, max(pos) + ${SubstringDupK - 1} AS n_tokens
+         |        FROM w GROUP BY doc_id),
+         |dh AS (SELECT h FROM w GROUP BY h
+         |       HAVING count(DISTINCT doc_id) >= 2),
+         |isl AS (
+         |  SELECT doc_id, pos, CASE WHEN pos > coalesce(
+         |    max(pos + $SubstringDupK) OVER (PARTITION BY doc_id
+         |      ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM w JOIN dh USING (h)),
+         |isl2 AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl),
+         |sp AS (SELECT doc_id, island, min(pos) AS s,
+         |         max(pos) + $SubstringDupK AS e
+         |       FROM isl2 GROUP BY doc_id, island),
+         |agg AS (SELECT doc_id, count(*) AS n_dup_spans,
+         |          CAST(sum(e - s) AS BIGINT) AS dup_tokens
+         |        FROM sp GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_tokens,
+         |  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+         |  coalesce(a.dup_tokens, 0) AS dup_tokens,
+         |  coalesce(a.dup_tokens, 0) * 1000 // t.n_tokens AS dup_permille
+         |FROM tot t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
     "q_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, sh AS simhash FROM sim ORDER BY doc_id""".stripMargin,
@@ -3084,55 +3231,42 @@ object SparkEntry {
     // verbatim
     "q_ann_ivf_q8" ->
       s"""WITH $quantCte8,
-         |${centsSql()},
-         |asg AS (
-         |  SELECT vec_id, cid, qe, nn,
-         |    row_number() OVER (PARTITION BY vec_id
-         |                       ORDER BY csim DESC, cid) AS crank
-         |  FROM (SELECT v.vec_id, c.cid, v.qe, v.nn,
-         |          ${cosineQSql("v.qe", "c.cqe", "v.nn", "c.cnn")} AS csim
-         |        FROM nv v CROSS JOIN cents c)),
-         |idx AS (SELECT vec_id AS neighbor_id, cid AS cluster, qe, nn
-         |        FROM asg WHERE crank = 1),
-         |probes AS (SELECT vec_id, cid AS cluster, qe, nn
-         |           FROM asg WHERE crank <= 3),
-         |p AS (
-         |  SELECT a.vec_id, b.neighbor_id,
-         |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
-         |  FROM probes a JOIN idx b
-         |    ON a.cluster = b.cluster AND a.vec_id <> b.neighbor_id),
-         |r AS (SELECT vec_id, neighbor_id, sim,
-         |        row_number() OVER (PARTITION BY vec_id
-         |                           ORDER BY sim DESC, neighbor_id) AS rank
-         |      FROM p)
+         |$ivfSearchCtes
          |SELECT vec_id, rank, neighbor_id, sim FROM r
          |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH $quantCte,
-         |${centsSql()},
-         |asg AS (
-         |  SELECT vec_id, cid, qe, nn,
-         |    row_number() OVER (PARTITION BY vec_id
-         |                       ORDER BY csim DESC, cid) AS crank
-         |  FROM (SELECT v.vec_id, c.cid, v.qe, v.nn,
-         |          ${cosineQSql("v.qe", "c.cqe", "v.nn", "c.cnn")} AS csim
-         |        FROM nv v CROSS JOIN cents c)),
-         |idx AS (SELECT vec_id AS neighbor_id, cid AS cluster, qe, nn
-         |        FROM asg WHERE crank = 1),
-         |probes AS (SELECT vec_id, cid AS cluster, qe, nn
-         |           FROM asg WHERE crank <= 3),
-         |p AS (
-         |  SELECT a.vec_id, b.neighbor_id,
-         |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
-         |  FROM probes a JOIN idx b
-         |    ON a.cluster = b.cluster AND a.vec_id <> b.neighbor_id),
-         |r AS (SELECT vec_id, neighbor_id, sim,
-         |        row_number() OVER (PARTITION BY vec_id
-         |                           ORDER BY sim DESC, neighbor_id) AS rank
-         |      FROM p)
+         |$ivfSearchCtes
          |SELECT vec_id, rank, neighbor_id, sim FROM r
          |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+
+    // mirrors Similarity.recallAtK: the IVF pipeline (shared CTEs)
+    // joined against the brute-force ground truth — set membership
+    // only, so the approximate path's EVALUATION is integer-exact
+    "q_ann_recall" ->
+      s"""WITH $quantCte,
+         |$ivfSearchCtes,
+         |ar AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= 5),
+         |bp AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
+         |  FROM nv a JOIN nv b ON a.vec_id <> b.vec_id),
+         |er AS (SELECT vec_id, neighbor_id FROM (
+         |         SELECT vec_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY sim DESC, neighbor_id) AS rank
+         |         FROM bp) WHERE rank <= 5),
+         |gt AS (SELECT vec_id, count(*) AS n_exact FROM er GROUP BY vec_id),
+         |h AS (SELECT e.vec_id, count(*) AS n_hits
+         |      FROM er e JOIN ar a
+         |        ON a.vec_id = e.vec_id AND a.neighbor_id = e.neighbor_id
+         |      GROUP BY e.vec_id)
+         |SELECT g.vec_id, g.n_exact,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  coalesce(h.n_hits, 0) * 1000 // g.n_exact AS recall_permille
+         |FROM gt g LEFT JOIN h USING (vec_id)
+         |ORDER BY g.vec_id""".stripMargin,
 
     // mirrors Similarity.kmeansStep: argmax-cosine assignment (same
     // deterministic (csim desc, cid) order as the IVF oracle), then
@@ -4420,6 +4554,38 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
         |ORDER BY step""".stripMargin,
+
+    // mirrors Funnel.transitionMatrix: lead over (ts, event_id) per
+    // user, pair counts, window row totals, one truncating division
+    "q_markov_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events),
+        |p AS (SELECT from_type, to_type, count(*) AS n FROM s
+        |      WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS from_total,
+        |  n * 1000 // CAST(sum(n) OVER (PARTITION BY from_type)
+        |    AS BIGINT) AS permille
+        |FROM p ORDER BY from_type, to_type""".stripMargin,
+
+    // the DEFINITIONAL all-pairs dominance test — deliberately NOT
+    // the engine's staircase algorithm, so the oracle independently
+    // checks the two-phase prune's exactness
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT p_retailprice AS cost, CAST(p_size AS BIGINT) AS benefit,
+        |         count(*) AS n_parts, min(p_partkey) AS min_partkey
+        |  FROM part GROUP BY 1, 2)
+        |SELECT cost, benefit, n_parts, min_partkey FROM pts a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts b
+        |  WHERE b.cost <= a.cost AND b.benefit >= a.benefit
+        |    AND (b.cost < a.cost OR b.benefit > a.benefit))
+        |ORDER BY cost, benefit""".stripMargin,
 
     // cohort = week of first event per user; offsets are exact
     // multiples of 7 days (both sides are week-truncated), so the /7
@@ -5768,6 +5934,21 @@ object SparkEntry {
          |SELECT tbl, rows_before, purged, rows_before - purged AS rows_after
          |FROM a ORDER BY tbl""".stripMargin
     },
+
+    // mirrors Redaction.kAnonymize: QI cells, >= k released as-is,
+    // the rest merged into one '*' bucket (absent when no cell is
+    // small — the aggregate-with-no-groups row is HAVING-dropped)
+    "q_k_anonymity" ->
+      s"""WITH g AS (
+         |  SELECT CAST(c_nationkey AS VARCHAR) AS qi_nation,
+         |         c_mktsegment AS qi_segment, count(*) AS n_rows
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT qi_nation, qi_segment, n_rows, false AS suppressed
+         |FROM g WHERE n_rows >= $KAnonymityK
+         |UNION ALL
+         |SELECT '*', '*', CAST(sum(n_rows) AS BIGINT), true
+         |FROM g WHERE n_rows < $KAnonymityK HAVING count(*) > 0
+         |ORDER BY qi_nation, qi_segment""".stripMargin,
 
     // Layout faces: the oracle sees only the LOGICAL result — the
     // physical claims (no exchange / pruned dirs / fewer files /

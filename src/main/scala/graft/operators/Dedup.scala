@@ -545,4 +545,76 @@ object Dedup extends CachePinning {
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
   }
+
+  /** Cross-document EXACT-SUBSTRING duplication report — the
+    * span-level dedup signal document-level fingerprints cannot see
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": repeated SUBSTRINGS — licenses, boilerplate
+    * headers, quoted passages — survive every whole-document and
+    * shingle-set dedup pass, and memorization tracks the substring
+    * duplication rate, not the document one). Per document: the
+    * merged spans of token positions covered by some `k`-token
+    * window whose content also occurs in ANOTHER document, plus the
+    * duplicated-token total and a truncating per-mille ratio.
+    *
+    * The reference suffix-array formulation is a single-machine
+    * construction over the concatenated corpus — unbuildable at
+    * 100 TB. The distributed re-expression: every k-token window →
+    * one [[RollingHashExpr]] fingerprint; a window is duplicated iff
+    * its fingerprint's posting spans ≥ 2 documents; a document's dup
+    * spans are the gaps-and-islands merge of its duplicated window
+    * positions. All arithmetic is integer and the oracle replays the
+    * same hash, so (as with SQ8/PQ) the approximate path stays
+    * hash-exact; fingerprint collisions (p ≈ n²/2P per bucket) are
+    * the documented price of shuffling 8 bytes per window instead of
+    * k tokens — the same trade every MinHash op above makes.
+    *
+    * Shape at 100 TB: the corpus is tokenized ONCE — the
+    * (doc, pos, h) window frame is pinned and feeds all three
+    * consumers (per-doc totals, the duplicated-fingerprint set, the
+    * position probe). The dup-set groupBy and the probe join both
+    * exchange on `h` — a 64-bit high-cardinality key (a viral
+    * boilerplate gram is bounded by its corpus frequency and
+    * AQE-splittable). The islands window partitions by doc_id —
+    * document-bounded state, never corpus-bounded. Nothing is
+    * quadratic and no posting list is ever collected. */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val w = pin(df
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => struct(i.cast("long").as("pos"),
+          graft.functions.RollingHashExpr.rolling_hash(
+            concat_ws(" ", slice(col("toks"), i, lit(k)))).as("h"))))
+        .as("win"))
+      .select(col("doc_id"), col("win.pos").as("pos"), col("win.h").as("h")))
+    val tot = w.groupBy("doc_id")
+      .agg((max(col("pos")) + (k - 1)).as("n_tokens"))
+    val dupH = w.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // gaps-and-islands: a window starts a new span iff it begins
+    // past the furthest end seen so far ([pos, pos+k) half-open)
+    val prevMaxEnd = max(col("pos") + k)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = w.join(dupH, "h").select("doc_id", "pos")
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevMaxEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s")).as("dup_tokens"))
+    tot.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        expr("coalesce(dup_tokens, 0L) * 1000 div n_tokens")
+          .as("dup_permille"))
+  }
 }

@@ -55,4 +55,43 @@ object Funnel {
       .reduce(_.unionByName(_))
       .orderBy("step")
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for each ordered pair of event types, how often an
+    * event of `from_type` is IMMEDIATELY followed — within the same
+    * user's timeline, ordered by timestamp with `orderCol` as the
+    * deterministic tiebreak — by one of `to_type`, plus the per-from
+    * row total and a truncating per-mille transition probability.
+    * The user-journey model behind "what happens after a click"
+    * analyses and Markov-chain attribution; the sequential
+    * complement of [[funnelCounts]] (which tests a FIXED subsequence,
+    * where this measures ALL adjacent transitions).
+    *
+    * Exact by construction: counts and one truncating `div` — no
+    * floating probability, so the DuckDB oracle replays it
+    * bit-for-bit.
+    *
+    * Shape at 100 TB: consecutive pairs come from ONE lead() window
+    * partitioned by user — per-user state, bounded by the busiest
+    * user, never corpus-sized. The pair rollup exchanges on
+    * (from, to), cardinality |types|²: partial aggregation collapses
+    * every map task to at most |types|² rows before the shuffle, so
+    * the exchange moves KBs per task regardless of input size. The
+    * row totals ride a window over the |types|²-row aggregate — no
+    * second scan of the events. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, orderCol: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("ts"), col("ord"))
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    events
+      .select(col(userCol).as("u"), col(tsCol).as("ts"),
+        col(orderCol).as("ord"), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(byUser))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("from_total", sum(col("n")).over(byFrom))
+      .withColumn("permille", expr("n * 1000 div from_total"))
+  }
 }

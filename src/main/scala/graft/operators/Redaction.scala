@@ -190,4 +190,42 @@ object Redaction extends CachePinning {
       .orderBy("tbl")
     } finally reqKeys.unpersist(false)
   }
+
+  /** k-anonymity suppression release (Sweeney 2002): aggregate by the
+    * quasi-identifier columns and publish only cells with at least
+    * `k` members; every smaller cell is merged into ONE `'*'` bucket
+    * — the re-identification audit plus the safe releasable view in
+    * one pass, the aggregate-level complement of the row-level
+    * [[redactPii]]/[[purge]] family (those remove identifiers; this
+    * bounds what the RELEASED AGGREGATE can reveal about any
+    * individual).
+    *
+    * The `'*'` bucket is released at any size: it is the union of
+    * rows across many DISTINCT small QI cells, so its count is not
+    * attributable to any quasi-identifier combination — unlike a
+    * small cell, it identifies nobody. QI values are cast to string
+    * for the merge; a literal `'*'` QI value in the data would
+    * collide (callers with such data should re-map first).
+    *
+    * Shape at 100 TB: ONE exchange on the QI tuple with map-side
+    * partial aggregation — the shuffle moves at most |QI-space| rows
+    * per task, not data rows. The cell frame is pinned: safe filter
+    * and bucket rollup are two consumers, and without the pin each
+    * would re-run the full corpus aggregation. Everything after the
+    * first groupBy is |QI-space|-sized. */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "k-anonymity needs at least one QI column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val cells = pin(df
+      .groupBy(qiCols.map(c => col(c).cast("string").as(c)): _*)
+      .agg(count(lit(1)).as("n_rows")))
+    val safe = cells.where(col("n_rows") >= k)
+      .withColumn("suppressed", lit(false))
+    val bucket = cells.where(col("n_rows") < k)
+      .agg(sum(col("n_rows")).as("n_rows"))
+      .where(col("n_rows").isNotNull) // no unsafe cells -> no bucket row
+      .select(qiCols.map(c => lit("*").as(c)) :+ col("n_rows") :+
+        lit(true).as("suppressed"): _*)
+    safe.unionByName(bucket)
+  }
 }

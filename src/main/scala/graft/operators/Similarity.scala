@@ -424,6 +424,36 @@ object Similarity extends CachePinning {
                 nprobe: Int = 3): DataFrame =
     ivfTopKOverBase(pin(int8Codes(df, idCol, embCol)), k, seeding, nprobe)
 
+  /** Recall of an approximate neighbor list against the exact one —
+    * the eval harness every ANN deployment runs before trusting an
+    * index (FAISS's `recall@k`): per query vector, how many of the
+    * EXACT top-k neighbors the approximate search returned, as a
+    * count and a truncating per-mille. Both inputs use the ranked
+    * `(vec_id, rank, neighbor_id, …)` schema the whole family emits
+    * ([[bruteForceTopK]] ground truth vs [[ivfTopK]]/[[pqTopK]]/…).
+    * Set membership only — ranks and sims don't enter — so the
+    * result is integer-exact.
+    *
+    * Shape at 100 TB: ground truth is the expensive side (brute
+    * force is O(n·|queries|)) — production evals run it on a query
+    * SAMPLE, which this operator inherits by taking the frames as
+    * inputs rather than building them. The overlap is a left-semi
+    * join on (vec_id, neighbor_id) followed by two vec_id rollups —
+    * every exchange keys on the query id; nothing is quadratic
+    * here. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val gt = exact.groupBy("vec_id").agg(count(lit(1)).as("n_exact"))
+    val hits = exact.select("vec_id", "neighbor_id")
+      .join(approx.select("vec_id", "neighbor_id"),
+        Seq("vec_id", "neighbor_id"), "left_semi")
+      .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
+    gt.join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("coalesce(n_hits, 0L) * 1000 div n_exact")
+          .as("recall_permille"))
+  }
+
   private def ivfTopKOverBase(base: DataFrame, k: Int,
                               seeding: CentroidSeeding,
                               nprobe: Int): DataFrame = {

@@ -304,4 +304,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select(Dedup.hammingDistance($"a", $"b")).as[Int].head()
     assert(d == java.lang.Long.bitCount(5L ^ 9L))
   }
+
+  test("substringDupSpans: cross-doc spans merge, disjoint spans " +
+       "stay split, intra-doc repeats and short docs are excluded") {
+    // k=4. d1/d2 share the run "a b c d e f" (3 overlapping windows
+    // -> ONE merged span); d5 shares "a b c d" with d1/d2 and
+    // "h x y z" with d1 at separated positions (-> TWO spans, and
+    // they promote d1's window 8 to a second d1 span); d3 shares
+    // nothing; d4 is shorter than k (omitted); d6 repeats a gram
+    // only WITHIN itself (not duplicated: >= 2 DOCS is the contract)
+    val df = Seq(
+      (1L, "a b c d e f g h x y z"),
+      (2L, "q r a b c d e f s t"),
+      (3L, "a b c m n o p q r s"),
+      (4L, "u v w"),
+      (5L, "a b c d k1 k2 k3 h x y z"),
+      (6L, "m1 m2 m3 m4 m1 m2 m3 m4")).toDF("doc_id", "text")
+    try {
+      val got = Dedup.substringDupSpans(df, "doc_id", "text", k = 4)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got == Seq(
+        (1L, 11L, 2L, 10L, 909L),   // [1,7) + [8,12), 10000/11
+        (2L, 10L, 1L, 6L, 600L),    // [3,9)
+        (3L, 10L, 0L, 0L, 0L),
+        (5L, 11L, 2L, 8L, 727L),    // [1,5) + [8,12), 8000/11
+        (6L, 8L, 0L, 0L, 0L)))
+    } finally Dedup.releaseCaches(blocking = true)
+  }
 }

@@ -43,4 +43,27 @@ class FunnelSpec extends AnyFunSuite with SparkTestBase {
         Seq("view", "click")).as[(Int, String, Long)].collect().toSeq
     assert(out == Seq((1, "view", 1L), (2, "click", 0L)))
   }
+
+  test("transitionMatrix: adjacent pairs per user, id tiebreak at " +
+       "equal ts, truncating per-mille over the from-row total") {
+    val events = Seq(
+      // u1: view -> click -> purchase -> view
+      (1L, 1L, ts(1), "view"), (2L, 1L, ts(2), "click"),
+      (3L, 1L, ts(3), "purchase"), (4L, 1L, ts(4), "view"),
+      // u2: two views at the SAME instant — event_id orders them
+      (6L, 2L, ts(1), "view"), (5L, 2L, ts(1), "view"),
+      (7L, 2L, ts(2), "click"),
+      // u3: single event — no transition
+      (8L, 3L, ts(1), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Funnel.transitionMatrix(events, "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("click", "purchase", 1L, 1L, 1000L),
+      ("purchase", "view", 1L, 1L, 1000L),
+      ("view", "click", 2L, 3L, 666L),
+      ("view", "view", 1L, 3L, 333L)))
+  }
 }

@@ -26,6 +26,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   // releaseCaches would re-unpersist this suite's stale frames.
   override def afterAll(): Unit = {
     graft.operators.Dedup.releaseCaches()
+    graft.operators.Redaction.releaseCaches()
     graft.operators.Similarity.releaseCaches()
     graft.operators.CorpusOps.releaseCaches()
     graft.operators.Ranking.releaseCaches()
@@ -695,6 +696,68 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // unpartitioned window in the plan must sit ABOVE the top-k limit
     assert(!p.contains("CartesianProduct"),
       s"unexpected cartesian in bm25 plan:\n$p")
+  }
+
+  test("substringDupSpans: the pinned window frame backs all three " +
+      "consumers — no consumer re-derives the tokenize explode") {
+    val (plan, gens, scans) = exec("q_substring_dedup")
+    assert(scans.size >= 3,
+      s"pinned (doc,pos,h) frame not shared by totals/dup-set/probe:\n$plan")
+    assert(gens.isEmpty,
+      s"a consumer re-derives the window explode past the pin:\n$plan")
+    graft.operators.Dedup.releaseCaches()
+  }
+
+  test("transitionMatrix: row totals ride a window over the " +
+      "|types|²-row AGGREGATE — never a second pass over the events") {
+    val plan = SparkEntry.queries("q_markov_transitions")(spark, dir)
+      .queryExecution.sparkPlan
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("Join"),
+      s"transition matrix must be windows + aggregates, no joins:\n$p")
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.size == 2, s"expected lead + totals windows:\n$p")
+    // the totals window's subtree must contain the pair aggregate
+    // (its input is |types|²-sized); only the lead window may read
+    // the raw scan
+    val overAgg = wins.count(_.child.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty)
+    assert(overAgg >= 1, s"totals window not fed by the aggregate:\n$p")
+  }
+
+  test("skyline2d: NO joins of any kind — the all-pairs NOT EXISTS " +
+      "is oracle-only; the engine is two staircase windows") {
+    val plan = SparkEntry.queries("q_skyline")(spark, dir)
+      .queryExecution.sparkPlan
+    val p = plan.toString
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"skyline must not pair points:\n$p")
+    assert(plan.collect { case w: WindowExec => w }.size == 2,
+      s"expected bucket-local + global staircase windows:\n$p")
+  }
+
+  test("recallAtK: overlap is a LeftSemi equi-join keyed on the query " +
+      "id — no cartesian joins outside the bounded centroid cross") {
+    val plan = SparkEntry.queries("q_ann_recall")(spark, dir)
+      .queryExecution.sparkPlan
+    val p = plan.toString
+    assert(p.contains("LeftSemi"),
+      s"exact∩approx overlap lost its semi-join shape:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian in the recall plan:\n$p")
+    graft.operators.Similarity.releaseCaches()
+  }
+
+  test("kAnonymize: ONE corpus aggregation — the pinned cell frame " +
+      "backs both the safe filter and the '*' bucket rollup") {
+    val (plan, _, scans) = exec("q_k_anonymity")
+    assert(scans.size >= 2,
+      s"pinned QI-cell frame not shared by safe/bucket consumers:\n$plan")
+    assert(plan.collect { case f: FileSourceScanExec => f }.isEmpty,
+      s"a consumer re-scans the corpus past the pin:\n$plan")
+    graft.operators.Redaction.releaseCaches()
   }
 
 }

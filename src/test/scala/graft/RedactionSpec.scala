@@ -112,4 +112,27 @@ class RedactionSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("docs", 1L, 0L, 1L)))
   }
+
+  test("kAnonymize: small cells merge into one '*' bucket; every " +
+       "released cell clears k; no unsafe cells -> no bucket row") {
+    import spark.implicits._
+    // cells: (a,x)=3, (a,y)=1, (b,x)=2 with k=3 -> only (a,x) safe
+    val rows = Seq.fill(3)(("a", "x")) ++ Seq(("a", "y")) ++
+      Seq.fill(2)(("b", "x"))
+    try {
+      val got = Redaction.kAnonymize(rows.toDF("q1", "q2"),
+          Seq("q1", "q2"), k = 3)
+        .orderBy("q1", "q2")
+        .as[(String, String, Long, Boolean)].collect().toSeq
+      assert(got == Seq(("*", "*", 3L, true), ("a", "x", 3L, false)))
+      assert(got.filterNot(_._4).forall(_._3 >= 3)) // the k guarantee
+
+      val allSafe = Redaction.kAnonymize(
+          rows.filter(_ != (("a", "y"))).toDF("q1", "q2"),
+          Seq("q1", "q2"), k = 2)
+        .as[(String, String, Long, Boolean)].collect().toSeq
+      assert(allSafe.length == 2 && allSafe.forall(!_._4),
+        s"expected the identity release, got $allSafe")
+    } finally Redaction.releaseCaches(blocking = true)
+  }
 }

@@ -33,6 +33,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(top(3L).head == 2L)
   }
 
+  test("recallAtK: per-query overlap of exact vs approx, zero-hit " +
+       "vectors kept, truncating per-mille") {
+    val exact = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L), (3L, 1, 30L))
+      .toDF("vec_id", "rank", "neighbor_id")
+    val approx = Seq((1L, 1, 11L), (1L, 2, 99L), (1L, 3, 12L),
+      (2L, 1, 98L), (2L, 2, 97L), (3L, 1, 30L))
+      .toDF("vec_id", "rank", "neighbor_id")
+    val got = Similarity.recallAtK(approx, exact).orderBy("vec_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L, 666L), (2L, 2L, 0L, 0L),
+      (3L, 1L, 1L, 1000L)))
+  }
+
   test("releaseCaches unpersists exactly the operator's pinned frames") {
     spark.catalog.clearCache()
     val out = Similarity.cosineNearDups(vecs, "vec_id", "embedding", 0.9)
