@@ -255,6 +255,25 @@ object SparkEntry {
       |  SELECT l_partkey*2+1, l_orderkey*2 FROM lineitem
       |)""".stripMargin
 
+  /** Two unrolled LP rounds over `edges` (mirrors
+    * LabelPropagation.run(rounds = 2): neighbor-majority with
+    * min-label tie-break via the argmin row), emitting `l2(id,
+    * label)`. Shared by the q_label_prop and q_modularity oracles so
+    * the engine and both oracles replay ONE construction. */
+  private def lpTwoRoundsSql: String =
+    """c1 AS (SELECT src AS id, dst AS lbl, count(*) AS c
+      |       FROM edges GROUP BY 1, 2),
+      |l1 AS (SELECT id,
+      |         CAST(min(row(-c, lbl)) AS ROW(nc BIGINT, l BIGINT)).l
+      |           AS label
+      |       FROM c1 GROUP BY id),
+      |c2 AS (SELECT e.src AS id, l.label AS lbl, count(*) AS c
+      |       FROM edges e JOIN l1 l ON l.id = e.dst GROUP BY 1, 2),
+      |l2 AS (SELECT id,
+      |         CAST(min(row(-c, lbl)) AS ROW(nc BIGINT, l BIGINT)).l
+      |           AS label
+      |       FROM c2 GROUP BY id)""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_bfs_copurchase")(spark, "/root/testdata/sf0.001")
@@ -1716,6 +1735,16 @@ object SparkEntry {
     "q_label_prop" -> ((s, dir) => {
       LabelPropagation.run(copurchaseEdges(s, dir), rounds = 2)
         .orderBy("id")
+    }),
+
+    // Modularity of the 2-round LP communities — the community-
+    // detection EVAL face (recall@k's role for the ANN family).
+    // Per-community contributions stay RAW BIGINT numerators; the
+    // global Q takes one sign-safe truncating micro division.
+    "q_modularity" -> ((s, dir) => {
+      val e = copurchaseEdges(s, dir)
+      LabelPropagation.modularity(e, LabelPropagation.run(e, rounds = 2))
+        .orderBy("label")
     }),
 
     // k-core by bounded peeling: 4 peel rounds at k=6 on the
@@ -4374,19 +4403,42 @@ object SparkEntry {
     // replays the engine's min(struct(-c, lbl)) semilattice exactly.
     "q_label_prop" ->
       s"""WITH $copurchaseEdgesSql,
-         |c1 AS (SELECT src AS id, dst AS lbl, count(*) AS c
-         |       FROM edges GROUP BY 1, 2),
-         |l1 AS (SELECT id,
-         |         CAST(min(row(-c, lbl)) AS ROW(nc BIGINT, l BIGINT)).l
-         |           AS label
-         |       FROM c1 GROUP BY id),
-         |c2 AS (SELECT e.src AS id, l.label AS lbl, count(*) AS c
-         |       FROM edges e JOIN l1 l ON l.id = e.dst GROUP BY 1, 2),
-         |l2 AS (SELECT id,
-         |         CAST(min(row(-c, lbl)) AS ROW(nc BIGINT, l BIGINT)).l
-         |           AS label
-         |       FROM c2 GROUP BY id)
+         |$lpTwoRoundsSql
          |SELECT id, label FROM l2 ORDER BY id""".stripMargin,
+
+    // mirrors LabelPropagation.modularity over the SAME unrolled LP
+    // CTEs (shared lpTwoRoundsSql — the engine and both oracles
+    // can't drift): one pass computes d_c and e_c, |E| is recovered
+    // as Σ_c d_c by a window (no count scan), contributions stay raw
+    // numerators, the global Q is one sign-safe truncating micro
+    // division
+    "q_modularity" ->
+      s"""WITH $copurchaseEdgesSql,
+         |$lpTwoRoundsSql,
+         |we AS (SELECT a.label AS c_src, b.label AS c_dst
+         |       FROM edges e
+         |       JOIN l2 a ON a.id = e.src
+         |       JOIN l2 b ON b.id = e.dst),
+         |st AS (SELECT c_src AS label, count(*) AS degree_sum,
+         |         CAST(sum(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS intra_edges
+         |       FROM we GROUP BY 1),
+         |sz AS (SELECT label, count(*) AS n_nodes FROM l2 GROUP BY 1),
+         |j AS (SELECT s.label, s.n_nodes,
+         |        coalesce(t.intra_edges, 0) AS intra_edges,
+         |        coalesce(t.degree_sum, 0) AS degree_sum
+         |      FROM sz s LEFT JOIN st t USING (label)),
+         |w1 AS (SELECT *, CAST(sum(degree_sum) OVER () AS BIGINT) AS m2
+         |       FROM j),
+         |w2 AS (SELECT *,
+         |         m2 * intra_edges - degree_sum * degree_sum AS contrib_num
+         |       FROM w1),
+         |w3 AS (SELECT *, CAST(sum(contrib_num) OVER () AS BIGINT) AS num
+         |       FROM w2)
+         |SELECT label, n_nodes, intra_edges, degree_sum, contrib_num,
+         |  CASE WHEN num >= 0 THEN num * 1000000 // (m2 * m2)
+         |    ELSE -((-num) * 1000000 // (m2 * m2)) END AS q_micro
+         |FROM w3 ORDER BY label""".stripMargin,
 
     // the run-to-convergence face by bounded equivalence: 18 unrolled
     // peel layers ≥ the measured convergence depth on every shipped SF

@@ -56,4 +56,29 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestBase {
       LabelPropagation.run(Seq((0L, 1L)).toDF("src", "dst"), rounds = 0)
     }
   }
+
+  test("modularity: two bridged triangles hand-computed; adversarial " +
+       "singleton communities go NEGATIVE with sign-safe truncation") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4; symmetrized |E| = 14
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val comm = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "label")
+    val got = LabelPropagation.modularity(edges, comm)
+      .orderBy("label")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // per community: e_c = 6 directed intra, d_c = 7,
+    // contrib = 14*6 - 49 = 35; Q = 70/196 = 0.357142…
+    assert(got == Seq((1L, 3L, 6L, 7L, 35L, 357142L),
+      (4L, 3L, 6L, 7L, 35L, 357142L)))
+
+    // all-singleton assignment: e_c = 0 everywhere, num = -Σd²
+    // = -(4+4+9+9+4+4) = -34 → q = -(34e6 div 196) = -173469
+    // (truncation toward zero — the sign-safe branch, not floor)
+    val single = (1L to 6L).map(i => (i, i)).toDF("id", "label")
+    val neg = LabelPropagation.modularity(edges, single)
+      .select($"q_micro").distinct().as[Long].collect().toSeq
+    assert(neg == Seq(-173469L))
+  }
 }

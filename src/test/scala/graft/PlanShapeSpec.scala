@@ -750,6 +750,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     graft.operators.Similarity.releaseCaches()
   }
 
+  test("modularity: the edge stream is consumed EXACTLY ONCE — |E| " +
+      "and the global sum come from windows over the tiny community " +
+      "frame, never a count scan or a cache-missing self-cross") {
+    val plan = SparkEntry.queries("q_modularity")(spark, dir)
+      .queryExecution.sparkPlan
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"modularity must not cross-join the global aggregates:\n$p")
+    // one lineitem scan = the single edge pass (communities are
+    // checkpoint-backed ExistingRDD scans, not file scans)
+    assert(plan.collect { case s: FileSourceScanExec => s }.size == 1,
+      s"edge pipeline derived more than once:\n$p")
+    assert(plan.collect { case w: WindowExec => w }.size == 2,
+      s"expected the m2 + num windows over the community frame:\n$p")
+  }
+
   test("kAnonymize: ONE corpus aggregation — the pinned cell frame " +
       "backs both the safe filter and the '*' bucket rollup") {
     val (plan, _, scans) = exec("q_k_anonymity")
