@@ -576,6 +576,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The APPLY half of substring dedup: rebuild every document with
+    // its cross-doc duplicated spans removed (short docs untouched,
+    // fully-duplicated docs scrubbed to empty). Two corpus scans by
+    // design — span pass + token pass; doc-keyed range anti-join.
+    "q_substring_scrub" -> ((s, dir) => {
+      Dedup.scrubDupSpans(t(s, dir, "documents"), "doc_id", "text",
+          k = SubstringDupK)
+        .orderBy("doc_id")
+    }),
+
     // SimHash fingerprint (native one-pass Catalyst expression).
     "q_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2655,6 +2665,39 @@ object SparkEntry {
   // --- DuckDB mirrors of the Dedup pipeline, generated from the same
   // Dedup.Coeffs / SimHashExpr.NumBits constants so Scala and SQL can't
   // drift ------------------------------------------------------------
+  /** Shared substring-dedup span CTEs (mirror Dedup.dupSpanFrames):
+    * k-token windows over docs with >= k tokens, rolling-hash
+    * fingerprints, duplicated iff >= 2 docs share the fingerprint,
+    * merged spans emitted as `sp(doc_id, island, s, e)` plus the
+    * window relation `w(doc_id, pos, h)`. Used by both the
+    * q_substring_dedup (report) and q_substring_scrub (apply)
+    * oracles so the two replay ONE span construction. */
+  private def substringSpanCtes: String =
+    s"""ft AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents
+       |  WHERE len($toksSql) >= $SubstringDupK),
+       |g AS (
+       |  SELECT doc_id, i AS pos, array_to_string(
+       |    list_slice(toks, i, i+${SubstringDupK - 1}), ' ') AS gram
+       |  FROM ft, unnest(range(1, len(toks)-${SubstringDupK}+2)) AS u(i)),
+       |w AS (SELECT doc_id, pos, ${rhSql("gram")} AS h FROM g),
+       |dh AS (SELECT h FROM w GROUP BY h
+       |       HAVING count(DISTINCT doc_id) >= 2),
+       |isl AS (
+       |  SELECT doc_id, pos, CASE WHEN pos > coalesce(
+       |    max(pos + $SubstringDupK) OVER (PARTITION BY doc_id
+       |      ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM w JOIN dh USING (h)),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl),
+       |sp AS (SELECT doc_id, island, min(pos) AS s,
+       |         max(pos) + $SubstringDupK AS e
+       |       FROM isl2 GROUP BY doc_id, island)""".stripMargin
+
   /** Rolling hash of a string value `v` (mirrors RollingHashExpr). */
   private def rhSql(v: String): String =
     s"CASE WHEN len($v) = 0 THEN 0 ELSE list_reduce(list_transform(" +
@@ -3112,32 +3155,9 @@ object SparkEntry {
     // spans >= 2 docs, per-doc gaps-and-islands span merge, all
     // arithmetic integer (one truncating per-mille division)
     "q_substring_dedup" ->
-      s"""WITH ft AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents
-         |  WHERE len($toksSql) >= $SubstringDupK),
-         |g AS (
-         |  SELECT doc_id, i AS pos, array_to_string(
-         |    list_slice(toks, i, i+${SubstringDupK - 1}), ' ') AS gram
-         |  FROM ft, unnest(range(1, len(toks)-${SubstringDupK}+2)) AS u(i)),
-         |w AS (SELECT doc_id, pos, ${rhSql("gram")} AS h FROM g),
+      s"""WITH $substringSpanCtes,
          |tot AS (SELECT doc_id, max(pos) + ${SubstringDupK - 1} AS n_tokens
          |        FROM w GROUP BY doc_id),
-         |dh AS (SELECT h FROM w GROUP BY h
-         |       HAVING count(DISTINCT doc_id) >= 2),
-         |isl AS (
-         |  SELECT doc_id, pos, CASE WHEN pos > coalesce(
-         |    max(pos + $SubstringDupK) OVER (PARTITION BY doc_id
-         |      ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-         |    THEN 1 ELSE 0 END AS brk
-         |  FROM w JOIN dh USING (h)),
-         |isl2 AS (
-         |  SELECT doc_id, pos,
-         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM isl),
-         |sp AS (SELECT doc_id, island, min(pos) AS s,
-         |         max(pos) + $SubstringDupK AS e
-         |       FROM isl2 GROUP BY doc_id, island),
          |agg AS (SELECT doc_id, count(*) AS n_dup_spans,
          |          CAST(sum(e - s) AS BIGINT) AS dup_tokens
          |        FROM sp GROUP BY doc_id)
@@ -3146,6 +3166,32 @@ object SparkEntry {
          |  coalesce(a.dup_tokens, 0) AS dup_tokens,
          |  coalesce(a.dup_tokens, 0) * 1000 // t.n_tokens AS dup_permille
          |FROM tot t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // mirrors Dedup.scrubDupSpans over the SAME span CTEs: every doc
+    // (short ones untouched), kept = positions outside every span
+    // (NOT EXISTS range test), canonical-form text re-joined in
+    // position order, md5-gated
+    "q_substring_scrub" ->
+      s"""WITH $substringSpanCtes,
+         |tk AS (
+         |  SELECT doc_id, i AS pos, toks[i] AS tok
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents),
+         |       unnest(range(1, len(toks)+1)) AS u(i)),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM tk t
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id
+         |      AND t.pos >= sp.s AND t.pos < sp.e)),
+         |tot AS (SELECT doc_id, count(*) AS n_tokens FROM tk GROUP BY 1),
+         |ka AS (SELECT doc_id, count(*) AS n_kept,
+         |         array_to_string(array_agg(tok ORDER BY pos), ' ')
+         |           AS scrub_text
+         |       FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_tokens,
+         |  coalesce(ka.n_kept, 0) AS n_kept,
+         |  md5(coalesce(ka.scrub_text, '')) AS scrub_md5
+         |FROM tot t LEFT JOIN ka USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
 
     "q_simhash" ->

@@ -580,6 +580,27 @@ object Dedup extends CachePinning {
     * quadratic and no posting list is ever collected. */
   def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8): DataFrame = {
+    val (w, spans) = dupSpanFrames(df, idCol, textCol, k)
+    val tot = w.groupBy("doc_id")
+      .agg((max(col("pos")) + (k - 1)).as("n_tokens"))
+    val agg = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s")).as("dup_tokens"))
+    tot.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        expr("coalesce(dup_tokens, 0L) * 1000 div n_tokens")
+          .as("dup_permille"))
+  }
+
+  /** The shared span pipeline behind [[substringDupSpans]] (report)
+    * and [[scrubDupSpans]] (apply): the PINNED (doc_id, pos, h)
+    * window frame, and the merged duplicated spans
+    * `(doc_id, s, e)` — `[s, e)` half-open over 1-based token
+    * positions. */
+  private def dupSpanFrames(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): (DataFrame, DataFrame) = {
     val toks = TextAnalysis.tokens(col(textCol))
     val w = pin(df
       .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
@@ -591,8 +612,6 @@ object Dedup extends CachePinning {
             concat_ws(" ", slice(col("toks"), i, lit(k)))).as("h"))))
         .as("win"))
       .select(col("doc_id"), col("win.pos").as("pos"), col("win.h").as("h")))
-    val tot = w.groupBy("doc_id")
-      .agg((max(col("pos")) + (k - 1)).as("n_tokens"))
     val dupH = w.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2).select("h")
@@ -607,14 +626,48 @@ object Dedup extends CachePinning {
       .withColumn("island", sum(col("brk")).over(byDoc))
       .groupBy("doc_id", "island")
       .agg(min(col("pos")).as("s"), (max(col("pos")) + k).as("e"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_dup_spans"),
-        sum(col("e") - col("s")).as("dup_tokens"))
-    tot.join(spans, Seq("doc_id"), "left")
+      .select("doc_id", "s", "e")
+    (w, spans)
+  }
+
+  /** APPLY half of the exact-substring dedup (the step Lee et al.
+    * 2022 actually ship): rebuild every document with its cross-
+    * document duplicated spans REMOVED. Returns one row per document
+    * — including documents shorter than `k` (nothing to scrub) and
+    * fully-duplicated documents (scrubbed to empty) — with the kept
+    * token count and the md5 of the scrubbed text. The output text
+    * is the tokenizer's CANONICAL form (lowercased, single-space
+    * joined): span positions are token indexes, so the apply step is
+    * defined over the token stream, not raw bytes.
+    *
+    * Shape at 100 TB: TWO corpus scans total — the span pass (pinned
+    * window frame, see [[substringDupSpans]]) and the token pass that
+    * rebuilds the text; the span set is dup-sized, tiny next to the
+    * corpus, and meets the token stream in a doc-keyed anti-join
+    * (equi on doc_id, range residual on the positions — never a
+    * cartesian). Reassembly is a per-doc sort inside an aggregate —
+    * document-bounded state, the same bound every tokenize op here
+    * already carries. */
+  def scrubDupSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame = {
+    val (_, spans) = dupSpanFrames(df, idCol, textCol, k)
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val sp = spans.select(col("doc_id").as("s_doc"), col("s"), col("e"))
+    val kept = toks.join(sp,
+      toks("doc_id") === sp("s_doc") &&
+        col("pos") >= col("s") && col("pos") < col("e"), "left_anti")
+    val tot = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val ka = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("scrub_text"))
+    tot.join(ka, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        expr("coalesce(dup_tokens, 0L) * 1000 div n_tokens")
-          .as("dup_permille"))
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("scrub_text"), lit(""))).as("scrub_md5"))
   }
 }

@@ -332,4 +332,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         (6L, 8L, 0L, 0L, 0L)))
     } finally Dedup.releaseCaches(blocking = true)
   }
+
+  test("scrubDupSpans: spans cut from the token stream, short docs " +
+       "pass through, remaining text re-joined in position order") {
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val df = Seq(
+      (1L, "a b c d e f g h x y z"),
+      (2L, "q r a b c d e f s t"),
+      (3L, "a b c m n o p q r s"),
+      (4L, "u v w"),
+      (5L, "a b c d k1 k2 k3 h x y z"),
+      (6L, "m1 m2 m3 m4 m1 m2 m3 m4")).toDF("doc_id", "text")
+    try {
+      val got = Dedup.scrubDupSpans(df, "doc_id", "text", k = 4)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got == Seq(
+        (1L, 11L, 1L, m("g")),                     // [1,7)+[8,12) cut
+        (2L, 10L, 4L, m("q r s t")),               // [3,9) cut
+        (3L, 10L, 10L, m("a b c m n o p q r s")),  // untouched
+        (4L, 3L, 3L, m("u v w")),                  // shorter than k
+        (5L, 11L, 3L, m("k1 k2 k3")),              // [1,5)+[8,12) cut
+        (6L, 8L, 8L, m("m1 m2 m3 m4 m1 m2 m3 m4"))))
+    } finally Dedup.releaseCaches(blocking = true)
+  }
 }

@@ -708,6 +708,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     graft.operators.Dedup.releaseCaches()
   }
 
+  test("scrubDupSpans: the span/token anti-join is doc-keyed (equi " +
+      "on doc_id, range residual) — never a cartesian or NLJ") {
+    val plan = SparkEntry.queries("q_substring_scrub")(spark, dir)
+      .queryExecution.sparkPlan
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"span removal lost its doc-keyed join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"kept-token selection is not an anti-join:\n$p")
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("transitionMatrix: row totals ride a window over the " +
       "|types|²-row AGGREGATE — never a second pass over the events") {
     val plan = SparkEntry.queries("q_markov_transitions")(spark, dir)
