@@ -1988,6 +1988,20 @@ object SparkEntry {
       Indexing.bpeEncode(docs, "text", merges, topK = 30)
     }),
 
+    // Tokenizer fertility per language — the BPE-family EVAL face:
+    // encoded symbols per word under the learned 8-merge table,
+    // split by language id. One corpus scan; each distinct word
+    // encoded once and met back on the vocabulary key.
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Indexing.bpeLearn(docs, "text", numMerges = 8)
+        .orderBy("rank")
+        .select("left", "right", "merged")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSeq
+      Indexing.bpeFertility(docs, "text", merges).orderBy("lang")
+    }),
+
     // CDC-style snapshot upsert: current corpus (v1) merged with a
     // deterministic update stream — re-processed docs (v2), takedown
     // tombstones (v3, dropped post-merge), and brand-new ids. ONE
@@ -2602,11 +2616,15 @@ object SparkEntry {
   }
 
   private def bpeChainSql(n: Int, rewriteLast: Boolean): String = {
+    // `word` is threaded through every v$i so eval oracles
+    // (q_bpe_fertility) can join encoded lengths back on the
+    // vocabulary key; the learn/encode oracles simply don't read it
     val base =
       s"""w AS (SELECT token AS word, count(*) AS freq FROM (
          |    SELECT unnest($toksSql) AS token FROM documents)
          |  WHERE len(token) >= 2 GROUP BY token),
-         |v0 AS (SELECT string_split(word, '') AS syms, freq FROM w)""".stripMargin
+         |v0 AS (SELECT word, string_split(word, '') AS syms, freq FROM w)"""
+        .stripMargin
     val rounds = (1 to n).map { i =>
       val count =
         s"""pc$i AS (
@@ -2619,7 +2637,7 @@ object SparkEntry {
       if (i == n && !rewriteLast) count
       else count + s""",
            |v$i AS (
-           |  SELECT list_reduce([CAST([] AS VARCHAR[])] ||
+           |  SELECT word, list_reduce([CAST([] AS VARCHAR[])] ||
            |      list_transform(syms, x -> [x]),
            |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l
            |                      AND x[1] = b.r
@@ -5304,6 +5322,28 @@ object SparkEntry {
     // replays learn-then-encode end-to-end: the 8-round chain with
     // the final rewrite applied, then the corpus-wide token rollup
     "q_bpe_encode" -> bpeEncodeOracleSql(8, 30),
+
+    // mirrors Indexing.bpeFertility: the SAME encode chain (word
+    // threaded through v8 for the vocabulary join), language ids
+    // from the shared quality CTEs, counts + one truncating division
+    "q_bpe_fertility" ->
+      s"""${bpeChainSql(8, rewriteLast = true)},
+         |el AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms_w
+         |       FROM v8),
+         |$qualityScoredCte,
+         |lw AS (SELECT s.gl AS lang, t.token AS word, count(*) AS freq
+         |       FROM (SELECT doc_id, unnest($toksSql) AS token
+         |             FROM documents) t
+         |       JOIN scored s USING (doc_id)
+         |       WHERE len(t.token) >= 2
+         |       GROUP BY 1, 2)
+         |SELECT l.lang, count(*) AS n_vocab,
+         |  CAST(sum(l.freq) AS BIGINT) AS n_words,
+         |  CAST(sum(l.freq * e.n_syms_w) AS BIGINT) AS n_syms,
+         |  CAST(sum(l.freq * e.n_syms_w) AS BIGINT) * 1000
+         |    // CAST(sum(l.freq) AS BIGINT) AS fertility_permille
+         |FROM lw l JOIN el e USING (word)
+         |GROUP BY l.lang ORDER BY l.lang""".stripMargin,
 
     // identical grouping sets + grouping() flags
     "q_grouping_sets" ->

@@ -399,4 +399,44 @@ object Indexing {
       .orderBy(col("n").desc, col("token"))
       .limit(topK)
   }
+
+  /** Tokenizer fertility per language — the BPE-family EVAL face
+    * (recall@k's role for ANN, modularity's for communities): how
+    * many encoded symbols the learned merge table spends per word,
+    * split by [[TextAnalysis.languageId]]. A tokenizer trained on a
+    * mixed corpus over-fragments its low-resource languages; the
+    * per-language fertility ratio is THE number tokenizer reports
+    * lead with. Population matches [[bpeLearn]]/[[bpeEncode]]'s
+    * vocabulary contract (words of >= 2 chars — 1-char words cannot
+    * merge and would dilute every language equally).
+    *
+    * Exact: counts, one multiply, one truncating per-mille division.
+    *
+    * Shape at 100 TB: ONE corpus scan feeds language-id and
+    * tokenization together into a (lang, word) rollup, each row of
+    * which is encoded in place (one native
+    * [[graft.functions.BpeApplyExpr]] fold per vocabulary row — a
+    * word shared across languages re-folds once per language, a
+    * bounded overlap that buys a join-free single-branch plan; the
+    * encode-distinct-then-join variant measured NO exchange reuse:
+    * column pruning rewrites the rollup differently per branch, so
+    * the "shared" subtree tokenized the corpus twice). The final
+    * rollup is |langs|-sized. */
+  def bpeFertility(df: DataFrame, textCol: String,
+                   merges: Seq[(String, String, String)]): DataFrame =
+    df.select(
+        TextAnalysis.languageId(col(textCol)).as("lang"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", expr("transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1))"))
+      .withColumn("n_syms_w", size(graft.functions.BpeApplyExpr
+        .bpe_apply(col("syms"), merges)).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_syms_w")).as("n_syms"))
+      .withColumn("fertility_permille",
+        expr("n_syms * 1000 div n_words"))
 }

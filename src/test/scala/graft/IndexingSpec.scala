@@ -219,4 +219,38 @@ class IndexingSpec extends AnyFunSuite with SparkTestBase {
       Indexing.phraseSearch(docs, "doc_id", "text", Seq.empty)
     }
   }
+
+  test("bpeFertility: single-branch plan — ONE corpus scan, no joins " +
+       "(the in-place encode, not the prune-broken distinct+join)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Indexing.bpeFertility(docs, "text",
+        Seq(("t", "h", "th"), ("th", "e", "the")))
+      .queryExecution.sparkPlan
+    val p = plan.toString
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size == 1, s"corpus scanned more than once:\n$p")
+    assert(!p.contains("Join"), s"fertility must be join-free:\n$p")
+  }
+
+  test("bpeFertility: per-language symbol cost under a fixed merge " +
+       "table, >= 2-char vocabulary contract, truncating per-mille") {
+    val docs = Seq(
+      (1L, "the cat and the dog and the cow"),
+      (2L, "der hund und die katze und der")).toDF("doc_id", "text")
+    val langs = docs.select($"doc_id",
+        graft.operators.TextAnalysis.languageId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(langs(1L) != langs(2L), s"fixture langs collapsed: $langs")
+    val merges = Seq(("t", "h", "th"), ("th", "e", "the"))
+    val got = Indexing.bpeFertility(docs, "text", merges)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc1: the×3 (1 sym via th+e), cat, and×2, dog, cow (3 each)
+    //   vocab 5, words 8, syms 3+3+6+3+3 = 18 -> 18000 div 8 = 2250
+    assert(got(langs(1L)) == ((5L, 8L, 18L, 2250L)))
+    // doc2: der×2, hund(4), und×2, die, katze(5) — no merge applies
+    //   vocab 5, words 7, syms 6+4+6+3+5 = 24 -> 24000 div 7 = 3428
+    assert(got(langs(2L)) == ((5L, 7L, 24L, 3428L)))
+  }
 }
