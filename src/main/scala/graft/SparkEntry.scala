@@ -1999,7 +1999,8 @@ object SparkEntry {
         .select("left", "right", "merged")
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .toSeq
-      Indexing.bpeFertility(docs, "text", merges).orderBy("lang")
+      Indexing.bpeFertility(docs, "doc_id", "text", merges)
+        .orderBy("lang")
     }),
 
     // CDC-style snapshot upsert: current corpus (v1) merged with a

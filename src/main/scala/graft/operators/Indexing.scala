@@ -412,22 +412,30 @@ object Indexing {
     *
     * Exact: counts, one multiply, one truncating per-mille division.
     *
-    * Shape at 100 TB: ONE corpus scan feeds language-id and
-    * tokenization together into a (lang, word) rollup, each row of
-    * which is encoded in place (one native
-    * [[graft.functions.BpeApplyExpr]] fold per vocabulary row — a
-    * word shared across languages re-folds once per language, a
-    * bounded overlap that buys a join-free single-branch plan; the
-    * encode-distinct-then-join variant measured NO exchange reuse:
-    * column pruning rewrites the rollup differently per branch, so
-    * the "shared" subtree tokenized the corpus twice). The final
-    * rollup is |langs|-sized. */
-  def bpeFertility(df: DataFrame, textCol: String,
-                   merges: Seq[(String, String, String)]): DataFrame =
-    df.select(
-        TextAnalysis.languageId(col(textCol)).as("lang"),
+    * Shape at 100 TB: [[TextAnalysis.languageId]] is ~16 native
+    * stop-count passes per EVALUATION, so it must run per DOCUMENT —
+    * and selecting it NEXT TO the token explode does not guarantee
+    * that: column pruning collapses the projection ABOVE the
+    * Generate and re-evaluates the CASE per token (measured: 18s vs
+    * ~3s at sf0.1 — a |tokens|/|docs| ≈ 17× expression blow-up that
+    * would be catastrophic at corpus scale; the per-token shape is
+    * banned by a ProjectExec-ancestry assertion in the spec). The
+    * shipped plan gives lang its own |docs|-row branch and meets the
+    * token stream on the doc key — the text column is read twice,
+    * which at 100 TB is incomparably cheaper than evaluating
+    * stop-counts per token. Each (lang, word) rollup row is then
+    * encoded in place (one native [[graft.functions.BpeApplyExpr]]
+    * fold per vocabulary row; a word shared across languages
+    * re-folds once per language — bounded overlap, join-free on the
+    * vocabulary side). The final rollup is |langs|-sized. */
+  def bpeFertility(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String, String)]): DataFrame = {
+    val lang = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.languageId(col(textCol)).as("lang"))
+    val words = df.select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) >= 2)
+    words.join(lang, "doc_id")
       .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
       .withColumn("syms", expr("transform(sequence(1, length(word)), " +
         "i -> substring(word, i, 1))"))
@@ -439,4 +447,5 @@ object Indexing {
         sum(col("freq") * col("n_syms_w")).as("n_syms"))
       .withColumn("fertility_permille",
         expr("n_syms * 1000 div n_words"))
+  }
 }

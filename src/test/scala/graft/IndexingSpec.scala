@@ -220,17 +220,25 @@ class IndexingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("bpeFertility: single-branch plan — ONE corpus scan, no joins " +
-       "(the in-place encode, not the prune-broken distinct+join)") {
+  test("bpeFertility: languageId is evaluated per DOCUMENT — no " +
+       "stop_counts projection above the token explode (the collapsed " +
+       "single-select shape measured 17x expression blow-up)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val plan = Indexing.bpeFertility(docs, "text",
+    val plan = Indexing.bpeFertility(docs, "doc_id", "text",
         Seq(("t", "h", "th"), ("th", "e", "the")))
       .queryExecution.sparkPlan
     val p = plan.toString
-    assert(plan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-    }.size == 1, s"corpus scanned more than once:\n$p")
-    assert(!p.contains("Join"), s"fertility must be join-free:\n$p")
+    // any Project computing stop_counts with a Generate BELOW it is
+    // the per-token re-evaluation pathology
+    val bad = plan.collect {
+      case pr: org.apache.spark.sql.execution.ProjectExec
+          if pr.projectList.exists(_.toString.contains("stop_counts")) &&
+            pr.collectFirst {
+              case g: org.apache.spark.sql.execution.GenerateExec => g
+            }.isDefined => pr
+    }
+    assert(bad.isEmpty, s"languageId re-evaluated per token:\n$p")
+    assert(p.contains("Join"), s"lang branch lost its doc-keyed join:\n$p")
   }
 
   test("bpeFertility: per-language symbol cost under a fixed merge " +
@@ -243,7 +251,7 @@ class IndexingSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(langs(1L) != langs(2L), s"fixture langs collapsed: $langs")
     val merges = Seq(("t", "h", "th"), ("th", "e", "the"))
-    val got = Indexing.bpeFertility(docs, "text", merges)
+    val got = Indexing.bpeFertility(docs, "doc_id", "text", merges)
       .as[(String, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     // doc1: the×3 (1 sym via th+e), cat, and×2, dog, cow (3 each)
