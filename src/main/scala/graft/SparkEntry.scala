@@ -364,25 +364,28 @@ object SparkEntry {
       val numer = 1000L * m * m * (1L << cap)
       val nf = Centrality.neighborhoodFunction(copurchaseEdges(s, dir),
         iters = iters)
-      val sums = (1 to iters).map { tt =>
-        val z = (0 until m).map(k =>
-            expr(s"cast(shiftleft(1, $cap - ((regs_$tt div ${1L << (4 * k)})" +
-              s" % 16)) as bigint)"))
-          .reduce(_ + _)
-        nf.select(z.as("z"))
-          .agg(sum(expr(s"$numer div z")).as("s"))
-          .select(lit(tt).as("t"), col("s").as("sum_est_milli"))
-      }.reduce(_ unionByName _).localCheckpoint(true)
-      val s6 = sums.filter(col("t") === iters)
-        .select(col("sum_est_milli").as("s6"))
-      sums.crossJoin(broadcast(s6))
-        .withColumn("reached", col("sum_est_milli") * 10 >= col("s6") * 9)
-        .withColumn("t_eff",
-          min(when(col("reached"), col("t"))).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(lit(1))))
-        .select(col("t"), col("sum_est_milli"),
-          (col("t") === col("t_eff")).as("eff"))
+      // ALL rounds' packed registers ride the one nf frame, so the 6
+      // per-round sums compute in ONE aggregation pass (r15 shipped 6
+      // separate agg jobs unioned + checkpointed + cross-joined — the
+      // suite's wall was job-count latency, not CPU; measured 20.7s
+      // wall vs ~4s CPU/32). The 90%-coverage statistic (Boldi-Vigna:
+      // first t with 10·S(t) ≥ 9·S(T)) then folds into the same
+      // 1-row frame: a CASE picks t_eff (first match = min), stack()
+      // unpivots to the 6 gated rows. One job end to end after nf.
+      val sumCols = (1 to iters).map { tt =>
+        val zStr = (0 until m).map(k =>
+            s"cast(shiftleft(1, $cap - ((regs_$tt div ${1L << (4 * k)})" +
+              s" % 16)) as bigint)")
+          .mkString(" + ")
+        sum(expr(s"$numer div ($zStr)")).as(s"s_$tt")
+      }
+      nf.agg(sumCols.head, sumCols.tail: _*)
+        .withColumn("t_eff", expr(
+          (1 to iters).map(t => s"WHEN s_$t * 10 >= s_$iters * 9 THEN $t")
+            .mkString("CASE ", " ", " END")))
+        .select(expr(s"stack($iters, " +
+          (1 to iters).map(t => s"$t, s_$t, $t = t_eff").mkString(", ") +
+          ") as (t, sum_est_milli, eff)"))
         .orderBy("t")
     }),
 
@@ -1910,8 +1913,10 @@ object SparkEntry {
     "q_outlier_mad" -> ((s, dir) => {
       val ev = EventStream.eventsTable(s, dir)
         .select(col("event_type"), col("event_id"),
-          // double cents -> long by TRUNCATION (positive == floor)
-          (col("value") * 100).cast("long").as("cents"))
+          // double cents -> long by FLOOR, matching the oracle's
+          // floor(value*100) for negative values too (truncation
+          // would round toward zero and diverge below 0)
+          floor(col("value") * 100).cast("long").as("cents"))
       RobustStats.madOutliers(ev, "event_type", "event_id", "cents", k = 3)
         .select(col("g").as("event_type"), col("id").as("event_id"),
           col("v").as("cents"), col("med"), col("mad"), col("dev"),
@@ -3202,7 +3207,8 @@ object SparkEntry {
          |  WHERE NOT EXISTS (
          |    SELECT 1 FROM sp WHERE sp.doc_id = t.doc_id
          |      AND t.pos >= sp.s AND t.pos < sp.e)),
-         |tot AS (SELECT doc_id, count(*) AS n_tokens FROM tk GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(sum(len($toksSql)) AS BIGINT)
+         |          AS n_tokens FROM documents GROUP BY 1),
          |ka AS (SELECT doc_id, count(*) AS n_kept,
          |         array_to_string(array_agg(tok ORDER BY pos), ' ')
          |           AS scrub_text

@@ -659,7 +659,16 @@ object Dedup extends CachePinning {
     val kept = toks.join(sp,
       toks("doc_id") === sp("s_doc") &&
         col("pos") >= col("s") && col("pos") < col("e"), "left_anti")
-    val tot = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    // tot derives from the INPUT frame, not the exploded token
+    // stream: a document whose text tokenizes to zero tokens still
+    // gets its contract row (n_tokens=0, empty scrub) instead of
+    // silently vanishing from the output. size(tokens) equals the
+    // exploded row count whenever rows exist, so this is
+    // hash-identical on any corpus with >= 1 token per doc.
+    val tot = df.select(col(idCol).cast("long").as("doc_id"),
+        greatest(size(TextAnalysis.tokens(col(textCol))), lit(0))
+          .cast("long").as("n_tokens"))
+      .groupBy("doc_id").agg(sum(col("n_tokens")).as("n_tokens"))
     val ka = kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(

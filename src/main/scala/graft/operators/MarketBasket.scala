@@ -83,7 +83,17 @@ object MarketBasket {
         expr(s"support * $scale div n_baskets").as("support_ppm"),
         expr(s"support * $scale div cnt_a").as("conf_ab_ppm"),
         expr(s"support * $scale div cnt_b").as("conf_ba_ppm"),
-        expr(s"support * n_baskets * $scale div (cnt_a * cnt_b)")
+        // headroom enforced, not just documented: support·N·scale and
+        // cnt_a·cnt_b silently wrap past 2^63 under non-ANSI Spark.
+        // assert_true is NULL when the bound holds; the `+ ifnull`
+        // keeps the guard load-bearing (see Ranking.withLog2Fixed).
+        expr(s"support * n_baskets * $scale div (cnt_a * cnt_b) + " +
+          s"ifnull(cast(assert_true(" +
+          s"support <= ${Long.MaxValue} div $scale div n_baskets " +
+          s"AND cnt_a <= ${Long.MaxValue} div cnt_b, " +
+          s"concat('assocRules lift_ppm overflow: support=', support, " +
+          s"' n_baskets=', n_baskets, ' cnt_a=', cnt_a, ' cnt_b=', " +
+          s"cnt_b, ' scale=$scale')) as int), 0)")
           .as("lift_ppm"))
   }
 }

@@ -85,9 +85,18 @@ object Ranking extends CachePinning {
   def withLog2Fixed(df: DataFrame, pCol: String, qCol: String,
                     out: String, fracBits: Int): DataFrame = {
     require(fracBits >= 1 && fracBits <= 16, s"fracBits 1..16: $fracBits")
+    // Rowwise contract enforced loudly: a violating row (p < q or
+    // q < 1) would otherwise yield a negative _l2_e fed to shiftleft
+    // (Spark shifts by e & 63) — silent garbage. assert_true returns
+    // NULL when the contract holds, so the `+ ifnull(..., 0)` keeps
+    // the guard inside a load-bearing expression (a free-standing
+    // guard column would be pruned by ColumnPruning).
     var d = df
       .withColumn("_l2_e0",
-        expr(s"length(bin($pCol)) - length(bin($qCol))"))
+        expr(s"length(bin($pCol)) - length(bin($qCol)) + " +
+          s"ifnull(cast(assert_true($pCol >= $qCol AND $qCol >= 1, " +
+          s"concat('withLog2Fixed: need $pCol >= $qCol >= 1; got p=', " +
+          s"$pCol, ' q=', $qCol)) as int), 0)"))
       .withColumn("_l2_e", expr(s"CASE WHEN $pCol < " +
         s"shiftleft($qCol, _l2_e0) THEN _l2_e0 - 1 ELSE _l2_e0 END"))
       .withColumn("_l2_pp", col(pCol).cast("long"))

@@ -145,16 +145,17 @@ object SkewOps {
       // shape where neither side fits an executor (the 100 TB reality)
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    // prev is captured BEFORE any set; the sets run INSIDE the try so
-    // a throw mid-sequence still restores every key (r14 advice). The
-    // conf flip is session-global for the face's duration — callers
-    // run it on a single-threaded session (the Bench/Verify model); a
-    // concurrent query on the same session would see the degraded
-    // thresholds.
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    try {
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      val ev = graft.streaming.EventStream.eventsTable(spark, dir)
+    // The degraded thresholds run on an ISOLATED child session (same
+    // SparkContext, own SQLConf) — the parent session's confs are
+    // never touched, so a concurrent query on the caller's session
+    // cannot observe the face's 4KB thresholds (retires the r15
+    // residual-risk item; no restore bookkeeping to get wrong either).
+    // newSession() seeds its SQLConf from the context's SparkConf, so
+    // the builder-time settings (shuffle.partitions, timeZone) carry.
+    val sess = spark.newSession()
+    locally {
+      confs.foreach { case (k, v) => sess.conf.set(k, v) }
+      val ev = graft.streaming.EventStream.eventsTable(sess, dir)
         // multi-mapper scaffold for gate SF: the single-file scan is
         // ONE map task, and skew splitting works on per-mapper block
         // ranges — at 100 TB the map side is thousands of tasks and
@@ -171,7 +172,7 @@ object SkewOps {
       // between sort and shuffle stage — OptimizeSkewedJoin's pattern
       // requires exactly that shape (a distinct()'s final aggregate
       // between them defeats the rule; measured)
-      val dim = spark.read.parquet(s"$dir/customer.parquet")
+      val dim = sess.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("k"), (col("c_custkey") % 7).as("label"))
       val agg = fact.join(dim, "k")
         .groupBy(col("label"))
@@ -211,9 +212,6 @@ object SkewOps {
           s"isSkewJoin SortMergeJoinExec in the final adaptive plan:\n" +
           adaptive.executedPlan)
       out
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
     }
   }
 }
