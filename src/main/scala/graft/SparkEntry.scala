@@ -1664,6 +1664,35 @@ object SparkEntry {
       Bfs.run(GraphOps.symmetrize(edges), source = 0L).orderBy("id")
     }),
 
+    // BFS at the reference's two PUBLISHED scale points whose blobs
+    // don't ship (slide 23: mediumG 77,360/905,468 and largeG
+    // 325,729/1,497,134 nodes/edges) — synthesized deterministically
+    // (SyntheticGraphs: branching-64 tree + hash chords, ecc(0) ≤ 4
+    // by construction) so the oracle rebuilds the identical graph and
+    // replays the BFS with 5 provably-past-fixed-point min-merge
+    // layers. Output is the distance histogram (count + id-sum per
+    // level): the result the reference's scale experiment reports,
+    // in a 5-row hash-gated frame. These run Bfs.run TO CONVERGENCE
+    // through the real frontier loop — largeG's round-2 frontier is
+    // ~2.3M candidate rows, the broadcast→shuffle transition at real
+    // scale.
+    "q_bfs_mediumg_scale" -> ((s, _) => {
+      val (n, e) = graft.sources.SyntheticGraphs.MediumG
+      val edges = graft.sources.SyntheticGraphs.referenceScale(s, n, e)
+      Bfs.run(GraphOps.symmetrize(edges), source = 0L)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_vertices"), sum(col("id")).as("sum_id"))
+        .orderBy("dist")
+    }),
+    "q_bfs_largeg_scale" -> ((s, _) => {
+      val (n, e) = graft.sources.SyntheticGraphs.LargeG
+      val edges = graft.sources.SyntheticGraphs.referenceScale(s, n, e)
+      Bfs.run(GraphOps.symmetrize(edges), source = 0L)
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n_vertices"), sum(col("id")).as("sum_id"))
+        .orderBy("dist")
+    }),
+
     // Path-carrying BFS at REAL scale: the copurchase graph (16,743
     // vertices at sf0.01 vs the golden query's 13), hop-bounded at 6 so
     // the array-payload-through-shuffle cost that Bfs.Config.withPaths
@@ -2497,6 +2526,37 @@ object SparkEntry {
   // row (legal in real corpora) diverges cross-engine
   private val toksSql =
     "string_split_regex(lower(coalesce(text, '')), '\\s+')"
+
+  /** DuckDB replay of q_bfs_{mediumg,largeg}_scale: rebuild the
+    * [[graft.sources.SyntheticGraphs.referenceScale]] graph from the
+    * same closed-form integer arithmetic (`//` floors = Spark `div`
+    * truncation on the nonnegative operands) and unroll 5 min-merge
+    * BFS layers — provably past the fixed point because the tree
+    * backbone bounds ecc(0) at 4 and chords only shrink distances. */
+  private def referenceScaleBfsSql(shape: (Long, Long)): String = {
+    val (n, e) = shape
+    val chords = e - (n - 1)
+    val layers = (1 to 5).map { h =>
+      s"""d$h AS MATERIALIZED (
+         |  SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${h - 1}
+         |    UNION ALL
+         |    SELECT e.dst, d.dist + 1 FROM d${h - 1} d
+         |    JOIN edges e ON e.src = d.id)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT i AS src, (i - 1) // 64 AS dst FROM range(1, $n) t(i)
+       |  UNION ALL
+       |  SELECT (j * 1103515245 + 12345) % $n AS src,
+       |         (j * 2654435761 + 98765) % $n AS dst
+       |  FROM range($chords) t(j)),
+       |edges AS (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw),
+       |d0(id, dist) AS (SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+       |$layers
+       |SELECT dist, count(*) AS n_vertices, CAST(sum(id) AS BIGINT) AS sum_id
+       |FROM d5 GROUP BY dist ORDER BY dist""".stripMargin
+  }
 
   /** Shared DuckDB prefix for the PQ oracles: hash-order codebooks,
     * per-(vector, subvector, centroid) exact integer L2² table,
@@ -4330,6 +4390,17 @@ object SparkEntry {
          |SELECT id, CAST(dist AS BIGINT) AS dist
          |FROM d$SmallGLayers ORDER BY id""".stripMargin
     },
+
+    // the reference's published scale points, graph rebuilt in DuckDB
+    // from the same closed-form integer arithmetic (SyntheticGraphs:
+    // branching-64 tree + hash chords, ecc(0) <= 4 by construction so
+    // 5 min-merge layers are provably past the fixed point; chords
+    // only shrink distances). Histogram output keeps the compare
+    // 5 rows regardless of |V|.
+    "q_bfs_mediumg_scale" -> referenceScaleBfsSql(
+      graft.sources.SyntheticGraphs.MediumG),
+    "q_bfs_largeg_scale" -> referenceScaleBfsSql(
+      graft.sources.SyntheticGraphs.LargeG),
 
     // hop-bounded path-carrying BFS unrolled one min-merge layer per
     // hop: layer h's candidates are layer h-1's rows plus every

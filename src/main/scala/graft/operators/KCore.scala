@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *    everything that will ever be removed (the cascade tail is
   *    long but thin).
   *  - [[peel]]: run to the fixed point (the true k-core), with the
-  *    BFS-style driver convergence test on the surviving-vertex
-  *    count. Spec-checked against [[peelBounded]] stabilization.
+  *    BFS-style driver convergence test on the surviving-EDGE count
+  *    (equivalent to the vertex-count test — see the loop comment —
+  *    and exchange-free on the checkpointed survivor set).
+  *    Spec-checked against [[peelBounded]] stabilization.
   *
   * Scale shape (100 TB): per round — degree = groupBy(src) on the
   * src-partitioned edge table (exchange-free after round 0's
@@ -107,7 +109,7 @@ object KCore {
     var e = edges.select($"src", $"dst")
       .repartition($"src")
       .localCheckpoint(true)
-    var lastVerts = -1L
+    var lastEdges = -1L
 
     var round = 0
     var done = false
@@ -115,17 +117,29 @@ object KCore {
       round += 1
       val tRound = System.nanoTime()
       val next = peelRound(e, k).localCheckpoint(true)
-      // survivor count: a cheap distinct-count over the eagerly
-      // checkpointed (cached) survivor set. In convergence mode it IS
-      // the driver convergence probe; in bounded mode it buys the same
-      // per-round attribution line the other iterative ops emit (a
-      // bench host that inflates the query can be read round-by-round).
-      val nv = next.select($"src").distinct().count()
+      // Convergence probe: the EDGE count of the eagerly checkpointed
+      // survivor set — no exchange (vs r15's distinct().count() vertex
+      // probe, one full shuffle of the survivor edges per round).
+      // Equivalent fixpoint test: a peel round removes an edge iff it
+      // removes a vertex from the keep set (an edge dies only when an
+      // endpoint dies; a dead vertex kills all its incident edges), so
+      // the edge set is unchanged exactly when the vertex set is —
+      // same stop round, same result. In bounded mode the count buys
+      // the same per-round attribution line the other iterative ops
+      // emit (a bench host that inflates the query reads round-by-round).
+      val ne = next.count()
       if (toConvergence) {
-        if (nv == lastVerts) done = true
-        lastVerts = nv
+        if (ne == lastEdges) done = true
+        lastEdges = ne
       }
-      System.err.println(f"[kcore] round $round verts=$nv " +
+      // Release the superseded round frame: next is already
+      // materialized (eager checkpoint), so the previous round's
+      // blocks are dead weight — r15's leak kept every round's edge
+      // snapshot in storage memory for the whole query, the
+      // suite-pressure sensitivity the r15 driver bench surfaced
+      // (every other iterative loop already released; KCore didn't).
+      GraphOps.releaseCheckpointedFrame(e)
+      System.err.println(f"[kcore] round $round edges=$ne " +
         f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
       e = next
     }
