@@ -663,6 +663,30 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // The probe-count TRADEOFF, measured: corpus recall@5 of ivfTopK
+    // at nprobe ∈ {1, 3, 5} against ONE materialized brute-force
+    // ground truth — the tuning curve an ANN deployment reads before
+    // picking its probe budget (more probes = more cluster-local
+    // work = higher recall; nprobe = |centroids| degenerates to
+    // brute force). The centroid assignment is probe-count
+    // independent, so the oracle shares one cents/assignment chain
+    // across all three probe depths.
+    "q_ann_recall_sweep" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          k = 5)
+        .localCheckpoint(true)
+      Seq(1, 3, 5).map { p =>
+        Similarity.recallAtK(
+            Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
+              nprobe = p), exact)
+          .agg(sum(col("n_hits")).as("n_hits"),
+            sum(col("n_exact")).as("n_exact"))
+          .select(lit(p).as("nprobe"), col("n_hits"), col("n_exact"),
+            expr("n_hits * 1000 div n_exact").as("recall_permille"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
+    }),
+
     // One Lloyd (k-means) refinement step over the IVF assignment —
     // the "train the centroids" half of an IVF build. Integer sums by
     // (cluster, dimension) + one IEEE division per element: bit-exact,
@@ -3427,6 +3451,53 @@ object SparkEntry {
          |  coalesce(h.n_hits, 0) * 1000 // g.n_exact AS recall_permille
          |FROM gt g LEFT JOIN h USING (vec_id)
          |ORDER BY g.vec_id""".stripMargin,
+
+    // the probe-count tradeoff: one shared centroid/assignment chain
+    // (asg is nprobe-independent), three probe depths, one brute
+    // ground truth — corpus recall@5 per nprobe, integer-exact
+    "q_ann_recall_sweep" -> {
+      val perP = Seq(1, 3, 5).map { p =>
+        s"""pr$p AS (SELECT vec_id, cid AS cluster, qe, nn
+           |          FROM asg WHERE crank <= $p),
+           |cd$p AS (
+           |  SELECT a.vec_id, b.neighbor_id,
+           |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
+           |  FROM pr$p a JOIN idx b
+           |    ON a.cluster = b.cluster AND a.vec_id <> b.neighbor_id),
+           |ar$p AS (SELECT vec_id, neighbor_id FROM (
+           |           SELECT vec_id, neighbor_id,
+           |             row_number() OVER (PARTITION BY vec_id
+           |               ORDER BY sim DESC, neighbor_id) AS rank
+           |           FROM cd$p) WHERE rank <= 5),
+           |h$p AS (SELECT e.vec_id, count(*) AS n_hits
+           |        FROM er e JOIN ar$p a
+           |          ON a.vec_id = e.vec_id
+           |         AND a.neighbor_id = e.neighbor_id
+           |        GROUP BY e.vec_id),
+           |s$p AS (SELECT $p AS nprobe,
+           |          CAST(sum(coalesce(h.n_hits, 0)) AS BIGINT) AS n_hits,
+           |          CAST(sum(g.n_exact) AS BIGINT) AS n_exact
+           |        FROM gt g LEFT JOIN h$p h USING (vec_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $quantCte,
+         |$ivfSearchCtes,
+         |bp AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
+         |  FROM nv a JOIN nv b ON a.vec_id <> b.vec_id),
+         |er AS (SELECT vec_id, neighbor_id FROM (
+         |         SELECT vec_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY sim DESC, neighbor_id) AS rank
+         |         FROM bp) WHERE rank <= 5),
+         |gt AS (SELECT vec_id, count(*) AS n_exact FROM er GROUP BY vec_id),
+         |$perP
+         |SELECT nprobe, n_hits, n_exact,
+         |  n_hits * 1000 // n_exact AS recall_permille
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s3
+         |      UNION ALL SELECT * FROM s5)
+         |ORDER BY nprobe""".stripMargin
+    },
 
     // mirrors Similarity.kmeansStep: argmax-cosine assignment (same
     // deterministic (csim desc, cid) order as the IVF oracle), then
