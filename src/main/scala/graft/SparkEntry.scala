@@ -489,6 +489,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Temperature-based source mixing (τ=0.5): sampling weights
+    // ∝ sqrt(n_docs) — the exponentiated-count upsampling recipe a
+    // multi-domain training run uses to boost tail sources. sqrt is
+    // the one IEEE-correctly-rounded power, quantized to integer
+    // BEFORE the normalization sum, so every share is a truncating
+    // BIGINT division over order-independent integer totals.
+    "q_temperature_mix" -> ((s, dir) => {
+      CorpusOps.temperatureMixWeights(t(s, dir, "documents"), "source",
+          budget = 10000L)
+        .orderBy("source")
+    }),
+
+    // Per-source quality-percentile calibration: each doc's per-mille
+    // percentile WITHIN its source (FineWeb-style per-domain
+    // thresholding removes the domain bias of a global quality
+    // floor). VALUE-FREQUENCY selection — the exchange carries only
+    // the (source, q_milli) frequency frame, never a per-source
+    // corpus sort.
+    "q_quality_calibration" -> ((s, dir) => {
+      CorpusOps.qualityCalibration(t(s, dir, "documents"), "doc_id",
+          "text", "source")
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup: canonical-fingerprint window (one shuffle, no skew).
     "q_exact_dedup" -> ((s, dir) => {
       Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
@@ -3377,6 +3401,48 @@ object SparkEntry {
       s"""WITH $qualityScoredCte
          |SELECT doc_id, lang, gl AS guessed_lang, quality
          |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // τ=0.5 source mixing: sqrt is IEEE-correctly-rounded, weight
+    // quantized to integer BEFORE the normalization sum
+    "q_temperature_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs
+         |           FROM documents GROUP BY 1),
+         |w AS (SELECT source, n_docs,
+         |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0)
+         |             AS BIGINT) AS weight_q
+         |      FROM c),
+         |t AS (SELECT *, CAST(sum(weight_q) OVER () AS BIGINT) AS tot
+         |      FROM w)
+         |SELECT source, n_docs, weight_q,
+         |  weight_q * 1000000 // tot AS weight_ppm,
+         |  10000 * weight_q // tot AS target_docs,
+         |  (10000 * weight_q // tot) * 1000 // n_docs AS upsample_permille
+         |FROM t ORDER BY source""".stripMargin,
+
+    // per-source value-percentile over milli-quantized quality —
+    // replays the VALUE-FREQUENCY selection exactly (cumulative
+    // below-count over the bounded frequency frame, ties share the
+    // value's percentile)
+    "q_quality_calibration" ->
+      s"""WITH $qualityScoredCte,
+         |sq AS (SELECT doc_id, source,
+         |         CAST(floor(quality * 1000.0) AS BIGINT) AS q_milli
+         |       FROM scored),
+         |f AS (SELECT source, q_milli, count(*) AS cnt
+         |      FROM sq GROUP BY 1, 2),
+         |cum AS (SELECT source, q_milli,
+         |          CAST(coalesce(sum(cnt) OVER (PARTITION BY source
+         |            ORDER BY q_milli ROWS BETWEEN UNBOUNDED PRECEDING
+         |            AND 1 PRECEDING), 0) AS BIGINT) AS below,
+         |          CAST(sum(cnt) OVER (PARTITION BY source)
+         |               AS BIGINT) AS n
+         |        FROM f)
+         |SELECT s.doc_id, s.source, s.q_milli,
+         |  c.below * 1000 // greatest(c.n - 1, 1) AS pr_permille,
+         |  (c.below * 1000 // greatest(c.n - 1, 1)) >= 500 AS keep
+         |FROM sq s JOIN cum c
+         |  ON c.source = s.source AND c.q_milli = s.q_milli
+         |ORDER BY s.doc_id""".stripMargin,
 
     "q_cosine_topk" ->
       s"""WITH $quantCte,

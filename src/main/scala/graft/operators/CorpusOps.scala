@@ -832,4 +832,89 @@ object CorpusOps extends CachePinning {
       .select(col(idCol), col("rank"), col("token"), col("tf"),
         col("doc_freq"), col("score"))
   }
+
+  /** Temperature-based source mixing at τ = 0.5: sampling weights
+    * ∝ n_docs^0.5 — the published multilingual/multi-domain recipe
+    * (exponentiated-count sampling, τ=0.5 being the standard
+    * "flatten the head, boost the tail" default) that decides how a
+    * training run upsamples small sources against a dominant one.
+    * Per source: the quantized weight, its ppm share, the target doc
+    * count under `budget` samples, and the effective per-mille
+    * up/down-sampling rate vs the raw distribution.
+    *
+    * Exactness discipline: τ=0.5 means sqrt, the ONE power that IEEE
+    * 754 requires correctly rounded — so `floor(sqrt(n)·10^6)` is
+    * bit-identical cross-engine (general pow/ln are not correctly
+    * rounded and are banned from gated faces). The weight is
+    * quantized to an integer BEFORE the normalization sum, so the
+    * total is an order-independent integer sum, and every share is a
+    * truncating BIGINT division — no float accumulation anywhere.
+    *
+    * Shape at 100 TB: one map-side-combined exchange for the source
+    * counts; everything after runs on the |sources|-row frame (the
+    * single-partition window is over that bounded frame, never the
+    * corpus — the modularity idiom). Overflow guarded to 2^63
+    * rowwise (weight_q·10^6 wraps only past ~8.5·10^13 docs/source). */
+  def temperatureMixWeights(df: DataFrame, sourceCol: String,
+                            budget: Long = 10000L): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy()
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_q",
+        floor(sqrt(col("n_docs").cast("double")) * 1000000.0).cast("long"))
+      .withColumn("tot", sum(col("weight_q")).over(w))
+      .select(col("source"), col("n_docs"), col("weight_q"),
+        expr(s"""weight_q * 1000000 div tot +
+          |ifnull(cast(assert_true(
+          |  weight_q <= ${Long.MaxValue / 1000000L},
+          |  concat('temperatureMixWeights overflow: weight_q=',
+          |         weight_q)) as int), 0)""".stripMargin.replace("\n", " "))
+          .as("weight_ppm"),
+        expr(s"$budget * weight_q div tot").as("target_docs"),
+        expr(s"($budget * weight_q div tot) * 1000 div n_docs")
+          .as("upsample_permille"))
+  }
+
+  /** Per-source quality-percentile calibration — the normalization a
+    * corpus filter needs before one threshold can be fair across
+    * domains (a raw quality floor keeps 90% of clean encyclopedia
+    * text and 10% of forum text; filtering each source at its OWN
+    * percentile — the FineWeb-style per-dump discipline — removes
+    * the domain bias). Emits per document: the milli-quantized
+    * quality, its per-mille percentile WITHIN its source (fraction
+    * of same-source docs strictly below its quality value), and the
+    * keep flag at the `keepPermille` floor.
+    *
+    * Scale discipline: this is deliberately NOT a per-source
+    * row_number window — source cardinality is tiny, so that window
+    * is one task sorting a whole domain (the classic skew wall).
+    * Instead the VALUE-FREQUENCY selection ([[RobustStats]]'s
+    * idiom): quality quantizes to ≤ 1001 milli-values, the exchange
+    * carries only the (source, q_milli) frequency frame (bounded at
+    * |sources|·1001 rows), the cumulative-below window runs on THAT
+    * frame, and the per-doc percentile comes back by broadcast join.
+    * Ties share a percentile (the value's rank), which is the
+    * statistically correct choice for a threshold filter. */
+  def qualityCalibration(df: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String,
+                         keepPermille: Long = 500L): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000, s"$keepPermille")
+    val scored = df.select(col(idCol), col(sourceCol).as("source"),
+      floor(TextAnalysis.qualityScore(col(textCol)) * 1000.0)
+        .cast("long").as("q_milli"))
+    val freq = scored.groupBy("source", "q_milli")
+      .agg(count(lit(1)).as("cnt"))
+    val bySrc = Window.partitionBy("source").orderBy("q_milli")
+    val cum = freq
+      .withColumn("below", coalesce(
+        sum(col("cnt")).over(
+          bySrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("source")))
+      .select(col("source"), col("q_milli"), col("below"), col("n"))
+    scored.join(broadcast(cum), Seq("source", "q_milli"))
+      .select(col(idCol), col("source"), col("q_milli"),
+        expr("below * 1000 div greatest(n - 1, 1)").as("pr_permille"))
+      .withColumn("keep", col("pr_permille") >= keepPermille)
+  }
 }

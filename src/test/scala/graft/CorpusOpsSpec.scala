@@ -380,4 +380,55 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
       .sortBy { case (id, w) => (key(id, w), id) }.take(8)
     assert(got2.map(_._2) == expect2.map(_._1))
   }
+
+  test("temperatureMixWeights: sqrt-weighting boosts the tail, " +
+      "shares sum to <= 1, targets respect the budget") {
+    import spark.implicits._
+    // 10000 docs from 'head', 100 from 'tail': raw ratio 100:1 but
+    // sqrt ratio 10:1 — the tail's share must rise from ~1% to ~9%
+    val rows = (1L to 10000L).map(i => (i, "head")) ++
+      (1L to 100L).map(i => (10000L + i, "tail"))
+    val got = graft.operators.CorpusOps
+      .temperatureMixWeights(rows.toDF("doc_id", "source"), "source",
+        budget = 10000L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (headW, tailW) = (got("head")._3, got("tail")._3)
+    assert(headW == 100000000L && tailW == 10000000L) // 1e6*sqrt(n)
+    assert(got("tail")._4 == 90909L) // 1e7 * 1e6 div 1.1e8 ppm
+    assert(got.values.map(_._4).sum <= 1000000L) // truncating shares
+    assert(got.values.map(_._5).sum <= 10000L)   // budget respected
+    // tail upsampled ~9x (909 targets / 100 docs), head downsampled
+    assert(got("tail")._6 > 9000L && got("head")._6 < 1000L)
+  }
+
+  test("qualityCalibration: per-source value-percentile matches a " +
+      "serial rank computation; ties share the value's percentile") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "x x x x x x x x x x x x"), // varied quality per text
+      (2L, "a", "one two three four five six seven eight nine ten"),
+      (3L, "a", "!!! ??? ### $$$"),
+      (4L, "a", "the quick brown fox jumps over the lazy dog again"),
+      (5L, "b", "alpha beta gamma delta epsilon zeta eta theta"),
+      (6L, "b", "!!!"),
+      (7L, "b", "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.CorpusOps
+      .qualityCalibration(docs, "doc_id", "text", "source")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // serial replay: per source, percentile = strictly-below count
+    // * 1000 div (n-1)
+    val qs = got.values.map(r => (r._1, r._2, r._3)).toSeq
+    for ((id, src, qm) <- qs) {
+      val same = qs.filter(_._2 == src)
+      val below = same.count(_._3 < qm).toLong
+      val expect = below * 1000L / math.max(same.size - 1L, 1L)
+      assert(got(id)._4 == expect, s"doc $id")
+      assert(got(id)._5 == (expect >= 500L))
+    }
+    // docs 5 and 7 are identical text: same q_milli, same percentile
+    assert(got(5L)._3 == got(7L)._3 && got(5L)._4 == got(7L)._4)
+  }
 }
