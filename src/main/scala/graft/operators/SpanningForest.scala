@@ -14,10 +14,11 @@ import org.apache.spark.storage.StorageLevel
   * tie-break keys make the forest UNIQUE, so every correct MST
   * algorithm (including the spec's serial Kruskal and the gate's
   * relational Kruskal-rule oracle) lands on the identical edge set.
-  * Chosen edges join the forest; their endpoint components merge
-  * (connected components over the CHOSEN edge graph — a frame with at
-  * most one edge per component, on component ids, i.e. a structure
-  * that at least HALVES in size every round); vertices relabel
+  * Chosen edges join the forest; their endpoint components merge by
+  * PSEUDO-FOREST pointer doubling over the chosen graph (one parent
+  * pointer per component; every cycle is a 2-cycle under the strict
+  * order, collapsed to a self-loop root, then p ← p∘p — ⌈log₂ depth⌉
+  * comp-sized self-joins, see the loop comment); vertices relabel
   * through the merged roots. Components at least halve per round →
   * ≤ log₂ V rounds regardless of diameter.
   *
@@ -58,6 +59,24 @@ object SpanningForest {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // STATS FIREWALL (r16, measured): localCheckpoint INHERITS the
+    // original plan's Statistics, and SizeInBytesOnlyStatsPlanVisitor
+    // MULTIPLIES children's sizeInBytes through every join — so an
+    // iterative SELF-join (the pointer-doubling hops below) SQUARES
+    // the inherited sizeInBytes every hop. Measured on this loop: the
+    // BigInt reached 65 MILLION bits by round 5 and every subsequent
+    // plan build spent seconds in BigInteger.multiplyToomCook3 ON THE
+    // DRIVER (jstack-confirmed; job wall grew 2x per job while
+    // executor CPU sat idle). Rebuilding the frame from the
+    // checkpointed RDD drops originalStats, so the view reports the
+    // bounded default instead — per-hop stats become a constant, not
+    // a compounding square. The Row round-trip this adds is one codec
+    // pass over a component-sized (shrinking) frame per round. The
+    // view shares the checkpoint's blocks: release the HANDLE, never
+    // the view, and only after the next checkpoint materializes.
+    def fresh(ckpt: DataFrame): DataFrame =
+      spark.createDataFrame(ckpt.rdd, ckpt.schema)
+
     // canonical undirected edge set: src < dst, lightest parallel edge
     val e0 = edges.filter($"src" =!= $"dst")
       .select(least($"src", $"dst").as("src"),
@@ -66,11 +85,16 @@ object SpanningForest {
       .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var comp = GraphOps.vertices(e0)
+    var compC = GraphOps.vertices(e0)
       .select($"id", $"id".as("comp"))
       .localCheckpoint(true)
-    var forest = e0.limit(0).select($"src", $"dst", $"weight")
-      .localCheckpoint(true)
+    var comp = fresh(compC)
+    // forest accumulates LAZILY: each round's picked checkpoint stays
+    // alive and the union happens ONCE after the loop — the forest is
+    // only consumed at the end, so the per-round union+checkpoint job
+    // (r16 first cut) was pure latency. The handles are forest-sized
+    // in total.
+    val forestParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     var round = 0
     var done = false
@@ -86,53 +110,99 @@ object SpanningForest {
           col("cs.comp").as("cs"), col("cd.comp").as("cd"))
         .filter($"cs" =!= $"cd")
       // per-component argmin outgoing edge under (weight, src, dst) —
-      // struct-min is the O12 argmin; distinct because an edge is
-      // legitimately chosen by BOTH its endpoint components
-      val chosen = lab
+      // struct-min is the O12 argmin. ONE row per component that
+      // still has an outgoing edge: both its forest contribution and
+      // its contraction parent derive from this frame.
+      val picked = lab
         .select(explode(array($"cs", $"cd")).as("c"),
           struct($"weight", $"src", $"dst", $"cs", $"cd").as("e"))
         .groupBy($"c").agg(min($"e").as("e"))
-        .select(col("e.weight"), col("e.src"), col("e.dst"),
-          col("e.cs"), col("e.cd"))
-        .distinct()
         .localCheckpoint(true)
-      val nChosen = chosen.count()
+      val nChosen = picked.count()
       if (nChosen == 0) {
         done = true
-        GraphOps.releaseCheckpointedFrame(chosen)
+        GraphOps.releaseCheckpointedFrame(picked)
       } else {
-        val newForest = forest
-          .union(chosen.select($"src", $"dst", $"weight"))
+        // forest edges: distinct (applied at the final union) because
+        // a mutual-min edge is legitimately chosen by BOTH endpoint
+        // components
+        forestParts += picked.select(col("e.src").as("src"),
+          col("e.dst").as("dst"), col("e.weight").as("weight"))
+        // Contract the chosen graph by PSEUDO-FOREST pointer doubling
+        // instead of the generic ConnectedComponents loop (r16,
+        // measured: the nested CC ran 4-7 min-label rounds + its
+        // per-invocation repartition/persist/checksum setup per
+        // Borůvka round — ~60% of the whole query's wall). Structure
+        // theorem (strict total order): follow parent(c) = the other
+        // endpoint of c's chosen edge; around any cycle consecutive
+        // chosen edges strictly decrease, so every cycle has length
+        // EXACTLY 2 (the mutual-min pair) and the chosen graph is a
+        // forest of trees hanging off 2-cycles. Collapse each 2-cycle
+        // to its min id (a self-loop root), then square the pointer
+        // (p ← p∘p) until every pointer hits a root: ⌈log₂ depth⌉
+        // rounds of one comp-sized self-join each, vs depth rounds +
+        // setup for CC. Labels are the 2-cycle min rather than the
+        // component-min vertex id — any consistent in-group
+        // representative is equivalent here (the output is the edge
+        // set; labels never leave the loop), and distinct groups get
+        // distinct roots because the root is a member.
+        val parents = picked.select($"c",
+          when(col("e.cs") === $"c", col("e.cd"))
+            .otherwise(col("e.cs")).as("p"))
+        // every p is itself a component with an outgoing edge (the
+        // mutual edge at minimum), so the collapse self-join is total
+        var ptrC = parents.as("a")
+          .join(parents.select($"c".as("pc"), $"p".as("pp")),
+            col("a.p") === col("pc"))
+          .select(col("a.c"),
+            when(col("pp") === col("a.c"), least(col("a.c"), col("a.p")))
+              .otherwise(col("a.p")).as("p"))
           .localCheckpoint(true)
-        GraphOps.releaseCheckpointedFrame(forest)
-        forest = newForest
-        // contract: components of the CHOSEN edge graph (vertices =
-        // component ids, ≤ 1 chosen edge per component). Min-label
-        // propagation needs symmetric edges; keepAqe — already inside
-        // the outer loop's AQE scope.
-        val compEdges = chosen.select($"cs".as("src"), $"cd".as("dst"))
-        val roots = ConnectedComponents.run(
-          compEdges.union(compEdges.select($"dst".as("src"), $"src".as("dst"))),
-          keepAqe = true)
-        val newComp = comp.as("c")
-          .join(roots.as("r"), col("c.comp") === col("r.id"), "left")
+        var ptr = fresh(ptrC)
+        val roots = ptr.filter($"c" === $"p").select($"c".as("rid"))
+          .localCheckpoint(true)
+        var pending = ptr
+          .join(roots, col("p") === col("rid"), "left_anti").count()
+        var hops = 0
+        while (pending > 0) {
+          hops += 1
+          val nxtC = ptr.as("a")
+            .join(ptr.select($"c".as("pc"), $"p".as("pp")),
+              col("a.p") === col("pc"))
+            .select(col("a.c"), col("pp").as("p"))
+            .localCheckpoint(true)
+          GraphOps.releaseCheckpointedFrame(ptrC)
+          ptrC = nxtC
+          ptr = fresh(ptrC)
+          pending = ptr
+            .join(roots, col("p") === col("rid"), "left_anti").count()
+        }
+        val newCompC = comp.as("c")
+          .join(ptr.as("r"), col("c.comp") === col("r.c"), "left")
           .select(col("c.id"),
-            coalesce(col("r.comp"), col("c.comp")).as("comp"))
+            coalesce(col("r.p"), col("c.comp")).as("comp"))
           .localCheckpoint(true)
-        GraphOps.releaseCheckpointedFrame(comp)
-        GraphOps.releaseCheckpointedFrame(chosen)
+        GraphOps.releaseCheckpointedFrame(compC)
+        GraphOps.releaseCheckpointedFrame(ptrC)
         GraphOps.releaseCheckpointedFrame(roots)
-        comp = newComp
+        compC = newCompC
+        comp = fresh(compC)
       }
       System.err.println(
-        f"[msf] round $round chosen=$nChosen ${(System.nanoTime() - tRound) / 1e9}%.2fs")
+        f"[msf] round $round chosen=$nChosen " +
+        f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
     e0.unpersist(false)
-    GraphOps.releaseCheckpointedFrame(comp)
+    GraphOps.releaseCheckpointedFrame(compC)
     if (!done) throw new IllegalStateException(
       s"Borůvka did not converge in $maxRounds rounds — components " +
         "must at least halve per round, so this indicates a broken " +
         "contraction, not a deep graph")
-    forest
+    // per-round picked checkpoints stay alive behind the result; the
+    // harness's getPersistentRDDs sweep (or the caller materializing
+    // and releasing) reclaims them, same as every loop's final frame
+    if (forestParts.isEmpty)
+      e0.limit(0).select($"src", $"dst", $"weight")
+    else forestParts.reduce(_ unionByName _).distinct()
   }
 }
