@@ -489,6 +489,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Positive PMI over forward skip-grams (window 2): the
+    // word-association matrix word2vec implicitly factorizes (Levy &
+    // Goldberg 2014). Pair-event marginals over ALL pairs, minCount
+    // output filter, fixed-point log2 — integer-exact end to end.
+    "q_ppmi_cooccur" -> ((s, dir) => {
+      CorpusOps.ppmiCooccurrence(t(s, dir, "documents"), "doc_id",
+          "text")
+        .orderBy("w1", "w2")
+    }),
+
     // Temperature-based source mixing (τ=0.5): sampling weights
     // ∝ sqrt(n_docs) — the exponentiated-count upsampling recipe a
     // multi-domain training run uses to boost tail sources. sqrt is
@@ -3401,6 +3411,51 @@ object SparkEntry {
       s"""WITH $qualityScoredCte
          |SELECT doc_id, lang, gl AS guessed_lang, quality
          |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // skip-gram PPMI replay: pair unfold by correlated lateral
+    // ranges, pair-event marginals, then the fixed-point log2 chain
+    // (q_kl_drift's recursion) keyed by the pair
+    "q_ppmi_cooccur" ->
+      s"""WITH RECURSIVE
+         |tok AS (SELECT $toksSql AS toks FROM documents),
+         |pr AS (
+         |  SELECT toks[i] AS w1, toks[i + j] AS w2
+         |  FROM tok,
+         |       unnest(range(1, len(toks))) AS u(i),
+         |       unnest(range(1, least(2, len(toks) - i) + 1)) AS v(j)
+         |  WHERE len(toks[i]) > 0 AND len(toks[i + j]) > 0),
+         |pc AS (SELECT w1, w2, count(*) AS c_pair FROM pr GROUP BY 1, 2),
+         |cl AS (SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_l
+         |       FROM pc GROUP BY 1),
+         |cr AS (SELECT w2, CAST(sum(c_pair) AS BIGINT) AS c_r
+         |       FROM pc GROUP BY 1),
+         |nn AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n_pairs FROM pc),
+         |r AS (SELECT p.w1, p.w2, p.c_pair, l.c_l, r2.c_r,
+         |        p.c_pair * n.n_pairs AS num, l.c_l * r2.c_r AS den
+         |      FROM pc p JOIN cl l USING (w1) JOIN cr r2 USING (w2), nn n
+         |      WHERE p.c_pair >= 5
+         |        AND p.c_pair * n.n_pairs >= l.c_l * r2.c_r),
+         |et0 AS (SELECT *, length(bin(num)) - length(bin(den)) AS e0
+         |        FROM r),
+         |et AS (SELECT *, CASE WHEN num < (den << e0) THEN e0 - 1
+         |                      ELSE e0 END AS e
+         |       FROM et0),
+         |fx AS (
+         |  SELECT w1, w2, 0 AS i, CAST(num AS BIGINT) AS pp,
+         |         CAST(den << e AS BIGINT) AS qq, CAST(0 AS BIGINT) AS frac
+         |  FROM et
+         |  UNION ALL
+         |  SELECT w1, w2, i + 1, ps,
+         |         CASE WHEN ps >= 2*qs THEN 2*qs ELSE qs END,
+         |         frac*2 + CASE WHEN ps >= 2*qs THEN 1 ELSE 0 END
+         |  FROM (SELECT w1, w2, i, frac,
+         |          (pp >> sh)*(pp >> sh) AS ps, (qq >> sh)*(qq >> sh) AS qs
+         |        FROM (SELECT *, greatest(length(bin(pp)) - 31, 0) AS sh
+         |              FROM fx WHERE i < 8) s) s2)
+         |SELECT et.w1, et.w2, et.c_pair, et.c_l, et.c_r,
+         |       et.e*256 + fx.frac AS ppmi_q8
+         |FROM et JOIN fx ON fx.w1 = et.w1 AND fx.w2 = et.w2 AND fx.i = 8
+         |ORDER BY et.w1, et.w2""".stripMargin,
 
     // τ=0.5 source mixing: sqrt is IEEE-correctly-rounded, weight
     // quantized to integer BEFORE the normalization sum

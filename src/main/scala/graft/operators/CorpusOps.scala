@@ -833,6 +833,63 @@ object CorpusOps extends CachePinning {
         col("doc_freq"), col("score"))
   }
 
+  /** Positive PMI over skip-gram co-occurrence — the word-association
+    * table (word2vec's SGNS objective implicitly factorizes exactly
+    * this matrix shifted by log k, Levy & Goldberg 2014) a
+    * distributional-semantics or collocation-mining pass computes
+    * over a corpus. Pairs are forward skip-grams within `window`
+    * tokens; marginals are the PAIR-EVENT marginals (row/column sums
+    * of the co-occurrence matrix, computed over ALL pairs before the
+    * `minCount` output filter, so the distribution is not skewed by
+    * the reporting threshold); ppmi_q8 = floor(2^8 · log₂(c_ab·N /
+    * (c_l·c_r))) via [[Ranking.withLog2Fixed]] — integer-exact, and
+    * the PPMI support filter (num ≥ den) doubles as the log's domain
+    * contract.
+    *
+    * Shape at 100 TB: ONE corpus scan — the skip-gram pairs unfold
+    * IN-ROW from the token array (nested transform + flatten, no
+    * self-join, no positional explode-then-join); one exchange for
+    * the pair counts; the two marginal rollups and their joins run on
+    * the pair-count table (vocab²-bounded but Zipf-small), never the
+    * corpus; N rides a broadcast single-row aggregate. The pair table
+    * is pinned — it feeds both marginals, N, and the output.
+    * Overflow: num = c_pair·N < 2^63 needs N < 3·10⁹ pair slots per
+    * partition-of-analysis; beyond that drop to per-shard PPMI or
+    * widen to decimal — documented, not enforced (the log2 contract
+    * guard catches the sign-flip a wrap would produce). */
+  def ppmiCooccurrence(df: DataFrame, idCol: String, textCol: String,
+                       window: Int = 2, minCount: Long = 5L,
+                       fracBits: Int = 8): DataFrame = {
+    require(window >= 1 && window <= 8, s"window 1..8: $window")
+    require(minCount >= 1, s"minCount >= 1: $minCount")
+    val t = TextAnalysis.tokens(col(textCol))
+    val pairStructs = when(size(t) >= 2, flatten(transform(
+        sequence(lit(1), size(t) - 1),
+        i => transform(
+          sequence(lit(1), least(lit(window), size(t) - i)),
+          j => struct(element_at(t, i).as("w1"),
+            element_at(t, i + j).as("w2"))))))
+      .otherwise(expr("array()").cast(
+        "array<struct<w1:string,w2:string>>"))
+    val pc = pin(df
+      .select(explode(pairStructs).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_pair")))
+    val cl = pc.groupBy("w1").agg(sum(col("c_pair")).as("c_l"))
+    val cr = pc.groupBy("w2").agg(sum(col("c_pair")).as("c_r"))
+    val n = pc.agg(sum(col("c_pair")).as("n_pairs"))
+    val scored = pc.filter(col("c_pair") >= minCount)
+      .join(cl, "w1").join(cr, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("num", expr("c_pair * n_pairs"))
+      .withColumn("den", expr("c_l * c_r"))
+      .filter(col("num") >= col("den")) // PPMI support: pmi >= 0
+    Ranking.withLog2Fixed(scored, "num", "den", "ppmi_q8", fracBits)
+      .select(col("w1"), col("w2"), col("c_pair"), col("c_l"),
+        col("c_r"), col("ppmi_q8"))
+  }
+
   /** Temperature-based source mixing at τ = 0.5: sampling weights
     * ∝ n_docs^0.5 — the published multilingual/multi-domain recipe
     * (exponentiated-count sampling, τ=0.5 being the standard

@@ -431,4 +431,22 @@ class CorpusOpsSpec extends AnyFunSuite with SparkTestBase {
     // docs 5 and 7 are identical text: same q_milli, same percentile
     assert(got(5L)._3 == got(7L)._3 && got(5L)._4 == got(7L)._4)
   }
+
+  test("ppmiCooccurrence: hand-computed skip-gram pairs, pair-event " +
+      "marginals, and fixed-point log2 against the BigInt reference") {
+    import spark.implicits._
+    // one doc "a b a b": window-2 forward pairs:
+    //   (a,b) x2 [i=1,3->j1; i=3 has only j=1], (b,a) x1, (a,a) x1, (b,b) x1
+    // pairs: i=1: (a,b),(a,a); i=2: (b,a),(b,b); i=3: (a,b) -> N=5
+    val d = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val got = CorpusOps.ppmiCooccurrence(d, "doc_id", "text",
+        window = 2, minCount = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // only (a,b) passes minCount=2: c_pair=2, c_l(a)=3, c_r(b)=3,
+    // num=2*5=10, den=9 -> ppmi_q8 = floor(256*log2(10/9))
+    val expectQ8 = graft.operators.Ranking.log2FixedRef(
+      BigInt(10), BigInt(9), 8)
+    assert(got == Seq(("a", "b", 2L, 3L, 3L, expectQ8)))
+    CorpusOps.releaseCaches(blocking = true)
+  }
 }
