@@ -583,6 +583,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The dedup REPORT: cluster-size histogram + removable-doc count
+    // — the "how much does near-dup dedup save" summary every
+    // production dedup run reads before committing to a scrub. Two
+    // bounded rollups over the doc-keyed cluster table (cluster-count
+    // then histogram-sized); the corpus never re-shuffles.
+    "q_neardup_cluster_stats" -> ((s, dir) => {
+      Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          expr("cluster_size * n_clusters").as("n_docs"),
+          expr("(cluster_size - 1) * n_clusters").as("n_removable"))
+        .orderBy("cluster_size")
+    }),
+
     // Exact n-gram Jaccard similarity join (prefix filtering — the
     // PPJoin principle): the deterministic-exact counterpart of the
     // probabilistic LSH pair mining, same never-all-pairs shape.
@@ -3291,6 +3307,28 @@ object SparkEntry {
          |       count(*) OVER (PARTITION BY cluster) AS cluster_size,
          |       doc_id = cluster AS is_canonical
          |FROM asg ORDER BY doc_id""".stripMargin,
+
+    // same cluster construction, rolled to the size histogram
+    "q_neardup_cluster_stats" ->
+      s"""WITH RECURSIVE $lshPipelineSql,
+         |pedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM scored WHERE sim >= 0.5
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM scored WHERE sim >= 0.5),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM pedges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN pedges e ON e.src = reach.r),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |asg AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |cs AS (SELECT cluster, count(*) AS sz FROM asg GROUP BY 1)
+         |SELECT sz AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+         |  CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+         |FROM cs GROUP BY sz ORDER BY sz""".stripMargin,
 
     // mirrors Dedup.substringDupSpans: k-token windows fingerprinted
     // with the shared rolling hash, duplicated iff the fingerprint
