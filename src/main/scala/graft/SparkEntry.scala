@@ -599,6 +599,14 @@ object SparkEntry {
         .orderBy("cluster_size")
     }),
 
+    // MinHash estimator quality: signature-match estimate vs exact
+    // Jaccard per LSH candidate pair, integer per-mille — the eval
+    // face for the dedup family's sketch (recall@k's role for ANN).
+    "q_minhash_est_quality" -> ((s, dir) => {
+      Dedup.minhashEstQuality(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Exact n-gram Jaccard similarity join (prefix filtering — the
     // PPJoin principle): the deterministic-exact counterpart of the
     // probabilistic LSH pair mining, same never-all-pairs shape.
@@ -3307,6 +3315,33 @@ object SparkEntry {
          |       count(*) OVER (PARTITION BY cluster) AS cluster_size,
          |       doc_id = cluster AS is_canonical
          |FROM asg ORDER BY doc_id""".stripMargin,
+
+    // estimator-vs-exact replay over the same candidate CTEs; the
+    // signature compare sums per-component CASE equalities over the
+    // m0..m{k-1} columns sigCte emits
+    "q_minhash_est_quality" -> {
+      val k = Dedup.Coeffs.size
+      val matches = Dedup.Coeffs.indices
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $lshPipelineSql,
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST($matches AS BIGINT) AS n_match,
+         |    CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS isz,
+         |    CAST(len(ha.hs) + len(hb.hs)
+         |      - len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS uni
+         |  FROM cand c
+         |  JOIN sig a ON a.doc_id = c.doc_a
+         |  JOIN sig b ON b.doc_id = c.doc_b
+         |  JOIN hs ha ON ha.doc_id = c.doc_a
+         |  JOIN hs hb ON hb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b,
+         |  n_match * 1000 // $k AS est_permille,
+         |  isz * 1000 // uni AS exact_permille,
+         |  abs(n_match * 1000 // $k - isz * 1000 // uni) AS err_permille
+         |FROM est ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     // same cluster construction, rolled to the size histogram
     "q_neardup_cluster_stats" ->

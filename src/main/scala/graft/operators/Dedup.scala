@@ -197,6 +197,54 @@ object Dedup extends CachePinning {
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }
 
+  /** MinHash ESTIMATOR quality — the eval face for the dedup family's
+    * sketch (what recall@k is to the ANN family): per LSH candidate
+    * pair, the signature-match estimate of Jaccard (matching
+    * components / k — the quantity LSH banding implicitly thresholds)
+    * against the exact shingle-set Jaccard, plus the absolute error.
+    * All three in truncating integer per-mille, so the evaluation of
+    * the probabilistic sketch is itself hash-exact.
+    *
+    * Scope: candidate pairs only — the pairs the pipeline actually
+    * judges (the estimator's error off the candidate set never
+    * affects a decision). Shape at 100 TB: identical to
+    * [[lshNearDupsFromHashes]] (one pinned projection, band
+    * equi-join, per-pair O(|hs|) verify); the signature compare adds
+    * k integer equality checks per pair. */
+  def minhashEstQuality(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    val base = pin(df.select(col(idCol).as("doc_id"),
+        shingleHashes(col(textCol), n).as("hs"))
+      .withColumn("sig", minhashFromHashes(col("hs"))))
+    val bands = bandsOf(base)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h1") === col("y.h1") &&
+          col("x.h2") === col("y.h2") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+      col("sig").as("sig_a"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+      col("sig").as("sig_b"))
+    val k = Coeffs.size
+    // candidates always carry nonempty shingle sets (they banded), so
+    // uni >= 1 — the truncating divisions are total
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_match", expr(
+        "aggregate(zip_with(sig_a, sig_b, " +
+          "(a, b) -> CASE WHEN a = b THEN 1L ELSE 0L END), " +
+          "0L, (acc, x) -> acc + x)"))
+      .withColumn("isz",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("isz"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"n_match * 1000 div $k").as("est_permille"),
+        expr("isz * 1000 div uni").as("exact_permille"),
+        expr(s"abs(n_match * 1000 div $k - isz * 1000 div uni)")
+          .as("err_permille"))
+  }
+
   /** Near-duplicate pairs via MinHash-LSH: band the k-component
     * signature into (k/r) bands of r rows; documents sharing any
     * band bucket become candidates (equi-self-join on the bucket key);
