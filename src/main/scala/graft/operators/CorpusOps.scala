@@ -846,13 +846,26 @@ object CorpusOps extends CachePinning {
     * the PPMI support filter (num ≥ den) doubles as the log's domain
     * contract.
     *
-    * Shape at 100 TB: ONE corpus scan — the skip-gram pairs unfold
-    * IN-ROW from the token array (nested transform + flatten, no
-    * self-join, no positional explode-then-join); one exchange for
-    * the pair counts; the two marginal rollups and their joins run on
-    * the pair-count table (vocab²-bounded but Zipf-small), never the
-    * corpus; N rides a broadcast single-row aggregate. The pair table
-    * is pinned — it feeds both marginals, N, and the output.
+    * Shape at 100 TB: one corpus scan feeds a codegen'd tokenize +
+    * posexplode, ONE token-stream exchange for the per-doc lead()
+    * window (doc-bounded partitions — the markov_transitions idiom),
+    * and one pair-count exchange with map-side combine; the marginal
+    * rollups and their joins run on the pair-count table
+    * (vocab²-bounded but Zipf-small), never the corpus; N rides a
+    * broadcast single-row aggregate. The pair table is pinned — it
+    * feeds both marginals, N, and the output.
+    *
+    * Measured (r16): the first cut unfolded pairs IN-ROW via nested
+    * higher-order transform+flatten — HOF lambdas evaluate
+    * INTERPRETED (outside whole-stage codegen), and the gate-SF
+    * single-file scan ran the whole unfold as one task: 17-22s with
+    * one thread pegged in StringSplit.nullSafeEval. The lead() window
+    * costs one extra skinny exchange and runs fully codegen'd: same
+    * pair multiset (split("\\s+") yields mid-stream empties never,
+    * leading empties only, so filtering empty tokens before the
+    * window preserves every surviving pair's gap), 20× less per-row
+    * CPU, and parallel at every SF.
+    *
     * Overflow: num = c_pair·N < 2^63 needs N < 3·10⁹ pair slots per
     * partition-of-analysis; beyond that drop to per-shard PPMI or
     * widen to decimal — documented, not enforced (the log2 contract
@@ -862,19 +875,18 @@ object CorpusOps extends CachePinning {
                        fracBits: Int = 8): DataFrame = {
     require(window >= 1 && window <= 8, s"window 1..8: $window")
     require(minCount >= 1, s"minCount >= 1: $minCount")
-    val t = TextAnalysis.tokens(col(textCol))
-    val pairStructs = when(size(t) >= 2, flatten(transform(
-        sequence(lit(1), size(t) - 1),
-        i => transform(
-          sequence(lit(1), least(lit(window), size(t) - i)),
-          j => struct(element_at(t, i).as("w1"),
-            element_at(t, i + j).as("w2"))))))
-      .otherwise(expr("array()").cast(
-        "array<struct<w1:string,w2:string>>"))
-    val pc = pin(df
-      .select(explode(pairStructs).as("pr"))
-      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
-      .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = df.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val leads = (1 to window).map(j =>
+      lead(col("tok"), j).over(byDoc).as(s"n$j"))
+    val pc = pin(tok
+      .select(col("tok").as("w1") +: leads: _*)
+      .select(col("w1"), explode(
+        array((1 to window).map(j => col(s"n$j")): _*)).as("w2"))
+      .filter(col("w2").isNotNull)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_pair")))
     val cl = pc.groupBy("w1").agg(sum(col("c_pair")).as("c_l"))
     val cr = pc.groupBy("w2").agg(sum(col("c_pair")).as("c_r"))
