@@ -420,6 +420,33 @@ object SparkEntry {
 
     // Connected components by min-label propagation on the
     // customer-order bipartite graph.
+    // The DEEP-graph CC path driver-gated: 100 chains of ~127
+    // vertices (diameter 126 — min-label propagation needs ~126
+    // rounds; alternating large/small-star contraction converges in
+    // O(log n) ≈ 8, and each gate-SF round costs a fixed ~6 exchanges
+    // of 32×32 shuffle files, so round count IS the price here). The
+    // oracle is the construction's CLOSED FORM — comp(v) =
+    // (v div 127)·127 — an algorithm-independent check, not a
+    // replay. Output is the per-component histogram.
+    // Runs on an isolated child session with shuffle.partitions sized
+    // to the component graph (8, not the suite's 32): the loop is
+    // stage-latency-bound — each of its ~5 exchanges per round pays
+    // per-shuffle-FILE costs (partitions² files), so partition count
+    // is THE lever at this input size (measured: 32 partitions →
+    // ~1.9s/round floor; the data per round is 12.6k rows). The same
+    // knob sizes UP at 100 TB — the point the face documents.
+    "q_cc_star_deep" -> ((s, _) => {
+      val sess = s.newSession()
+      sess.conf.set("spark.sql.shuffle.partitions", 8)
+      val n = 12700L
+      val edges = sess.range(1, n).filter(expr("id % 127 != 0"))
+        .select(col("id").as("src"), (col("id") - 1).as("dst"))
+      ConnectedComponents.runStarContraction(edges)
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_vertices"), sum(col("id")).as("sum_id"))
+        .orderBy("comp")
+    }),
+
     "q_connected_components" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val edges = GraphOps.symmetrize(
@@ -5443,6 +5470,15 @@ object SparkEntry {
         |LEFT JOIN reach r ON r.ek = e.rk AND r.v = e.dst
         |WHERE r.v IS NULL
         |ORDER BY e.src, e.dst""".stripMargin,
+
+    // algorithm-independent closed form of the chain construction:
+    // comp(v) = (v div 127)*127
+    "q_cc_star_deep" ->
+      """SELECT (i // 127) * 127 AS comp,
+        |  count(*) AS n_vertices,
+        |  CAST(sum(i) AS BIGINT) AS sum_id
+        |FROM range(12700) t(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_connected_components" ->
       """WITH RECURSIVE oedges(src, dst) AS (

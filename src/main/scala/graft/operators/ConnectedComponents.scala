@@ -128,13 +128,25 @@ object ConnectedComponents {
     val spark = edges0.sparkSession
     import spark.implicits._
 
+    // Stats firewall (see SpanningForest.runLoop's note): each round
+    // INNER-joins two frames derived from e (sym ⋈ mins, then
+    // ls ⋈ minLo), so the checkpoint-inherited sizeInBytes rises to
+    // the FOURTH power per round — 64·4^r bits; by round 11 the plan
+    // carries ~270-Mbit BigInts and both the driver multiplication
+    // and the parallel GC of those allocations dominate (measured on
+    // the q_cc_star_deep chain graph: 33-49s / 395-543 CPU-s for a
+    // 20k-edge input). The rebuilt view pins stats at the bounded
+    // default.
+    def fresh(ckpt: DataFrame): DataFrame =
+      spark.createDataFrame(ckpt.rdd, ckpt.schema)
+
     val verts = GraphOps.vertices(edges0)
     // canonical undirected pair set (hi > lo); self-loops can't affect
     // components and are dropped
-    var e = edges0.filter($"src" =!= $"dst")
+    var e = fresh(edges0.filter($"src" =!= $"dst")
       .select(greatest($"src", $"dst").as("hi"), least($"src", $"dst").as("lo"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true))
 
     // edge-set fingerprint: (count, hash-sum). The algorithm strictly
     // decreases a potential until the star fixpoint, so equal
@@ -178,7 +190,7 @@ object ConnectedComponents {
       val newFp = fingerprint(ss)
       converged = newFp == fp
       fp = newFp
-      e = ss
+      e = fresh(ss)
       System.err.println(
         f"[cc-star] round $iter edges=${fp._1} " +
           f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
