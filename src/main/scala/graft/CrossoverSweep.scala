@@ -27,9 +27,44 @@ import graft.sources.{EdgeListSource, SyntheticGraphs}
   * reference's repeated invocations were. Analysis takes the per-cell
   * min. Results land in BASELINE.md §crossover.
   *
-  * Usage: runMain graft.CrossoverSweep [outCsv] [runs]
+  * Usage: runMain graft.CrossoverSweep [outCsv] [runs] [datasetDir]
+  * (datasetDir defaults to the reference checkout's datasets/).
   */
 object CrossoverSweep {
+
+  /** One serial cell (n_Workers = 0): time [[SerialBfs]] on a
+    * symmetrized edge list and append the reference-schema row.
+    * Extracted so `CrossoverSweepSpec` can gate the row path in CI. */
+  def runSerialCell(out: String, name: String,
+                    edges: Seq[(Long, Long)]): Double = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val t0 = System.nanoTime()
+    val d = SerialBfs.distances(sym, source = 0L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[sweep] $name serial reached=${d.size} $sec%.3fs")
+    MetricsSink.append(out, name, nWorkers = 0, seconds = sec)
+    sec
+  }
+
+  /** One distributed cell: time a full engine BFS (symmetrize → run →
+    * count/ecc aggregate) and append the row as n_Workers = w. The
+    * caller owns the session (main builds a fresh local[w] one per
+    * sweep step; the spec reuses its shared test session). */
+  def runDistributedCell(out: String, name: String,
+                         edges: org.apache.spark.sql.DataFrame,
+                         w: Int): Double = {
+    val spark = edges.sparkSession
+    val t0 = System.nanoTime()
+    val n = Bfs.run(GraphOps.symmetrize(edges), source = 0L)
+      .agg(count(lit(1)), max(col("dist"))).collect()(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(
+      f"[sweep] $name w=$w reached=${n.getLong(0)} ecc=${n.getLong(1)} $sec%.3fs")
+    MetricsSink.append(out, name, nWorkers = w, seconds = sec)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.catalog.clearCache()
+    sec
+  }
 
   private def session(w: Int): SparkSession = {
     SparkSession.clearActiveSession()
@@ -47,8 +82,10 @@ object CrossoverSweep {
   def main(args: Array[String]): Unit = {
     val out = if (args.length > 0) args(0) else "bench/crossover_sweep.csv"
     val runs = if (args.length > 1) args(1).toInt else 2
-    val tiny = "/root/reference/datasets/tinyG.txt"
-    val small = "/root/reference/datasets/smallG.txt"
+    val dataDir =
+      if (args.length > 2) args(2) else "/root/reference/datasets"
+    val tiny = s"$dataDir/tinyG.txt"
+    val small = s"$dataDir/smallG.txt"
     val (mn, me) = SyntheticGraphs.MediumG
 
     // ---- serial baseline (n_Workers = 0): same edge lists, in-memory
@@ -60,23 +97,18 @@ object CrossoverSweep {
             case _           => None
           }
         }.toSeq
+    // serial mediumG from the generator's OWN closed-form helper —
+    // one source of truth for the constants (SyntheticGraphsSpec
+    // cross-checks it against an independent replay)
     def mediumEdges(): Seq[(Long, Long)] =
-      (1L until mn).map(i => (i, (i - 1) / 64)) ++
-        (0L until (me - (mn - 1))).map(j =>
-          ((j * 1103515245L + 12345L) % mn, (j * 2654435761L + 98765L) % mn))
+      SyntheticGraphs.referenceScaleEdges(mn, me)
     val serialSets = Seq(
       "tinyG" -> (() => fileEdges(tiny)),
       "smallG" -> (() => fileEdges(small)),
       "mediumG_synth" -> (() => mediumEdges()))
     for ((name, mk) <- serialSets) {
-      val sym = mk().flatMap { case (a, b) => Seq((a, b), (b, a)) }
-      for (_ <- 1 to math.max(runs, 3)) {
-        val t0 = System.nanoTime()
-        val d = SerialBfs.distances(sym, source = 0L)
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[sweep] $name serial reached=${d.size} $sec%.3fs")
-        MetricsSink.append(out, name, nWorkers = 0, seconds = sec)
-      }
+      val edges = mk()
+      for (_ <- 1 to math.max(runs, 3)) runSerialCell(out, name, edges)
     }
 
     // ---- distributed sweep: fresh local[w] context per step
@@ -88,17 +120,8 @@ object CrossoverSweep {
           "smallG" -> (() => EdgeListSource.load(spark, small)),
           "mediumG_synth" ->
             (() => SyntheticGraphs.referenceScale(spark, mn, me)))
-        for ((name, mk) <- sets; _ <- 1 to runs) {
-          val t0 = System.nanoTime()
-          val n = Bfs.run(GraphOps.symmetrize(mk()), source = 0L)
-            .agg(count(lit(1)), max(col("dist"))).collect()(0)
-          val sec = (System.nanoTime() - t0) / 1e9
-          System.err.println(
-            f"[sweep] $name w=$w reached=${n.getLong(0)} ecc=${n.getLong(1)} $sec%.3fs")
-          MetricsSink.append(out, name, nWorkers = w, seconds = sec)
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-          spark.catalog.clearCache()
-        }
+        for ((name, mk) <- sets; _ <- 1 to runs)
+          runDistributedCell(out, name, mk(), w)
       } finally spark.stop()
     }
     System.err.println(s"[sweep] done -> $out")

@@ -48,6 +48,13 @@ object SparkEntry {
     * which is what makes the oracle expressible as unrolled layers. */
   private val BfsPathsCopurchaseHops = 6
 
+  /** Layer count for q_bfs_paths_mediumg — ecc(0) ≤ 4 BY CONSTRUCTION
+    * on the synthetic reference-scale graphs (SyntheticGraphs: tree
+    * depth bounds it, chords only shrink), so 5 min-merge layers are
+    * provably past the BFS fixed point; shared by the Spark query's
+    * hop bound and the oracle's unrolled layer count. */
+  private val MediumGPathLayers = 5
+
   /** Step count and walks-per-vertex for q_random_walks — shared by
     * the Spark query and the unrolled layers of its DuckDB oracle. */
   private val RandomWalkSteps = 4
@@ -1814,6 +1821,27 @@ object SparkEntry {
       Bfs.run(copurchaseEdges(s, dir), source = 2L,
           Bfs.Config(maxIterations = BfsPathsCopurchaseHops,
             withPaths = true))
+        .select(col("id"), col("dist"),
+          array_join(col("path"), "->").as("path"))
+        .orderBy("id")
+    }),
+
+    // Path-carrying BFS at the reference's PUBLISHED mediumG scale
+    // (77,360 vertices / 905,468 edges — the one reference output that
+    // was r16-validated only up to the 16,743-vertex copurchase graph;
+    // the reference computes paths for EVERY vertex at every scale it
+    // benchmarked, BFS_map_reduce.py:31-35). Same synthetic graph as
+    // q_bfs_mediumg_scale, ecc(0) ≤ 4 by construction, so
+    // MediumGPathLayers = 5 rounds is provably past the fixed point —
+    // the oracle unrolls 5 path-carrying min-merge layers and DuckDB's
+    // lexicographic list-min replays min(struct(dist, path)). This
+    // prices the array payload through the ~2.3M-row published-scale
+    // frontier shuffle, not just the histogram.
+    "q_bfs_paths_mediumg" -> ((s, _) => {
+      val (n, e) = graft.sources.SyntheticGraphs.MediumG
+      val edges = graft.sources.SyntheticGraphs.referenceScale(s, n, e)
+      Bfs.run(GraphOps.symmetrize(edges), source = 0L,
+          Bfs.Config(maxIterations = MediumGPathLayers, withPaths = true))
         .select(col("id"), col("dist"),
           array_join(col("path"), "->").as("path"))
         .orderBy("id")
@@ -4724,6 +4752,45 @@ object SparkEntry {
          |SELECT id, CAST(dist AS BIGINT) AS dist,
          |       array_to_string(path, '->') AS path
          |FROM p$BfsPathsCopurchaseHops ORDER BY id""".stripMargin
+    },
+
+    // q_bfs_paths_copurchase's layer pattern at the PUBLISHED mediumG
+    // scale: the synthetic graph rebuilt from the same closed-form
+    // integer arithmetic (referenceScaleBfsSql's construction), 5
+    // path-carrying min-merge layers (provably past fixpoint — ecc(0)
+    // ≤ 4 by construction), lex-min path via DuckDB's list min.
+    // MATERIALIZED: every layer is referenced three times downstream.
+    "q_bfs_paths_mediumg" -> {
+      val (n, e) = graft.sources.SyntheticGraphs.MediumG
+      val chords = e - (n - 1)
+      val layers = (1 to MediumGPathLayers).map { h =>
+        s"""c$h AS MATERIALIZED (
+           |  SELECT id, dist, path FROM p${h - 1}
+           |  UNION ALL
+           |  SELECT e.dst, d.dist + 1, list_append(d.path, e.dst)
+           |  FROM p${h - 1} d JOIN edges e ON e.src = d.id),
+           |b$h AS MATERIALIZED (
+           |  SELECT id, min(dist) AS dist FROM c$h GROUP BY id),
+           |p$h AS MATERIALIZED (
+           |  SELECT c.id, b.dist, min(c.path) AS path
+           |  FROM c$h c JOIN b$h b
+           |    ON b.id = c.id AND c.dist = b.dist
+           |  GROUP BY c.id, b.dist)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT i AS src, (i - 1) // 64 AS dst FROM range(1, $n) t(i)
+         |  UNION ALL
+         |  SELECT (j * 1103515245 + 12345) % $n AS src,
+         |         (j * 2654435761 + 98765) % $n AS dst
+         |  FROM range($chords) t(j)),
+         |edges AS (SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw),
+         |p0(id, dist, path) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |         [CAST(0 AS BIGINT)]),
+         |$layers
+         |SELECT id, CAST(dist AS BIGINT) AS dist,
+         |       array_to_string(path, '->') AS path
+         |FROM p$MediumGPathLayers ORDER BY id""".stripMargin
     },
 
     // weighted twin of the golden walk: same simple-path enumeration,

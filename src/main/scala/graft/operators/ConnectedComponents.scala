@@ -128,17 +128,11 @@ object ConnectedComponents {
     val spark = edges0.sparkSession
     import spark.implicits._
 
-    // Stats firewall (see SpanningForest.runLoop's note): each round
-    // INNER-joins two frames derived from e (sym ⋈ mins, then
-    // ls ⋈ minLo), so the checkpoint-inherited sizeInBytes rises to
-    // the FOURTH power per round — 64·4^r bits; by round 11 the plan
-    // carries ~270-Mbit BigInts and both the driver multiplication
-    // and the parallel GC of those allocations dominate (measured on
-    // the q_cc_star_deep chain graph: 33-49s / 395-543 CPU-s for a
-    // 20k-edge input). The rebuilt view pins stats at the bounded
-    // default.
-    def fresh(ckpt: DataFrame): DataFrame =
-      spark.createDataFrame(ckpt.rdd, ckpt.schema)
+    // Stats firewall (measured rationale: GraphOps.freshStats scaladoc;
+    // this loop is the fourth-power case — two state-derived inner
+    // joins per round; q_cc_star_deep measured 33-49s / 395-543 CPU-s
+    // on a 20k-edge input before the firewall).
+    def fresh(ckpt: DataFrame): DataFrame = GraphOps.freshStats(ckpt)
 
     val verts = GraphOps.vertices(edges0)
     // canonical undirected pair set (hi > lo); self-loops can't affect

@@ -868,8 +868,10 @@ object CorpusOps extends CachePinning {
     *
     * Overflow: num = c_pair·N < 2^63 needs N < 3·10⁹ pair slots per
     * partition-of-analysis; beyond that drop to per-shard PPMI or
-    * widen to decimal — documented, not enforced (the log2 contract
-    * guard catches the sign-flip a wrap would produce). */
+    * widen to decimal. ENFORCED rowwise (r17): both products carry a
+    * load-bearing `assert_true` bound — a 2^63 wrap can land positive
+    * and still pass the `num ≥ den` support filter, so the log2
+    * contract guard alone is not airtight. */
   def ppmiCooccurrence(df: DataFrame, idCol: String, textCol: String,
                        window: Int = 2, minCount: Long = 5L,
                        fracBits: Int = 8): DataFrame = {
@@ -894,8 +896,18 @@ object CorpusOps extends CachePinning {
     val scored = pc.filter(col("c_pair") >= minCount)
       .join(cl, "w1").join(cr, "w2")
       .crossJoin(broadcast(n))
-      .withColumn("num", expr("c_pair * n_pairs"))
-      .withColumn("den", expr("c_l * c_r"))
+      .withColumn("num", expr(
+        s"""c_pair * n_pairs + ifnull(cast(assert_true(
+          |  c_pair <= ${Long.MaxValue} div n_pairs,
+          |  concat('ppmiCooccurrence overflow: c_pair*N = ',
+          |         c_pair, '*', n_pairs)) as int), 0)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("den", expr(
+        s"""c_l * c_r + ifnull(cast(assert_true(
+          |  c_l <= ${Long.MaxValue} div c_r,
+          |  concat('ppmiCooccurrence overflow: c_l*c_r = ',
+          |         c_l, '*', c_r)) as int), 0)"""
+          .stripMargin.replace("\n", " ")))
       .filter(col("num") >= col("den")) // PPMI support: pmi >= 0
     Ranking.withLog2Fixed(scored, "num", "den", "ppmi_q8", fracBits)
       .select(col("w1"), col("w2"), col("c_pair"), col("c_l"),
@@ -923,10 +935,16 @@ object CorpusOps extends CachePinning {
     * counts; everything after runs on the |sources|-row frame (the
     * single-partition window is over that bounded frame, never the
     * corpus — the modularity idiom). Overflow guarded to 2^63
-    * rowwise (weight_q·10^6 wraps only past ~8.5·10^13 docs/source). */
+    * rowwise (weight_q·10^6 wraps only past ~8.5·10^13 docs/source);
+    * the caller-supplied budget·weight_q product carries its own
+    * rowwise `assert_true` (r17 — a large budget would otherwise wrap
+    * target_docs silently under non-ANSI Spark), and budget itself is
+    * capped at 2^63/1000 so the per-mille step cannot wrap. */
   def temperatureMixWeights(df: DataFrame, sourceCol: String,
                             budget: Long = 10000L): DataFrame = {
-    require(budget > 0, s"budget must be positive: $budget")
+    require(budget > 0 && budget <= Long.MaxValue / 1000L,
+      s"budget must be in 1..${Long.MaxValue / 1000L}: $budget")
+    val wqBudgetBound = Long.MaxValue / budget
     val w = Window.partitionBy()
     df.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"))
@@ -940,7 +958,13 @@ object CorpusOps extends CachePinning {
           |  concat('temperatureMixWeights overflow: weight_q=',
           |         weight_q)) as int), 0)""".stripMargin.replace("\n", " "))
           .as("weight_ppm"),
-        expr(s"$budget * weight_q div tot").as("target_docs"),
+        // budget·weight_q guard: the quotient is ≤ budget (weight_q ≤
+        // tot), so the later ·1000 is covered by the require() cap
+        expr(s"""$budget * weight_q div tot +
+          |ifnull(cast(assert_true(weight_q <= $wqBudgetBound,
+          |  concat('temperatureMixWeights budget overflow: weight_q=',
+          |         weight_q, ' budget=$budget')) as int), 0)"""
+          .stripMargin.replace("\n", " ")).as("target_docs"),
         expr(s"($budget * weight_q div tot) * 1000 div n_docs")
           .as("upsample_permille"))
   }

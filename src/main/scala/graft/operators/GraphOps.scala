@@ -39,6 +39,39 @@ object GraphOps {
     }.foreach(_.unpersist(blocking))
   }
 
+  /** STATS FIREWALL for checkpointed iterative loops (r16, measured).
+    *
+    * `Dataset.localCheckpoint` INHERITS the original plan's Statistics
+    * into the returned `LogicalRDD` (`originalStats`), and
+    * `SizeInBytesOnlyStatsPlanVisitor` MULTIPLIES children's
+    * sizeInBytes through every join. An iterative loop that joins a
+    * checkpointed frame against ITSELF therefore SQUARES the inherited
+    * sizeInBytes each round (two state-derived joins per round raise
+    * it to the FOURTH power): measured on [[SpanningForest]] the
+    * BigInt reached 65 million bits by round 5, and on
+    * [[ConnectedComponents.runStarContraction]]'s deep-chain face
+    * ~270 Mbit by round 11 — after which every plan build spends
+    * seconds in `BigInteger.multiplyToomCook3` ON THE DRIVER
+    * (jstack-confirmed: job wall doubled per round while executor CPU
+    * sat idle).
+    *
+    * Rebuilding the frame from the checkpointed RDD drops
+    * `originalStats`, so the view reports the bounded
+    * `defaultSizeInBytes` instead — per-round stats become a constant,
+    * not a compounding power. The cost is one Row codec pass over the
+    * (loop-state-sized, usually shrinking) frame per round.
+    *
+    * The view SHARES the checkpoint's blocks: release the checkpointed
+    * HANDLE via [[releaseCheckpointedFrame]] (never the view), and
+    * only after its successor has materialized.
+    *
+    * EVERY self-joining checkpointed loop must route its state through
+    * this helper — `StatsFirewallSpec` guards the compounding failure
+    * mode. Full audit of the repo's loops: PLANS.md "Stats-explosion
+    * audit" (commit e5c5ec4). */
+  private[graft] def freshStats(ckpt: DataFrame): DataFrame =
+    ckpt.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
+
   /** Insert each edge in both directions (reference `Graph.py:9-16`).
     * Input columns: `src`, `dst`. Narrow op — no shuffle, and ONE scan
     * of the input: the union-of-two-projections formulation reads the

@@ -59,23 +59,11 @@ object SpanningForest {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // STATS FIREWALL (r16, measured): localCheckpoint INHERITS the
-    // original plan's Statistics, and SizeInBytesOnlyStatsPlanVisitor
-    // MULTIPLIES children's sizeInBytes through every join — so an
-    // iterative SELF-join (the pointer-doubling hops below) SQUARES
-    // the inherited sizeInBytes every hop. Measured on this loop: the
-    // BigInt reached 65 MILLION bits by round 5 and every subsequent
-    // plan build spent seconds in BigInteger.multiplyToomCook3 ON THE
-    // DRIVER (jstack-confirmed; job wall grew 2x per job while
-    // executor CPU sat idle). Rebuilding the frame from the
-    // checkpointed RDD drops originalStats, so the view reports the
-    // bounded default instead — per-hop stats become a constant, not
-    // a compounding square. The Row round-trip this adds is one codec
-    // pass over a component-sized (shrinking) frame per round. The
-    // view shares the checkpoint's blocks: release the HANDLE, never
-    // the view, and only after the next checkpoint materializes.
-    def fresh(ckpt: DataFrame): DataFrame =
-      spark.createDataFrame(ckpt.rdd, ckpt.schema)
+    // Stats firewall (measured rationale: GraphOps.freshStats scaladoc;
+    // this loop is the squaring case — the pointer-doubling hops below
+    // self-join the checkpointed state; 65-Mbit plan BigInts by round 5
+    // before the firewall).
+    def fresh(ckpt: DataFrame): DataFrame = GraphOps.freshStats(ckpt)
 
     // canonical undirected edge set: src < dst, lightest parallel edge
     val e0 = edges.filter($"src" =!= $"dst")
@@ -113,11 +101,16 @@ object SpanningForest {
       // struct-min is the O12 argmin. ONE row per component that
       // still has an outgoing edge: both its forest contribution and
       // its contraction parent derive from this frame.
+      // LAZY checkpoint + count: the count action both materializes the
+      // checkpoint blocks and reads the termination signal — ONE job
+      // where the eager-checkpoint-then-count form paid two. (Job
+      // COUNT, not job size, dominated this query's driver wall — the
+      // same disease the q_effective_diameter 6-jobs→1 collapse cured.)
       val picked = lab
         .select(explode(array($"cs", $"cd")).as("c"),
           struct($"weight", $"src", $"dst", $"cs", $"cd").as("e"))
         .groupBy($"c").agg(min($"e").as("e"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nChosen = picked.count()
       if (nChosen == 0) {
         done = true
@@ -157,25 +150,40 @@ object SpanningForest {
           .select(col("a.c"),
             when(col("pp") === col("a.c"), least(col("a.c"), col("a.p")))
               .otherwise(col("a.p")).as("p"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         var ptr = fresh(ptrC)
-        val roots = ptr.filter($"c" === $"p").select($"c".as("rid"))
-          .localCheckpoint(true)
-        var pending = ptr
-          .join(roots, col("p") === col("rid"), "left_anti").count()
+        // Pointer doubling at ONE job per hop (r17; was checkpoint +
+        // left_anti-count = 2 jobs/hop plus a roots frame and an
+        // initial probe — 3 more jobs/round): each hop's self-join
+        // emits its own termination signal, moved = (p(p(c)) ≠ p(c)).
+        // moved = 0 for all rows ⇔ every pointer's target is a fixed
+        // point ⇔ all pointers sit on roots — exactly the old probe,
+        // evaluated inside the hop's own job. The lazy checkpoint is
+        // materialized by the SAME count() that reads the signal; the
+        // collapse frame above materializes inside hop 1's job, so the
+        // inner loop costs exactly max(1, ⌈log₂ depth⌉) jobs total.
+        // Hop cap: depth ≤ components ≤ |V| < 2^63 ⇒ >63 hops means
+        // the 2-cycle/strict-order invariant is broken (e.g. a future
+        // edit feeding non-canonical edges) — fail loudly rather than
+        // spin the driver forever.
+        var pending = 1L
         var hops = 0
         while (pending > 0) {
           hops += 1
+          if (hops > 64) throw new IllegalStateException(
+            "pointer doubling exceeded 64 hops — the chosen graph is " +
+              "not a pseudo-forest of 2-cycles (strict-total-order " +
+              "invariant broken); refusing to spin the driver")
           val nxtC = ptr.as("a")
             .join(ptr.select($"c".as("pc"), $"p".as("pp")),
               col("a.p") === col("pc"))
-            .select(col("a.c"), col("pp").as("p"))
-            .localCheckpoint(true)
+            .select(col("a.c"), col("pp").as("p"),
+              (col("pp") =!= col("a.p")).as("moved"))
+            .localCheckpoint(false)
+          pending = nxtC.filter($"moved").count()
           GraphOps.releaseCheckpointedFrame(ptrC)
           ptrC = nxtC
-          ptr = fresh(ptrC)
-          pending = ptr
-            .join(roots, col("p") === col("rid"), "left_anti").count()
+          ptr = fresh(ptrC).select($"c", $"p")
         }
         val newCompC = comp.as("c")
           .join(ptr.as("r"), col("c.comp") === col("r.c"), "left")
@@ -184,7 +192,6 @@ object SpanningForest {
           .localCheckpoint(true)
         GraphOps.releaseCheckpointedFrame(compC)
         GraphOps.releaseCheckpointedFrame(ptrC)
-        GraphOps.releaseCheckpointedFrame(roots)
         compC = newCompC
         comp = fresh(compC)
       }

@@ -61,4 +61,21 @@ object SyntheticGraphs {
         expr(s"(id * 2654435761 + 98765) % $nVerts").as("dst"))
     tree.unionByName(chords)
   }
+
+  /** Driver-side replay of [[referenceScale]]'s closed form — the SAME
+    * integer arithmetic, materialized as a Seq for serial baselines
+    * ([[graft.CrossoverSweep]]'s n_Workers=0 runs) so the two
+    * constructions cannot drift if the generator constants change.
+    * `SyntheticGraphsSpec` cross-checks this against an independent
+    * hand replay. Driver-memory bounded: only call at the reference's
+    * published scales (≤ 1.5M edges). */
+  def referenceScaleEdges(nVerts: Long, nEdges: Long): Seq[(Long, Long)] = {
+    require(nVerts >= 2 && nEdges >= nVerts - 1,
+      s"need nVerts >= 2 and nEdges >= nVerts-1; got $nVerts/$nEdges")
+    require(nEdges < 1000000000L, s"chord hash headroom: $nEdges")
+    (1L until nVerts).map(i => (i, (i - 1) / 64)) ++
+      (0L until (nEdges - (nVerts - 1))).map(j =>
+        ((j * 1103515245L + 12345L) % nVerts,
+          (j * 2654435761L + 98765L) % nVerts))
+  }
 }

@@ -53,6 +53,12 @@ class SyntheticGraphsSpec extends AnyFunSuite with SparkTestBase {
     assert(medDists.values.max <= 4L)
   }
 
+  test("referenceScaleEdges (the shared serial helper) matches the " +
+      "independent replay — CrossoverSweep's baseline cannot drift") {
+    val (n, e) = (500L, 3000L)
+    assert(SyntheticGraphs.referenceScaleEdges(n, e) === serialEdges(n, e))
+  }
+
   test("generator rejects under-specified shapes") {
     intercept[IllegalArgumentException] {
       SyntheticGraphs.referenceScale(spark, 10L, 5L)
