@@ -795,6 +795,42 @@ object SparkEntry {
         .orderBy("cid", "pos")
     }),
 
+    // IVF search over TRAINED centroids — kmeansStep's reason to
+    // exist, closed into the ANN family (r16 verdict stretch item):
+    // hash-order seeds → IvfTrainSteps integer-exact Lloyd
+    // refinements → multi-probe search. Every stage re-quantizes to
+    // integers, so the full production index-build shape is
+    // hash-gated end to end.
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      Similarity.ivfTopKTrained(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 5)
+        .orderBy("vec_id", "rank")
+    }),
+
+    // Does training MOVE recall? Corpus recall@5 at nprobe=3 for the
+    // seeded index vs the Lloyd-trained index against one brute-force
+    // ground truth — the eval row that justifies (or refutes) paying
+    // for centroid training before indexing. Two rows, integer-exact.
+    "q_ann_trained_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          k = 5)
+        .localCheckpoint(true)
+      Seq(
+        "seeded" -> Similarity.ivfTopK(emb, "vec_id", "embedding",
+          k = 5, nprobe = 3),
+        "trained" -> Similarity.ivfTopKTrained(emb, "vec_id",
+          "embedding", k = 5, nprobe = 3))
+        .map { case (variant, approx) =>
+          Similarity.recallAtK(approx, exact)
+            .agg(sum(col("n_hits")).as("n_hits"),
+              sum(col("n_exact")).as("n_exact"))
+            .select(lit(variant).as("variant"), col("n_hits"),
+              col("n_exact"),
+              expr("n_hits * 1000 div n_exact").as("recall_permille"))
+        }.reduce(_ unionByName _).orderBy("variant")
+    }),
+
     // PageRank on the co-purchase graph (10 power iterations,
     // decimal-exact accumulation — byte-deterministic). No oracleSql:
     // iterative double math is not SQL-expressible; driver records the
@@ -3044,15 +3080,19 @@ object SparkEntry {
     * neighbours as relation `r`. Shared by the q_ann_ivf,
     * q_ann_ivf_q8 and q_ann_recall oracles so the three replay ONE
     * construction and can't drift. */
-  private def ivfSearchCtes: String =
-    s"""${centsSql()},
-       |asg AS (
+  private def ivfSearchCtes: String = ivfSearchCtesOver("cents")
+
+  /** Same search body over an arbitrary upstream centroid relation
+    * (cid, cqe, cnn) — the trained-IVF oracle feeds it the
+    * Lloyd-refined set instead of [[centsSql]]'s raw seeds. */
+  private def ivfSearchCtesOver(centsRel: String): String =
+    s"""${if (centsRel == "cents") centsSql() + ",\n" else ""}asg AS (
        |  SELECT vec_id, cid, qe, nn,
        |    row_number() OVER (PARTITION BY vec_id
        |                       ORDER BY csim DESC, cid) AS crank
        |  FROM (SELECT v.vec_id, c.cid, v.qe, v.nn,
        |          ${cosineQSql("v.qe", "c.cqe", "v.nn", "c.cnn")} AS csim
-       |        FROM nv v CROSS JOIN cents c)),
+       |        FROM nv v CROSS JOIN $centsRel c)),
        |idx AS (SELECT vec_id AS neighbor_id, cid AS cluster, qe, nn
        |        FROM asg WHERE crank = 1),
        |probes AS (SELECT vec_id, cid AS cluster, qe, nn
@@ -3066,6 +3106,47 @@ object SparkEntry {
        |        row_number() OVER (PARTITION BY vec_id
        |                           ORDER BY sim DESC, neighbor_id) AS rank
        |      FROM p)""".stripMargin
+
+  /** One Lloyd refinement step as CTEs: from upstream centroid
+    * relation `from` (cid, cqe, cnn) emit `to` — argmax-cosine
+    * assignment of every `nv` vector (same (csim desc, cid) order as
+    * the IVF oracle), per-dimension floor-mean re-centering
+    * (floor(sum::double / count): the IEEE division both engines round
+    * identically), zero centroids dropped. Mirrors
+    * Similarity.trainOverBase one step at a time. */
+  private def lloydStepSql(from: String, to: String): String =
+    s"""${to}_asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosineQSql("v.qe", "c.cqe", "v.nn", "c.cnn")} DESC,
+       |                 c.cid) AS r
+       |    FROM nv v CROSS JOIN $from c)
+       |  WHERE r = 1),
+       |${to}_el AS (
+       |  SELECT b.cid, unnest(range(len(v.qe))) AS pos, unnest(v.qe) AS val
+       |  FROM ${to}_asg b JOIN nv v USING (vec_id)),
+       |${to}_m AS (
+       |  SELECT cid, pos,
+       |    CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS q
+       |  FROM ${to}_el GROUP BY cid, pos),
+       |$to AS (
+       |  SELECT cid, cqe, list_sum(list_transform(cqe, v -> v*v)) AS cnn
+       |  FROM (SELECT cid, list(q ORDER BY pos) AS cqe
+       |        FROM ${to}_m GROUP BY cid)
+       |  WHERE list_sum(list_transform(cqe, v -> v*v)) > 0)""".stripMargin
+
+  /** The trained-centroid chain shared by the q_ann_ivf_trained and
+    * q_ann_trained_recall oracles: seed via [[centsSql]], then
+    * [[graft.operators.Similarity.IvfTrainSteps]] Lloyd steps into
+    * relation `tc<steps>`. */
+  private def trainedCentsCtes: String = {
+    val steps = (1 to Similarity.IvfTrainSteps).map { i =>
+      lloydStepSql(if (i == 1) "cents" else s"tc${i - 1}", s"tc$i")
+    }.mkString(",\n")
+    s"""${centsSql()},
+       |$steps""".stripMargin
+  }
 
   private val fingerprintSql =
     """md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -3746,6 +3827,71 @@ object SparkEntry {
          |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s3
          |      UNION ALL SELECT * FROM s5)
          |ORDER BY nprobe""".stripMargin
+    },
+
+    // trained-IVF: the shared Lloyd chain (seed cents → tc1 → tc2),
+    // then the IVF search body verbatim over the trained relation
+    "q_ann_ivf_trained" ->
+      s"""WITH $quantCte,
+         |$trainedCentsCtes,
+         |${ivfSearchCtesOver(s"tc${Similarity.IvfTrainSteps}")}
+         |SELECT vec_id, rank, neighbor_id, sim FROM r
+         |WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+
+    // seeded-vs-trained recall@5 against one brute ground truth: the
+    // seeded branch replays the q_ann_recall construction; the trained
+    // branch swaps in the Lloyd-refined centroids. Set-membership
+    // counts + truncating div — integer-exact.
+    "q_ann_trained_recall" -> {
+      def branch(cents: String, tag: String): String =
+        s"""${tag}asg AS (
+           |  SELECT vec_id, cid, qe, nn,
+           |    row_number() OVER (PARTITION BY vec_id
+           |                       ORDER BY csim DESC, cid) AS crank
+           |  FROM (SELECT v.vec_id, c.cid, v.qe, v.nn,
+           |          ${cosineQSql("v.qe", "c.cqe", "v.nn", "c.cnn")} AS csim
+           |        FROM nv v CROSS JOIN $cents c)),
+           |${tag}idx AS (SELECT vec_id AS neighbor_id, cid AS cluster, qe, nn
+           |        FROM ${tag}asg WHERE crank = 1),
+           |${tag}pr AS (SELECT vec_id, cid AS cluster, qe, nn
+           |           FROM ${tag}asg WHERE crank <= 3),
+           |${tag}cd AS (
+           |  SELECT a.vec_id, b.neighbor_id,
+           |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
+           |  FROM ${tag}pr a JOIN ${tag}idx b
+           |    ON a.cluster = b.cluster AND a.vec_id <> b.neighbor_id),
+           |${tag}ar AS (SELECT vec_id, neighbor_id FROM (
+           |         SELECT vec_id, neighbor_id,
+           |           row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY sim DESC, neighbor_id) AS rank
+           |         FROM ${tag}cd) WHERE rank <= 5),
+           |${tag}h AS (SELECT e.vec_id, count(*) AS n_hits
+           |        FROM er e JOIN ${tag}ar a
+           |          ON a.vec_id = e.vec_id
+           |         AND a.neighbor_id = e.neighbor_id
+           |        GROUP BY e.vec_id),
+           |${tag}s AS (SELECT CAST(sum(coalesce(h.n_hits, 0)) AS BIGINT) AS n_hits,
+           |         CAST(sum(g.n_exact) AS BIGINT) AS n_exact
+           |       FROM gt g LEFT JOIN ${tag}h h USING (vec_id))""".stripMargin
+      s"""WITH $quantCte,
+         |$trainedCentsCtes,
+         |bp AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    ${cosineQSql("a.qe", "b.qe", "a.nn", "b.nn")} AS sim
+         |  FROM nv a JOIN nv b ON a.vec_id <> b.vec_id),
+         |er AS (SELECT vec_id, neighbor_id FROM (
+         |         SELECT vec_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY sim DESC, neighbor_id) AS rank
+         |         FROM bp) WHERE rank <= 5),
+         |gt AS (SELECT vec_id, count(*) AS n_exact FROM er GROUP BY vec_id),
+         |${branch("cents", "sd")},
+         |${branch(s"tc${Similarity.IvfTrainSteps}", "tr")}
+         |SELECT variant, n_hits, n_exact,
+         |  n_hits * 1000 // n_exact AS recall_permille
+         |FROM (SELECT 'seeded' AS variant, * FROM sds
+         |      UNION ALL SELECT 'trained', * FROM trs)
+         |ORDER BY variant""".stripMargin
     },
 
     // mirrors Similarity.kmeansStep: argmax-cosine assignment (same

@@ -52,6 +52,11 @@ object Similarity extends CachePinning {
     * constant the operators default to. */
   val DefaultNumCentroids = 100
 
+  /** Fixed Lloyd-step budget for the trained-IVF faces
+    * ([[trainIvfCentroids]]) — named so the DuckDB oracle unrolls the
+    * same number of steps. */
+  val IvfTrainSteps = 2
+
   /** How IVF centroids ("training" seeds) are chosen. */
   sealed trait CentroidSeeding
 
@@ -69,6 +74,12 @@ object Similarity extends CachePinning {
     * trap); hash-sampled seeding cannot hit that trap — a nonempty
     * input always yields centroids. */
   final case class ExplicitCentroids(ids: Seq[Long]) extends CentroidSeeding
+
+  /** Synthetic centroids from a training pass ([[trainIvfCentroids]]):
+    * a bounded frame (cid LONG, cqe ARRAY<LONG>) — the centroid is a
+    * POINT in quantized space, not a member vector. All-zero centroids
+    * are dropped (cosine undefined), mirroring the oracle's filter. */
+  final case class ProvidedCentroids(cents: DataFrame) extends CentroidSeeding
 
   /** Integer-quantize an array<float> embedding to array<long>. Null
     * ELEMENTS quantize to 0 (a missing coordinate contributes nothing
@@ -496,6 +507,10 @@ object Similarity extends CachePinning {
         base.filter(col("vec_id").isin(ids: _*))
           .select(col("vec_id").as("cid"), col("qe").as("cqe"),
             col("nn").as("cnn"))
+      case ProvidedCentroids(c) =>
+        c.select(col("cid"), col("cqe"))
+          .withColumn("cnn", dotLong(col("cqe"), col("cqe")))
+          .filter(col("cnn") > 0)
     }
 
     // Empty-centroid guard rides the main job: an explicit seed list
@@ -562,6 +577,71 @@ object Similarity extends CachePinning {
         sort_array(collect_list(struct(col("pos"),
           (col("s").cast("double") / col("n").cast("double")).as("m"))))
           .getField("m").as("centroid"))
+  }
+
+  /** Bounded fixed-iteration IVF centroid training: `steps` Lloyd
+    * refinements chained from `seeding`'s init — the "train before
+    * index" half of a production IVF build that [[kmeansStep]] (one
+    * step, reporting means) exists to serve. Each step reassigns every
+    * vector to its nearest current centroid (broadcast argmax-cosine,
+    * the IVF assignment pass) and re-centers each cluster at the
+    * per-dimension FLOOR-MEAN of its members, re-quantized to integers
+    * so the next assignment round — and the DuckDB oracle — replay
+    * bit-exactly (`floor(sum::double / count)`: the division is IEEE
+    * correctly rounded, so both engines floor the identical double;
+    * raw double centroids would accumulate order-dependent dot
+    * products downstream).
+    *
+    * Fixed iteration count, NO convergence probe: 2-3 steps capture
+    * most of the inertia drop (the standard IVF recipe), and a probe
+    * would add a driver action per step for nothing at this budget.
+    *
+    * Shape at 100 TB: per step, one broadcast assignment pass over the
+    * corpus + ONE exchange keyed on (cluster, dimension) — cardinality
+    * |centroids|·dim, map-side combined; the centroid frame itself
+    * stays broadcast-sized throughout.
+    *
+    * @return (cid LONG, cqe ARRAY<LONG>) — one row per non-empty,
+    *         non-zero trained centroid. */
+  def trainIvfCentroids(df: DataFrame, idCol: String, embCol: String,
+                        steps: Int = IvfTrainSteps,
+                        seeding: CentroidSeeding = HashSampledCentroids()): DataFrame = {
+    require(steps >= 1 && steps <= 8, s"steps 1..8: $steps")
+    trainOverBase(pin(quantized(df, idCol, embCol)), steps, seeding)
+  }
+
+  private def trainOverBase(base: DataFrame, steps: Int,
+                            init: CentroidSeeding): DataFrame = {
+    var seeding = init
+    var cents: DataFrame = null
+    for (_ <- 1 to steps) {
+      val ranked = ivfAssignmentOverBase(base, seeding, nprobe = 1)
+      cents = ranked
+        .select(col("tk").getItem(0).getField("neighbor_id").as("cid"),
+          posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"),
+          floor(col("s").cast("double") / col("n").cast("double"))
+            .cast("long").as("q")))).getField("q").as("cqe"))
+      seeding = ProvidedCentroids(cents)
+    }
+    cents
+  }
+
+  /** IVF top-k over TRAINED centroids: [[trainIvfCentroids]] feeding
+    * [[ivfTopK]]'s search — the full production index-build shape
+    * (seed → Lloyd-refine → index → multi-probe search). Same output
+    * contract as [[ivfTopK]]; still deterministic and oracle-exact
+    * because every stage is integer-quantized. */
+  def ivfTopKTrained(df: DataFrame, idCol: String, embCol: String,
+                     k: Int = 5, steps: Int = IvfTrainSteps,
+                     seeding: CentroidSeeding = HashSampledCentroids(),
+                     nprobe: Int = 3): DataFrame = {
+    val base = pin(quantized(df, idCol, embCol))
+    val trained = pin(trainOverBase(base, steps, seeding))
+    ivfTopKOverBase(base, k, ProvidedCentroids(trained), nprobe)
   }
 
   /** (index, probes) faces of an [[ivfAssignment]]: candidates live in

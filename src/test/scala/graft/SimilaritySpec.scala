@@ -101,6 +101,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     Similarity.releaseCaches(blocking = true)
   }
 
+  test("trainIvfCentroids: Lloyd floor-means from explicit seeds; " +
+       "ivfTopKTrained honors the top-k contract over trained centroids") {
+    // same fixture as the kmeansStep test — one training step from
+    // seeds {0, 25} must land on the floor of the exact means
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),    // seed A (+x)
+      (25L, Array(-1.0f, 0.0f)),  // seed B (-x)
+      (1L, Array(0.8f, 0.2f)),    // -> A
+      (2L, Array(0.6f, 0.0f)),    // -> A
+      (26L, Array(-0.5f, 0.1f))   // -> B
+    ).toDF("vec_id", "embedding")
+    val trained = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding",
+        steps = 1, Similarity.ExplicitCentroids(Seq(0L, 25L)))
+      .orderBy("cid").collect()
+    assert(trained.map(_.getLong(0)).toSeq == Seq(0L, 25L))
+    // A: floor(2400/3)=800, floor(200/3)=66; B: floor(-1500/2)=-750, 50
+    assert(trained(0).getSeq[Long](1) == Seq(800L, 66L))
+    assert(trained(1).getSeq[Long](1) == Seq(-750L, 50L))
+    // search over the trained set: per-vector ranks 1..k, no self-hit
+    val out = Similarity.ivfTopKTrained(vecs, "vec_id", "embedding",
+        k = 2, steps = 1,
+        seeding = Similarity.ExplicitCentroids(Seq(0L, 25L)), nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (v, _, nb, _) => v != nb })
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    Similarity.releaseCaches(blocking = true)
+  }
+
   test("ivfTopK: absent explicit seeds fail loudly inside the job, " +
        "empty input yields empty result") {
     // none of the explicit seed ids exists in the data — the 0%-recall
