@@ -43,12 +43,31 @@ object SpanningForest {
     *              — one row per direction or per unordered pair, both
     *              accepted (canonicalized to src < dst, parallel
     *              edges keep the lightest).
+    * @param keepAqe AQE stays ON by default here — the OPPOSITE of
+    *              the other iterative loops ([[Bfs]], [[PageRank]]:
+    *              fixed-shape rounds over a pre-partitioned edge
+    *              table, nothing to adapt, per-stage latency only).
+    *              Borůvka's contraction mints NEW exchanges every
+    *              round over frames that shrink geometrically
+    *              (components at least halve), and at the session's
+    *              scan-sized shuffle.partitions each tiny exchange
+    *              writes a full set of shuffle files — measured on
+    *              the 6k-edge gate graph: CPU 150-175s of
+    *              IndexShuffleBlockResolver metadata/file syscalls at
+    *              32 partitions vs 24-28s with AQE coalescing the
+    *              same exchanges (wall 13.6s → 6.7s fresh-JVM warm).
+    *              The same quadratic shuffle-file observation gated
+    *              q_cc_star_deep onto a small-partition child
+    *              session; AQE is the self-tuning version of that fix
+    *              and also right at 100 TB, where round 1 is huge
+    *              (AQE leaves it wide) and round 10 is tiny (AQE
+    *              collapses it).
     * @return the unique MSF under (weight, src, dst): columns
     *         (`src`, `dst`, `weight`), src < dst.
     * @throws IllegalStateException if `maxRounds` is exhausted —
     *         returning a partial forest would silently under-span. */
   def boruvka(edges: DataFrame, maxRounds: Int = 40,
-              keepAqe: Boolean = false): DataFrame = {
+              keepAqe: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     GraphOps.withLoopAqeDisabled(spark, keepAqe) {
       runLoop(edges, maxRounds)
@@ -73,10 +92,18 @@ object SpanningForest {
       .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // LAZY init: round 1's picked.count() materializes this alongside
+    // its own blocks — no standalone init job
     var compC = GraphOps.vertices(e0)
       .select($"id", $"id".as("comp"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var comp = fresh(compC)
+    // Deferred releases: a round's comp/ptr handles stay alive until
+    // the NEXT round's picked.count() has materialized the lazy
+    // newComp checkpoint that reads them (releasing earlier would
+    // unpersist blocks a not-yet-materialized lineage still needs —
+    // localCheckpoint lineage CANNOT recompute after unpersist).
+    var pendingRelease = List.empty[DataFrame]
     // forest accumulates LAZILY: each round's picked checkpoint stays
     // alive and the union happens ONCE after the loop — the forest is
     // only consumed at the end, so the per-round union+checkpoint job
@@ -112,6 +139,10 @@ object SpanningForest {
         .groupBy($"c").agg(min($"e").as("e"))
         .localCheckpoint(false)
       val nChosen = picked.count()
+      // the count above read comp twice, so last round's lazy newComp
+      // is now materialized — its inputs can finally go
+      pendingRelease.foreach(GraphOps.releaseCheckpointedFrame(_))
+      pendingRelease = Nil
       if (nChosen == 0) {
         done = true
         GraphOps.releaseCheckpointedFrame(picked)
@@ -185,13 +216,15 @@ object SpanningForest {
           ptrC = nxtC
           ptr = fresh(ptrC).select($"c", $"p")
         }
+        // LAZY relabel: next round's picked.count() materializes it —
+        // one fewer job per round; this round's comp and final ptr
+        // handles defer to that point (see pendingRelease)
         val newCompC = comp.as("c")
           .join(ptr.as("r"), col("c.comp") === col("r.c"), "left")
           .select(col("c.id"),
             coalesce(col("r.p"), col("c.comp")).as("comp"))
-          .localCheckpoint(true)
-        GraphOps.releaseCheckpointedFrame(compC)
-        GraphOps.releaseCheckpointedFrame(ptrC)
+          .localCheckpoint(false)
+        pendingRelease = List(compC, ptrC)
         compC = newCompC
         comp = fresh(compC)
       }
@@ -200,6 +233,7 @@ object SpanningForest {
         f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
     e0.unpersist(false)
+    pendingRelease.foreach(GraphOps.releaseCheckpointedFrame(_))
     GraphOps.releaseCheckpointedFrame(compC)
     if (!done) throw new IllegalStateException(
       s"Borůvka did not converge in $maxRounds rounds — components " +
