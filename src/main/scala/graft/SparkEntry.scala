@@ -435,18 +435,14 @@ object SparkEntry {
     // oracle is the construction's CLOSED FORM — comp(v) =
     // (v div 127)·127 — an algorithm-independent check, not a
     // replay. Output is the per-component histogram.
-    // Runs on an isolated child session with shuffle.partitions sized
-    // to the component graph (8, not the suite's 32): the loop is
-    // stage-latency-bound — each of its ~5 exchanges per round pays
-    // per-shuffle-FILE costs (partitions² files), so partition count
-    // is THE lever at this input size (measured: 32 partitions →
-    // ~1.9s/round floor; the data per round is 12.6k rows). The same
-    // knob sizes UP at 100 TB — the point the face documents.
+    // Partition sizing is AQE's job now (r17): the loop keeps AQE on
+    // and coalesces its shrinking exchanges itself, replacing the
+    // r16 hand-sized 8-partition child session (measured equal wall,
+    // ~25% less CPU, and the operator no longer needs session
+    // special-casing — the same coalescing sizes UP at 100 TB).
     "q_cc_star_deep" -> ((s, _) => {
-      val sess = s.newSession()
-      sess.conf.set("spark.sql.shuffle.partitions", 8)
       val n = 12700L
-      val edges = sess.range(1, n).filter(expr("id % 127 != 0"))
+      val edges = s.range(1, n).filter(expr("id % 127 != 0"))
         .select(col("id").as("src"), (col("id") - 1).as("dst"))
       ConnectedComponents.runStarContraction(edges)
         .groupBy("comp")

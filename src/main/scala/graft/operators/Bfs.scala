@@ -175,8 +175,13 @@ object Bfs {
             .select($"id", $"m.dist".as("dist"), $"m.path".as("path"))
         else
           state.union(candidates).groupBy($"id").agg(min($"dist").as("dist"))
+      // LAZY checkpoint: the frontier count below materializes the
+      // blocks in the SAME job (localCheckpoint persists-at-mark and
+      // truncates lineage at that job's end) — the eager form paid a
+      // second cached-scan job per round for nothing (r17, the q_msf
+      // fuse applied loop-wide)
       newState =
-        if (iter % cfg.checkpointInterval == 0) newState.localCheckpoint(true)
+        if (iter % cfg.checkpointInterval == 0) newState.localCheckpoint(false)
         else newState.persist(StorageLevel.MEMORY_AND_DISK)
 
       // Next frontier = vertices first reached this round; counting it

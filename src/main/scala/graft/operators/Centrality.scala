@@ -225,14 +225,17 @@ object Centrality {
     var depth = 0L
     var frontierNonEmpty = true
     while (frontierNonEmpty) {
+      // lazy checkpoint + count: one job per level materializes the
+      // blocks AND reads the emptiness signal (the Bfs round fuse; the
+      // eager-checkpoint-then-isEmpty form paid two jobs per level)
       val next = edgesC
         .join(gated(levels.last
           .select(col("pv"), col("id").as("src"), col("sigma"))), "src")
         .groupBy(col("pv"), col("dst").as("id"))
         .agg(sum(col("sigma")).as("sigma"))
         .join(gated(seen), Seq("pv", "id"), "left_anti")
-        .localCheckpoint(true)
-      if (next.isEmpty) frontierNonEmpty = false
+        .localCheckpoint(false)
+      if (next.count() == 0L) frontierNonEmpty = false
       else {
         levels :+= next
         seen = seen.unionByName(next.select(col("pv"), col("id")))

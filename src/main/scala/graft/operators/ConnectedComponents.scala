@@ -54,9 +54,11 @@ object ConnectedComponents {
       .repartition($"src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // lazy: the checksum probe below materializes the checkpoint in
+    // the same job (the Bfs round fuse)
     var labels = GraphOps.vertices(e)
       .select($"id", $"id".as("comp"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // sum() of an empty frame is null — an empty edge table has no
     // vertices and is already converged. Decimal sum: a Long sum of
@@ -79,7 +81,7 @@ object ConnectedComponents {
         .select(col("e.dst").as("id"), col("l.comp").as("comp"))
       val merged = labels.union(offers)
         .groupBy($"id").agg(min($"comp").as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       val newChecksum = checksumOf(merged)
       converged = newChecksum.compareTo(checksum) == 0
@@ -115,9 +117,17 @@ object ConnectedComponents {
     * [[run]]'s 1.
     *
     * Output contract identical to [[run]]: (id, comp) over every
-    * vertex of the input, comp = component minimum. */
+    * vertex of the input, comp = component minimum.
+    *
+    * AQE stays ON by default (r17 — the [[SpanningForest.boruvka]] /
+    * [[KCore]] finding): the star edge set shrinks toward |components|
+    * rows, so scan-sized shuffle partitions pay per-exchange
+    * shuffle-file overhead on near-empty late rounds; AQE coalescing
+    * replaces the hand-sized small-partition child session the
+    * q_cc_star_deep face previously used (measured equal wall, ~25%
+    * less CPU, and no session special-casing for the caller). */
   def runStarContraction(edges: DataFrame, maxIterations: Int = 60,
-                         keepAqe: Boolean = false): DataFrame = {
+                         keepAqe: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     GraphOps.withLoopAqeDisabled(spark, keepAqe) {
       runStarLoop(edges, maxIterations)
@@ -137,10 +147,12 @@ object ConnectedComponents {
     val verts = GraphOps.vertices(edges0)
     // canonical undirected pair set (hi > lo); self-loops can't affect
     // components and are dropped
+    // lazy: the fingerprint probe materializes the checkpoint in the
+    // same job (the Bfs round fuse)
     var e = fresh(edges0.filter($"src" =!= $"dst")
       .select(greatest($"src", $"dst").as("hi"), least($"src", $"dst").as("lo"))
       .distinct()
-      .localCheckpoint(true))
+      .localCheckpoint(false))
 
     // edge-set fingerprint: (count, hash-sum). The algorithm strictly
     // decreases a potential until the star fixpoint, so equal
@@ -179,7 +191,7 @@ object ConnectedComponents {
         .filter($"hi" =!= $"lo")
         .union(minLo.select($"hi", $"m".as("lo")).filter($"hi" =!= $"lo"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       val newFp = fingerprint(ss)
       converged = newFp == fp

@@ -35,6 +35,18 @@ import org.apache.spark.sql.functions._
   * lineage, so late rounds cost proportionally less. No driver-side
   * state beyond the convergence counter.
   *
+  * AQE stays ON by default in both faces (r17, measured — the
+  * [[SpanningForest.boruvka]] finding applied here): the surviving
+  * edge set SHRINKS monotonically, so at the session's scan-sized
+  * shuffle.partitions every late-round exchange writes a full set of
+  * near-empty shuffle files (stack-sampled: IndexShuffleBlockResolver
+  * metadata commits dominated executor CPU). Fresh-JVM on the gate
+  * graph: AQE off [20.7ʷ, 11.0, 9.4]s @ CPU [299, 188, 148] vs AQE on
+  * [16.7ʷ, 7.4, 6.8]s @ CPU [80, 31, 25]. The "AQE off inside loops"
+  * doctrine holds only for FIXED-SHAPE rounds over a pre-partitioned
+  * table ([[Bfs]], [[PageRank]]); any loop whose frames shrink wants
+  * the coalescing.
+  *
   * Negative result (r13, measured): fusing two peel steps per
   * checkpointed round — legal, since peeling is confluent (monotone
   * removals reach one unique fixpoint under any schedule) — is 1.6×
@@ -54,7 +66,7 @@ object KCore {
     * @return DataFrame(id LONG, deg LONG): surviving vertices with
     *         their degree INSIDE the surviving subgraph. */
   def peelBounded(edges: DataFrame, k: Int, rounds: Int,
-                  keepAqe: Boolean = false): DataFrame = {
+                  keepAqe: Boolean = true): DataFrame = {
     require(k > 0 && rounds > 0, s"need k>0, rounds>0; got k=$k rounds=$rounds")
     GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
       runPeel(edges, k, maxRounds = rounds, toConvergence = false)
@@ -64,7 +76,7 @@ object KCore {
   /** Peel to the fixed point: the true k-core. `maxRounds` bounds the
     * loop (the cascade depth is ≤ |V| but tiny in practice). */
   def peel(edges: DataFrame, k: Int, maxRounds: Int = 100,
-           keepAqe: Boolean = false): DataFrame = {
+           keepAqe: Boolean = true): DataFrame = {
     require(k > 0 && maxRounds > 0)
     GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
       runPeel(edges, k, maxRounds, toConvergence = true)
@@ -116,7 +128,9 @@ object KCore {
     while (round < maxRounds && !done) {
       round += 1
       val tRound = System.nanoTime()
-      val next = peelRound(e, k).localCheckpoint(true)
+      // lazy: the convergence count materializes the checkpoint in the
+      // same job (the Bfs round fuse)
+      val next = peelRound(e, k).localCheckpoint(false)
       // Convergence probe: the EDGE count of the eagerly checkpointed
       // survivor set — no exchange (vs r15's distinct().count() vertex
       // probe, one full shuffle of the survivor edges per round).

@@ -60,7 +60,7 @@ object PageRank {
     // full edge set)
     val stateBase = verts.join(degrees, Seq("id"), "left_outer")
       .select($"id", coalesce($"outdeg", lit(0L)).as("outdeg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = stateBase.count()
     if (n == 0) { e.unpersist(false); return stateBase.select($"id", lit(0.0).as("rank")) }
 
@@ -155,7 +155,7 @@ object PageRank {
       .join(degrees, Seq("id"), "left_outer")
       .select($"id", coalesce($"outdeg", lit(0L)).as("outdeg"),
         $"id".isin(sources: _*).cast("long").as("tele"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nSrc = stateBase.filter($"tele" === 1L).count()
     require(nSrc == sources.size,
       s"${sources.size - nSrc} source(s) absent from the graph: $sources")

@@ -113,8 +113,10 @@ object Sssp {
         .groupBy($"id")
         .agg(min($"dist").as("dist"),
           min(when($"old", $"dist")).as("old_dist"))
+      // lazy: the frontier count materializes the checkpoint in the
+      // same job (the Bfs round fuse)
       merged =
-        if (iter % cfg.checkpointInterval == 0) merged.localCheckpoint(true)
+        if (iter % cfg.checkpointInterval == 0) merged.localCheckpoint(false)
         else merged.persist(StorageLevel.MEMORY_AND_DISK)
 
       frontier = merged
