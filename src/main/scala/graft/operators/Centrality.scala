@@ -68,6 +68,12 @@ object Centrality {
   private[graft] val NfRegisters = 12
   private[graft] val NfRhoCap = 12
 
+  /** Backward-sweep checkpoint interval for [[betweennessSample]]:
+    * levels between materialization points chain lazily through
+    * persist(), bounding plan depth at this many nested joins while
+    * cutting per-level jobs to 1/interval. */
+  private val BwCkptInterval = 5
+
   /** HyperBall-style neighborhood function (Boldi-Vigna 2011): per
     * vertex one HLL-ish register array; iteration t unions each
     * vertex's sketch with its neighbours' (element-wise register
@@ -264,22 +270,24 @@ object Centrality {
     levels.foreach(GraphOps.releaseCheckpointedFrame(_))
     // backward sweep: δq from the deepest level up, all pivots per
     // level — per level ONE broadcast left join (δ of the level
-    // below) + one frontier-sized exchange. Each level is EAGERLY
-    // checkpointed (the forward-loop discipline): a lazy chain here
-    // nests every shallower level's plan inside the next, handing
-    // Catalyst one O(maxD²)-node tree at the union below; eager
-    // checkpoints keep every plan two joins deep and each level a
-    // frontier-sized job, so cost stays linear in depth at ANY
-    // diameter (wall-clock parity with the lazy chain at this
-    // graph's ~20 levels — phase-timed at 3.1 s vs the 6.8 s fused
-    // forward loop — but immune to the deep-plan blowup a
-    // high-diameter graph would trigger). Leaves (no DAG successors)
-    // have δq = 0 — the left join's coalesce.
+    // below) + one frontier-sized exchange. Levels have NO probe (the
+    // level count is known: maxD..0), so unlike the forward sweep the
+    // per-level job was pure latency — levels now chain LAZILY
+    // through persist() and a checkpoint+count lands every
+    // BwCkptInterval levels (and at level 0): one job materializes
+    // the whole persisted span (the caches populate as the chain
+    // computes), plan depth stays ≤ interval joins (never the
+    // O(maxD²) tree a fully-lazy chain hands Catalyst on a
+    // high-diameter graph), and the sweep costs ⌈maxD/interval⌉ jobs
+    // instead of maxD (r17; measured the eager form's per-level job
+    // as this query's dominant wall at CPU ≪ cores). Leaves (no DAG
+    // successors) have δq = 0 — the left join's coalesce.
     var deltaNext = spark.emptyDataset[(Long, Long, Long)]
       .toDF("pv", "id", "delta")
     var deltas = Vector.empty[DataFrame]
+    var sinceCkpt = 0
     for (d <- (maxD - 1) to 0L by -1L) {
-      val lvl = dagS.filter(col("sd") === d)
+      var lvl = dagS.filter(col("sd") === d)
         .join(gated(deltaNext.withColumnRenamed("id", "dst")),
           Seq("pv", "dst"), "left")
         .withColumn("num",
@@ -287,7 +295,14 @@ object Centrality {
         .withColumn("term", expr("num div sw"))
         .groupBy(col("pv"), col("src").as("id"))
         .agg(sum(col("term")).as("delta"))
-        .localCheckpoint(true)
+      sinceCkpt += 1
+      if (sinceCkpt >= BwCkptInterval || d == 0L) {
+        lvl = lvl.localCheckpoint(false)
+        lvl.count()
+        sinceCkpt = 0
+      } else {
+        lvl = lvl.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
       deltas :+= lvl
       deltaNext = lvl
     }
