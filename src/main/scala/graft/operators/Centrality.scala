@@ -33,21 +33,72 @@ object Centrality {
     * the harmonic sum over reachable pivots, for EVERY vertex of the
     * (symmetrized) edge table. Output: (id, dist_0..dist_{k-1},
     * harmonic DOUBLE); per-row arithmetic only, so the double is
-    * bit-deterministic across engines. */
-  def pivotHarmonic(edges: DataFrame, pivots: Seq[Long]): DataFrame = {
+    * bit-deterministic across engines.
+    *
+    * ONE pivot-tagged BFS loop for all k pivots (r17 — the
+    * [[betweennessSample]] forward-sweep shape applied here; was k
+    * sequential [[Bfs.run]] passes): state is (pv, id, dist), every
+    * round expands ALL pivots' frontiers in one join against the
+    * co-partitioned edge table and min-merges in one exchange.
+    * Total exchanged rows are identical to the sequential form, but
+    * rounds = max ecc(pivot) instead of Σ ecc — both the driver job
+    * count and the number of edge-table passes drop k-fold. Same
+    * per-round discipline as [[Bfs]]: lazy localCheckpoint fused with
+    * the frontier count, broadcast-while-small frontier, AQE off
+    * (fixed-shape rounds over the pre-partitioned table). */
+  def pivotHarmonic(edges: DataFrame, pivots: Seq[Long],
+                    keepAqe: Boolean = false): DataFrame = {
     require(pivots.nonEmpty, "need at least one pivot")
     require(pivots.distinct.size == pivots.size, s"duplicate pivots: $pivots")
+    GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
+      runPivotHarmonic(edges, pivots)
+    }
+  }
+
+  private def runPivotHarmonic(edges: DataFrame, pivots: Seq[Long]): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // vertex universe: on a symmetrized table `src` alone covers every
     // endpoint — one distinct pass
     val verts = edges.select($"src".as("id")).distinct()
-    val dists = pivots.zipWithIndex.map { case (p, i) =>
-      Bfs.run(edges, p).select($"id", $"dist".as(s"dist_$i"))
+    val e = edges.select($"src", $"dst")
+      .repartition($"src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bcGate = 4000000L
+    var state = pivots.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("pv", "id")
+      .select($"pv", $"id", lit(0L).as("dist"))
+      .localCheckpoint(false)
+    var frontier = state
+    var frontierRows = pivots.size.toLong
+    var iter = 0
+    val toRelease = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (frontierRows > 0) {
+      iter += 1
+      val tRound = System.nanoTime()
+      val f0 = if (frontierRows <= bcGate) broadcast(frontier) else frontier
+      val cand = f0.as("f").join(e.as("e"), col("f.id") === col("e.src"))
+        .select(col("f.pv"), col("e.dst").as("id"),
+          (col("f.dist") + 1L).as("dist"))
+      val newState = state.union(cand)
+        .groupBy($"pv", $"id").agg(min($"dist").as("dist"))
+        .localCheckpoint(false)
+      frontier = newState.filter($"dist" === iter)
+      frontierRows = frontier.count()
+      System.err.println(
+        f"[harmonic] round $iter frontier=$frontierRows " +
+          f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
+      toRelease += state
+      state = newState
     }
-    // id-keyed left joins: each BFS result is |V|-sized and hash-joins
-    // on the vertex id — k small joins, no pairwise blowup
-    val joined = dists.foldLeft(verts)((acc, d) => acc.join(d, Seq("id"), "left"))
+    toRelease.foreach(GraphOps.releaseCheckpointedFrame(_))
+    e.unpersist(false)
+    // widen to the per-pivot distance columns the sequential form
+    // emitted — one |pivots|·|V| exchange keyed on id
+    val aggs = pivots.indices.map(i =>
+      max(when($"pv" === i, $"dist")).as(s"dist_$i"))
+    val wide = state.groupBy($"id").agg(aggs.head, aggs.tail: _*)
+    val joined = verts.join(wide, Seq("id"), "left")
     val harmonic = pivots.indices
       .map(i => when(col(s"dist_$i") > 0, lit(1.0) / col(s"dist_$i"))
         .otherwise(lit(0.0)))
@@ -186,10 +237,24 @@ object Centrality {
     * is O(|E|) exchanged rows total, never all-pairs. Level frames
     * are frontier-sized and eagerly checkpointed; superseded levels
     * release their blocks in-loop (the [[RandomWalk]] discipline). */
+  /** AQE stays ON by default (r17, measured): the per-level frames
+    * are frontier-sized, so at scan-sized shuffle.partitions the
+    * level exchanges pay the shuffle-file overhead AQE coalescing
+    * removes — fresh-JVM [13.5 @ CPU 44] with AQE vs [16.0 @ 96]
+    * without (the KCore/Borůvka shrinking-frame doctrine; the levels
+    * here are small from round 1, not just late rounds). */
   def betweennessSample(edges: DataFrame, pivots: Seq[Long],
-                        scale: Long = 1000000L): DataFrame = {
+                        scale: Long = 1000000L,
+                        keepAqe: Boolean = true): DataFrame = {
     require(pivots.nonEmpty, "need at least one pivot")
     require(pivots.distinct.size == pivots.size, s"duplicate pivots: $pivots")
+    GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
+      runBetweenness(edges, pivots, scale)
+    }
+  }
+
+  private def runBetweenness(edges: DataFrame, pivots: Seq[Long],
+                             scale: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val verts = edges.select(col("src").as("id")).distinct()
