@@ -304,7 +304,13 @@ object Centrality {
           .select(col("pv"), col("id").as("src"), col("sigma"))), "src")
         .groupBy(col("pv"), col("dst").as("id"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(gated(seen), Seq("pv", "id"), "left_anti")
+        // seen joins SHUFFLED, not broadcast (r17): it grows toward
+        // k·|V| — broadcasting it re-collects the whole set to the
+        // driver EVERY level (one extra broadcast-build job per level,
+        // and the one join here that genuinely scales badly as a
+        // broadcast); the anti-join's tiny exchange rides the level's
+        // own job and AQE coalesces it
+        .join(seen, Seq("pv", "id"), "left_anti")
         .localCheckpoint(false)
       if (next.count() == 0L) frontierNonEmpty = false
       else {
@@ -352,8 +358,11 @@ object Centrality {
     var deltas = Vector.empty[DataFrame]
     var sinceCkpt = 0
     for (d <- (maxD - 1) to 0L by -1L) {
+      // δ of the level below joins SHUFFLED (r17): a broadcast here
+      // costs one build job per level even inside the lazily-chained
+      // spans — the tiny exchange rides the span's single job instead
       var lvl = dagS.filter(col("sd") === d)
-        .join(gated(deltaNext.withColumnRenamed("id", "dst")),
+        .join(deltaNext.withColumnRenamed("id", "dst"),
           Seq("pv", "dst"), "left")
         .withColumn("num",
           col("sv") * (lit(scale) + coalesce(col("delta"), lit(0L))))
