@@ -136,7 +136,10 @@ object Bench {
     // the full-outer and chained-agg streaming drains (left-join
     // cost class) and the 10-round personalized power iteration
     "q_streaming_full_join", "q_streaming_chained_agg",
-    "q_pagerank_personalized")
+    "q_pagerank_personalized",
+    // r17 session 2: the support-peel loop (multi-second iterative,
+    // full spread from the start — the r11/r12 lesson)
+    "q_ktruss")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

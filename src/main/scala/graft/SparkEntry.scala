@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, Centrality, ConnectedComponents,
   CorpusOps, Dedup, Distributions, Funnel, GraphOps, Indexing, KCore,
-  LabelPropagation,
+  KTruss, LabelPropagation,
   MarketBasket, Multimodal, PageRank, Profile, RandomWalk, RangeJoin, Ranking,
   Redaction, Retention, RobustStats, SequencePacking, Similarity, SkewOps,
   Snapshot, SpanningForest, Sssp, TextAnalysis, TimeSeries}
@@ -88,6 +88,15 @@ object SparkEntry {
     * headroom without meaningfully growing the (post-fixpoint, no-op)
     * oracle layers. */
   private val KCoreConvergedLayers = 18
+
+  /** k and oracle layer count for q_ktruss — shared by the Spark query
+    * and the unrolled layers of its DuckDB oracle. k=5 is the largest
+    * k whose truss is non-empty at every shipped SF AND whose peel
+    * cascades across multiple rounds (measured convergence depths:
+    * 5 at sf0.001, 4 at sf0.01, 2 at sf0.1 — 8 layers leave headroom,
+    * post-fixpoint layers are no-ops by idempotence). */
+  private val KTrussK = 5
+  private val KTrussLayers = 8
 
   /** Fixed-point scale for q_betweenness_sample — shared by the Spark
     * query and its unrolled DuckDB oracle (the quantized Brandes
@@ -1982,6 +1991,27 @@ object SparkEntry {
       KCore.peelBounded(copurchaseEdges(s, dir), k = KCoreK,
           rounds = KCoreRounds)
         .orderBy("id")
+    }),
+
+    // k-truss to the fixed point (KTruss.truss): the triangle-backed
+    // refinement of the k-core, on the part co-occurrence graph
+    // (the copurchase graph is bipartite — zero triangles by parity —
+    // so this runs where q_triangle_count does, subset to every 5th
+    // order so the per-round support pass stays proportionate).
+    // Hash-exact via the kcore bounded-equivalence trick: support
+    // peeling is monotone (deleting edges only lowers remaining
+    // supports) and idempotent at the fixpoint, so the oracle unrolls
+    // KTrussLayers ≥ the measured convergence depth (5 / 4 / 2 at
+    // sf0.001 / 0.01 / 0.1) and both sides meet at the same truss,
+    // reported with each edge's support inside it.
+    "q_ktruss" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 5 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      KTruss.truss(edges, k = KTrussK).orderBy("src", "dst")
     }),
 
     // Fixed-2-iteration PageRank twin of q_pagerank: same engine code
@@ -5127,6 +5157,56 @@ object SparkEntry {
          |$layers
          |SELECT src AS id, count(*) AS deg
          |FROM e$KCoreRounds GROUP BY src ORDER BY id""".stripMargin
+    },
+
+    // unrolled k-truss support peel: per layer enumerate triangles
+    // (x < y < z exactly once via three canonical-edge joins), credit
+    // each triangle's three edges, keep edges with support >= k-2;
+    // KTrussLayers >= the measured convergence depth, post-fixpoint
+    // layers are no-ops. Final SELECT re-counts support INSIDE the
+    // truss — the same values the engine's fixpoint round computed.
+    // Every chained CTE is MATERIALIZED: each e{r} is referenced 4x
+    // by its layer, and DuckDB default-INLINES CTEs, so the plain
+    // chain expands 4^layers copies of the base scan (measured: fd
+    // exhaustion on the lineitem parquet at 8 layers — the one
+    // unrolled oracle where inlining compounds geometrically).
+    "q_ktruss" -> {
+      val kk = KTrussK - 2
+      val layers = (1 to KTrussLayers).map { r =>
+        s"""t$r AS MATERIALIZED (
+           |  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+           |  FROM e${r - 1} a JOIN e${r - 1} b ON b.lo = a.hi
+           |  JOIN e${r - 1} c ON c.lo = a.lo AND c.hi = b.hi),
+           |s$r AS MATERIALIZED (
+           |  SELECT lo, hi, count(*) AS sup FROM (
+           |    SELECT x AS lo, y AS hi FROM t$r
+           |    UNION ALL SELECT x, z FROM t$r
+           |    UNION ALL SELECT y, z FROM t$r) GROUP BY lo, hi),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.lo, e.hi FROM e${r - 1} e JOIN s$r s
+           |  ON s.lo = e.lo AND s.hi = e.hi AND s.sup >= $kk)"""
+          .stripMargin
+      }.mkString(",\n")
+      val L = KTrussLayers
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem WHERE l_orderkey % 5 = 0),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.pk AS lo, b.pk AS hi
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |$layers,
+         |tf AS MATERIALIZED (
+         |  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+         |  FROM e$L a JOIN e$L b ON b.lo = a.hi
+         |  JOIN e$L c ON c.lo = a.lo AND c.hi = b.hi),
+         |sf AS MATERIALIZED (
+         |  SELECT lo, hi, count(*) AS sup FROM (
+         |    SELECT x AS lo, y AS hi FROM tf
+         |    UNION ALL SELECT x, z FROM tf
+         |    UNION ALL SELECT y, z FROM tf) GROUP BY lo, hi)
+         |SELECT e.lo AS src, e.hi AS dst, coalesce(s.sup, 0) AS support
+         |FROM e$L e LEFT JOIN sf s ON s.lo = e.lo AND s.hi = e.hi
+         |ORDER BY src, dst""".stripMargin
     },
 
     // two unrolled power iterations replaying PageRank.run's math in
