@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, Centrality, ConnectedComponents,
   CorpusOps, Dedup, Distributions, Funnel, GraphOps, Indexing, KCore,
-  KTruss, LabelPropagation,
+  KTruss, LabelPropagation, Louvain,
   MarketBasket, Multimodal, PageRank, Profile, RandomWalk, RangeJoin, Ranking,
   Redaction, Retention, RobustStats, SequencePacking, Similarity, SkewOps,
   Snapshot, SpanningForest, Sssp, TextAnalysis, TimeSeries}
@@ -1955,6 +1955,17 @@ object SparkEntry {
     "q_label_prop" -> ((s, dir) => {
       LabelPropagation.run(copurchaseEdges(s, dir), rounds = 2)
         .orderBy("id")
+    }),
+
+    // Louvain phase-1 move steps: two synchronous modularity-ascent
+    // sweeps from the singleton assignment — the ASCENT half of the
+    // community family (q_label_prop spreads labels by frequency,
+    // q_modularity evaluates an assignment, this one IMPROVES it).
+    // Integer-exact gain (score = 2m·k_vc − k_v·Σtot', the 2m²-scaled
+    // ΔQ) with ties to the smallest community id, so the unrolled
+    // oracle sweeps replay the argmax bit-exactly.
+    "q_louvain_move" -> ((s, dir) => {
+      Louvain.moveSteps(copurchaseEdges(s, dir), steps = 2).orderBy("id")
     }),
 
     // Modularity of the 2-round LP communities — the community-
@@ -5078,6 +5089,52 @@ object SparkEntry {
       s"""WITH $copurchaseEdgesSql,
          |$lpTwoRoundsSql
          |SELECT id, label FROM l2 ORDER BY id""".stripMargin,
+
+    // mirrors Louvain.moveSteps: per sweep k_{v,c} (edge count into
+    // each neighboring community), Σtot_c (community degree mass),
+    // candidate set = neighbor comms ∪ own, integer score
+    // 2m·k_vc − k_v·(Σtot − [own]·k_v), argmax by (score DESC,
+    // comm ASC). Chained CTEs MATERIALIZED (the q_ktruss inlining
+    // lesson — a{r-1} is referenced 4× per sweep).
+    "q_louvain_move" -> {
+      val steps = (1 to 2).map { r =>
+        s"""kin$r AS MATERIALIZED (
+           |  SELECT e.src AS id, a.comm, count(*) AS kvc
+           |  FROM e JOIN a${r - 1} a ON a.id = e.dst GROUP BY 1, 2),
+           |tot$r AS MATERIALIZED (
+           |  SELECT a.comm, sum(d.k) AS tot
+           |  FROM a${r - 1} a JOIN deg d ON d.id = a.id GROUP BY 1),
+           |cset$r AS MATERIALIZED (
+           |  SELECT DISTINCT id, comm FROM (
+           |    SELECT id, comm FROM kin$r
+           |    UNION ALL SELECT id, comm FROM a${r - 1})),
+           |sc$r AS MATERIALIZED (
+           |  SELECT cs.id, cs.comm,
+           |    (SELECT m2 FROM m) * coalesce(kin.kvc, 0)
+           |      - d.k * (t.tot -
+           |          CASE WHEN cur.comm = cs.comm THEN d.k ELSE 0 END)
+           |      AS score
+           |  FROM cset$r cs
+           |  JOIN deg d ON d.id = cs.id
+           |  JOIN a${r - 1} cur ON cur.id = cs.id
+           |  JOIN tot$r t ON t.comm = cs.comm
+           |  LEFT JOIN kin$r kin
+           |    ON kin.id = cs.id AND kin.comm = cs.comm),
+           |a$r AS MATERIALIZED (
+           |  SELECT id, comm FROM (
+           |    SELECT id, comm, row_number() OVER (
+           |      PARTITION BY id ORDER BY score DESC, comm ASC) AS rn
+           |    FROM sc$r) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $copurchaseEdgesSql,
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS id, count(*) AS k FROM e GROUP BY src),
+         |m AS (SELECT count(*) AS m2 FROM e),
+         |a0 AS MATERIALIZED (SELECT id, id AS comm FROM deg),
+         |$steps
+         |SELECT id, comm FROM a2 ORDER BY id""".stripMargin
+    },
 
     // mirrors LabelPropagation.modularity over the SAME unrolled LP
     // CTEs (shared lpTwoRoundsSql — the engine and both oracles

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Louvain phase-1 move steps (Blondel et al. 2008): each vertex
+  * greedily re-assigns itself to the neighboring community with the
+  * best modularity gain. This is the ASCENT half of the community
+  * toolkit — [[LabelPropagation]] spreads labels by frequency,
+  * [[LabelPropagation.modularity]] EVALUATES an assignment; this
+  * operator IMPROVES one, which is what "community detection" means
+  * in the Louvain sense.
+  *
+  * Synchronous variant, fixed step count: every vertex decides
+  * simultaneously against the previous step's assignment (the
+  * deterministic BSP form — serial Louvain's sequential sweeps are
+  * order-dependent and unreplayable distributed; synchronous sweeps
+  * are the standard distributed adaptation, e.g. Que et al. 2015).
+  *
+  * INTEGER-EXACT gain, so a SQL oracle replays it bit-for-bit
+  * (quantize the algorithm): moving v into community c changes
+  * modularity by ΔQ = k_{v,c}/m − k_v·Σtot_c'/(2m²) + const(v), with
+  * Σtot_c' the community's degree mass without v. Scaling by the
+  * positive constant 2m² preserves the argmax and makes every score
+  * an exact integer:
+  *
+  *   score(v, c) = 2m·k_{v,c} − k_v·(Σtot_c − [c = comm(v)]·k_v)
+  *
+  * Argmax over the neighbor communities ∪ {own} with ties to the
+  * smallest community id — `min(struct(-score, comm))`, order-free.
+  *
+  * Scale shape: per step — one |E| message join riding the cached
+  * edge table's src partitioning (the [[LabelPropagation]] round
+  * shape), one |E| exchange for k_{v,c}, a |V|-sized Σtot aggregate,
+  * and one candidate-set exchange (≤ |E|/2 + |V| rows). State is one
+  * row per vertex; no all-pairs, nothing |V|² anywhere.
+  *
+  * Overflow contract: |score| ≤ 4m², so m must stay below ~1.5e9
+  * canonical edges for Long — require-checked (a graph past that
+  * needs the gain rescaled, e.g. degrees pre-divided; silently
+  * wrapping argmax scores would corrupt every assignment).
+  */
+object Louvain {
+
+  /** @param edges SYMMETRIZED edge table (`src`, `dst`); self-loops
+    *              and duplicate pairs are dropped (simple graph —
+    *              modularity's k_v/Σtot bookkeeping assumes it)
+    * @param steps fixed number of synchronous move steps (initial
+    *              assignment: every vertex its own community)
+    * @return DataFrame(id LONG, comm LONG) after `steps` steps */
+  /** AQE stays ON by default (measured, sf0.1: task CPU 223 -> 127
+    * before the checkpoint swap; the per-step exchanges are
+    * candidate-stream-sized and pay scan-sized shuffle-file overhead
+    * without coalescing — the KCore shrinking-frame doctrine applies
+    * even though the frames here are steady-sized, because they are
+    * SMALL relative to shuffle.partitions). */
+  def moveSteps(edges: DataFrame, steps: Int,
+                keepAqe: Boolean = true): DataFrame = {
+    require(steps > 0, s"steps must be positive, got $steps")
+    GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
+      runSteps(edges, steps)
+    }
+  }
+
+  private def runSteps(edges: DataFrame, steps: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // Canonical simple edge table, src-partitioned for the per-step
+    // message join, held as a LOCAL CHECKPOINT rather than a persist:
+    // the columnar cache's encode+decode tax dominated this operator's
+    // profile (persist(MEMORY_AND_DISK): 56 task-CPU-s to build+degree
+    // the 1.2M-row table and ~2x on every per-step read; checkpoint
+    // row blocks: 17 — measured at sf0.1, JobProbe). Checkpoint blocks
+    // are raw InternalRows: no codec on either side of the loop.
+    val e = edges.select($"src", $"dst")
+      .filter($"src" =!= $"dst")
+      .distinct()
+      .repartition($"src")
+      .localCheckpoint(false)
+    // one materialization supplies 2m AND warms the cache the per-step
+    // joins reuse
+    val twoM = e.count()
+    require(twoM <= 3000000000L,
+      s"louvain gain overflows Long past ~1.5e9 edges (2m = $twoM); " +
+        "rescale the gain before running larger graphs")
+    val deg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    // the per-vertex side tables (state, deg, Σtot — all ≤ |V| rows)
+    // join the |E|-sized score stream map-side while |V| is under the
+    // Bfs broadcast ceiling; past it every gated join degrades to
+    // shuffle-hash instead of OOMing the driver (the betweenness gate)
+    val nV = deg.count()
+    val small = nV <= 4000000L
+    def gated(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
+    var state = deg.select($"id", $"id".as("comm")).localCheckpoint(true)
+    var step = 0
+    while (step < steps) {
+      step += 1
+      val tStep = System.nanoTime()
+      // k_{v,c}: per vertex, edge count into each neighboring
+      // community — the LP message shape: each vertex's comm joins on
+      // e.SRC (riding the cached src partitioning exchange-free, the
+      // table is symmetric) and is delivered to e.dst. ONE exchange
+      // (the groupBy).
+      val kin = state.as("a").hint("shuffle_hash")
+        .join(e.as("e"), col("a.id") === col("e.src"))
+        .select(col("e.dst").as("id"), col("a.comm"))
+        .groupBy($"id", $"comm").agg(count(lit(1)).as("kvc"))
+      // Σtot_c: community degree mass under the CURRENT assignment —
+      // ≤ |V| rows, rides the gated joins below
+      val tot = state.join(deg, "id")
+        .groupBy($"comm").agg(sum($"k").as("tot"))
+      val cur = state.select($"id", $"comm".as("cur"))
+      // neighbor-community candidates: score rides kin MAP-SIDE (three
+      // gated |V|-frame joins — no further |E| exchange)
+      val nbrCand = kin
+        .join(gated(cur), "id")
+        .join(gated(deg), "id")
+        .join(gated(tot), "comm")
+        .select($"id", $"comm",
+          (lit(twoM) * $"kvc" -
+            $"k" * ($"tot" -
+              when($"comm" === $"cur", $"k").otherwise(lit(0L))))
+            .as("score"))
+      // own-community candidate, synthesized as a zero-k_vc row from
+      // the |V|-sized state (own may be absent from kin when v has no
+      // edge into its own community). When kin DOES carry the own
+      // community, both rows survive into the argmax and the real row
+      // always scores ≥ its zero-k_vc duplicate (2m·k_vc ≥ 0, same
+      // comm) — the argmax dedupes them for free, which is what lets
+      // this avoid the distinct-candidate-set exchange entirely.
+      val ownCand = state
+        .join(gated(deg), "id")
+        .join(gated(tot), "comm")
+        .select($"id", $"comm",
+          (-$"k" * ($"tot" - $"k")).as("score"))
+      // argmax by (score DESC, comm ASC) — min(struct), order-free;
+      // the step's SECOND and last exchange
+      val newState = nbrCand.union(ownCand).groupBy($"id")
+        .agg(min(struct((-$"score").as("ns"), $"comm".as("c"))).as("m"))
+        .select($"id", $"m.c".as("comm"))
+        .localCheckpoint(true)
+      System.err.println(
+        f"[louvain] step $step ${(System.nanoTime() - tStep) / 1e9}%.2fs")
+      GraphOps.releaseCheckpointedFrame(state)
+      state = newState
+    }
+    GraphOps.releaseCheckpointedFrame(e)
+    state
+  }
+}

@@ -2,13 +2,23 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** PageRank by fixed-iteration power method — a further capability
   * extension on the engine's iterative BSP core (same round structure
   * as [[Bfs]]/[[ConnectedComponents]]: one partial-aggregated shuffle
-  * per round over the cached, pre-partitioned edge table, eager
+  * per round over the pre-partitioned edge table, eager
   * localCheckpoint for flat lineage).
+  *
+  * r17 loop-residency doctrine (measured, JobProbe task-attributed at
+  * sf0.1): the edge table is a LOCAL CHECKPOINT, not a persist — the
+  * columnar cache's encode on build and decode on EVERY round's read
+  * is the dominant CPU class for a loop-resident table (checkpoint
+  * row blocks skip both); and AQE stays ON — at scan-sized
+  * shuffle.partitions the per-round exchanges of |V|+|E| small rows
+  * pay shuffle-machinery overhead AQE coalescing removes. The two
+  * levers together: 10-round task CPU 183 -> 62s on the gate graph
+  * (the KCore shrinking-frame finding generalized: AQE-off is only
+  * right when partitions stay data-sized WITHOUT coalescing).
   *
   * rank'(v) = (1-d)/N + d * Σ_{u→v} rank(u)/outDeg(u)
   *
@@ -33,7 +43,7 @@ object PageRank {
   /** @param edges DIRECTED edge table (`src`, `dst`)
     * @return DataFrame(id LONG, rank DOUBLE) over all vertices */
   def run(edges: DataFrame, iterations: Int = 10,
-          damping: Double = 0.85, keepAqe: Boolean = false): DataFrame = {
+          damping: Double = 0.85, keepAqe: Boolean = true): DataFrame = {
     require(iterations > 0)
     // damping outside [0,1) breaks the mass-≤-1 invariant that makes
     // the fixed-point Long sum overflow-free
@@ -52,7 +62,7 @@ object PageRank {
 
     val e = edges.select($"src", $"dst")
       .repartition($"src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val degrees = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
     val verts = GraphOps.vertices(e)
     // ONE materialization job builds (id, outdeg); its count supplies n
@@ -62,7 +72,10 @@ object PageRank {
       .select($"id", coalesce($"outdeg", lit(0L)).as("outdeg"))
       .localCheckpoint(false)
     val n = stateBase.count()
-    if (n == 0) { e.unpersist(false); return stateBase.select($"id", lit(0.0).as("rank")) }
+    if (n == 0) {
+      GraphOps.releaseCheckpointedFrame(e)
+      return stateBase.select($"id", lit(0.0).as("rank"))
+    }
 
     val base = (1.0 - damping) / n
     var state: DataFrame = stateBase.withColumn("rank", lit(1.0 / n))
@@ -100,12 +113,11 @@ object PageRank {
       toRelease += state
       state = newState
     }
-    // NOTE: unpersist releases SQL-cache entries only; localCheckpoint
-    // RDD blocks are reclaimed asynchronously by the ContextCleaner
-    // once these references drop (or deterministically by a harness
-    // sweep of sc.getPersistentRDDs — Bench/Verify do exactly that).
-    toRelease.foreach(_.unpersist(false))
-    e.unpersist(false)
+    // releaseCheckpointedFrame, not bare unpersist: checkpoint RDD
+    // blocks live at the RDD layer, which Dataset.unpersist alone
+    // never touches (the KCore r16 lesson applied here too).
+    toRelease.foreach(GraphOps.releaseCheckpointedFrame(_))
+    GraphOps.releaseCheckpointedFrame(e)
     state.select($"id", $"rank")
   }
 
@@ -128,7 +140,7 @@ object PageRank {
     *                normalization) */
   def personalized(edges: DataFrame, sources: Seq[Long],
                    iterations: Int = 10, damping: Double = 0.85,
-                   keepAqe: Boolean = false): DataFrame = {
+                   keepAqe: Boolean = true): DataFrame = {
     require(iterations > 0)
     require(damping >= 0.0 && damping < 1.0,
       s"damping must be in [0, 1), got $damping")
@@ -149,7 +161,7 @@ object PageRank {
 
     val e = edges.select($"src", $"dst")
       .repartition($"src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val degrees = e.groupBy($"src".as("id")).agg(count(lit(1)).as("outdeg"))
     val stateBase = GraphOps.vertices(e)
       .join(degrees, Seq("id"), "left_outer")
@@ -190,8 +202,8 @@ object PageRank {
       toRelease += state
       state = newState
     }
-    toRelease.foreach(_.unpersist(false))
-    e.unpersist(false)
+    toRelease.foreach(GraphOps.releaseCheckpointedFrame(_))
+    GraphOps.releaseCheckpointedFrame(e)
     state.select($"id", $"rank")
   }
 }
