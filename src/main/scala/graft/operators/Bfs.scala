@@ -118,9 +118,13 @@ object Bfs {
     // that parallelism — the one-time exchange both co-locates the
     // join key for non-broadcast rounds AND spreads the per-round work
     // across the cluster.
+    // LOCAL CHECKPOINT, not persist (r17, measured loop-wide): the
+    // columnar cache pays a decode on EVERY round's read of this
+    // table; checkpoint row blocks skip both codecs. Lazy — the first
+    // round's job materializes it, so the job count is unchanged.
     val e = edges.select($"src", $"dst")
       .repartition($"src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
 
     val initCols =
       if (cfg.withPaths)
@@ -202,7 +206,7 @@ object Bfs {
       state = newState
     }
     toUnpersist.foreach(_.unpersist(false))
-    e.unpersist(false)
+    GraphOps.releaseCheckpointedFrame(e)
     state
   }
 

@@ -61,9 +61,11 @@ object Centrality {
     // vertex universe: on a symmetrized table `src` alone covers every
     // endpoint — one distinct pass
     val verts = edges.select($"src".as("id")).distinct()
+    // local checkpoint, not persist: no columnar decode on the
+    // per-round reads (r17 loop-residency doctrine; see PageRank)
     val e = edges.select($"src", $"dst")
       .repartition($"src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val bcGate = 4000000L
     var state = pivots.zipWithIndex
       .map { case (p, i) => (i.toLong, p) }.toDF("pv", "id")
@@ -92,7 +94,7 @@ object Centrality {
       state = newState
     }
     toRelease.foreach(GraphOps.releaseCheckpointedFrame(_))
-    e.unpersist(false)
+    GraphOps.releaseCheckpointedFrame(e)
     // widen to the per-pivot distance columns the sequential form
     // emitted — one |pivots|·|V| exchange keyed on id
     val aggs = pivots.indices.map(i =>

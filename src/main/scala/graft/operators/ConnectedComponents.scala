@@ -50,9 +50,11 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // local checkpoint, not persist: no columnar decode on the
+    // per-round reads (r17 loop-residency doctrine; see PageRank)
     val e = edges.select($"src", $"dst")
       .repartition($"src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
 
     // lazy: the checksum probe below materializes the checkpoint in
     // the same job (the Bfs round fuse)
@@ -69,7 +71,10 @@ object ConnectedComponents {
       if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
     }
     var checksum = checksumOf(labels)
-    if (labels.isEmpty) { e.unpersist(false); return labels }
+    if (labels.isEmpty) {
+      GraphOps.releaseCheckpointedFrame(e)
+      return labels
+    }
     var converged = false
     var iter = 0
 
@@ -96,7 +101,7 @@ object ConnectedComponents {
     // CacheManager entries — unpersist() on the frames would be a
     // no-op; the ContextCleaner reclaims them as references drop (or a
     // harness getPersistentRDDs sweep does, as Bench/Verify run)
-    e.unpersist(false)
+    GraphOps.releaseCheckpointedFrame(e)
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIterations rounds " +
         "(component diameter exceeds the cap) — raise maxIterations or " +

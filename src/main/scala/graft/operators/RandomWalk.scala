@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deterministic random-walk generation: the walk-corpus operator a
   * graph-embedding pipeline consumes (DeepWalk/node2vec train on walk
@@ -85,9 +84,11 @@ object RandomWalk {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // local checkpoint, not persist: no columnar decode on the
+    // per-step reads (r17 loop-residency doctrine; see PageRank)
     val e = edges.select($"src", $"dst")
       .repartition($"src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
 
     var state = e.select($"src".as("seed")).distinct()
       .select($"seed", explode(sequence(lit(0), lit(walksPerVertex - 1)))
@@ -95,7 +96,12 @@ object RandomWalk {
       .select(($"seed" * walksPerVertex + $"w").as("walk_id"), $"seed",
         $"seed".as("cur"), lit(0).as("step"),
         $"seed".cast("string").as("path"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // lazy checkpoint, NOT persist: this frame is released through
+      // releaseCheckpointedFrame after step 1, and that helper frees
+      // every LogicalRDD in the frame's PLAN — a persisted (e-derived)
+      // init state would hand it e's checkpoint blocks mid-query. A
+      // flat checkpoint contains only itself.
+      .localCheckpoint(false)
 
     GraphOps.withLoopAqeDisabled(spark, keepAqe = false) {
       for (i <- 1 to steps) {
@@ -140,7 +146,7 @@ object RandomWalk {
         state = next
       }
     }
-    e.unpersist(false)
+    GraphOps.releaseCheckpointedFrame(e)
     state.select($"walk_id", $"seed", $"cur".as("final_vertex"), $"path")
   }
 

@@ -90,7 +90,9 @@ object SpanningForest {
         greatest($"src", $"dst").as("dst"), $"weight")
       .groupBy($"src", $"dst").agg(min($"weight").as("weight"))
       .repartition($"src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // local checkpoint, not persist: no columnar decode on the
+      // per-round reads (r17 loop-residency doctrine; see PageRank)
+      .localCheckpoint(false)
 
     // LAZY init: round 1's picked.count() materializes this alongside
     // its own blocks — no standalone init job
@@ -232,7 +234,7 @@ object SpanningForest {
         f"[msf] round $round chosen=$nChosen " +
         f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
     }
-    e0.unpersist(false)
+    GraphOps.releaseCheckpointedFrame(e0)
     pendingRelease.foreach(GraphOps.releaseCheckpointedFrame(_))
     GraphOps.releaseCheckpointedFrame(compC)
     if (!done) throw new IllegalStateException(

@@ -84,7 +84,9 @@ object Sssp {
           "negative edge weight: Sssp requires non-negative weights")))
           .otherwise($"w".cast("long")).as("w"))
       .repartition($"src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // local checkpoint, not persist: no columnar decode on the
+      // per-round reads (r17 loop-residency doctrine; see PageRank)
+      .localCheckpoint(false)
 
     var state = Seq(source).toDF("id").select($"id", lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -131,7 +133,7 @@ object Sssp {
       state = merged.select($"id", $"dist")
     }
     toUnpersist.foreach(_.unpersist(false))
-    e.unpersist(false)
+    GraphOps.releaseCheckpointedFrame(e)
     if (frontierRows > 0 && !boundedHops) throw new IllegalStateException(
       s"SSSP did not converge in ${cfg.maxIterations} rounds — raise " +
         "maxIterations (Bellman-Ford needs at most |V|-1)")
