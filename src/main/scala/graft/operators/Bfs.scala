@@ -206,7 +206,13 @@ object Bfs {
       state = newState
     }
     toUnpersist.foreach(_.unpersist(false))
-    GraphOps.releaseCheckpointedFrame(e)
+    // e's blocks are freed only when the returned state's own lineage
+    // is truncated (last round landed on a checkpoint interval). A
+    // persist()-round result still RECOMPUTES through e on block loss
+    // — freeing e would turn a recoverable eviction into a hard
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; leave e to the harness
+    // getPersistentRDDs sweep instead (r17 ADVICE).
+    if (GraphOps.isFlatCheckpoint(state)) GraphOps.releaseCheckpointedFrame(e)
     state
   }
 

@@ -393,8 +393,14 @@ object Centrality {
     val out = verts.join(delta, Seq("id"), "left")
       .select(col("id"), coalesce(col("bc"), lit(0L)).as("bc_q"))
       .localCheckpoint(true)
-    (deltas ++ Seq(sigma, dagS, edgesC))
-      .foreach(GraphOps.releaseCheckpointedFrame(_))
+    // the backward sweep's interval levels are flat checkpoints; the
+    // in-between levels are plain persist()s whose plans EMBED those
+    // checkpoints — the release contract routes each to the right call
+    deltas.foreach { d =>
+      if (GraphOps.isFlatCheckpoint(d)) GraphOps.releaseCheckpointedFrame(d)
+      else d.unpersist(false)
+    }
+    Seq(sigma, dagS, edgesC).foreach(GraphOps.releaseCheckpointedFrame(_))
     out
   }
 }

@@ -30,14 +30,39 @@ object GraphOps {
     * (lineage truncated). A loop that PERSISTS some rounds must keep
     * its ContextCleaner discipline instead: the final frame's lineage
     * reaches back to the last checkpoint, and releasing that
-    * checkpoint's blocks would make a later eviction unrecoverable. */
+    * checkpoint's blocks would make a later eviction unrecoverable.
+    *
+    * CONTRACT (r18, hardened from a comment into a throw): the frame
+    * MUST be a flat checkpoint HANDLE — its analyzed plan exactly one
+    * `LogicalRDD` leaf. A frame DERIVED from a checkpoint embeds the
+    * parent's `LogicalRDD` in its plan, and the old deep-sweep freed
+    * the PARENT's blocks mid-query (hit in [[RandomWalk]] during the
+    * r17 loop-residency sweep: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+    * Plain persisted frames are not this helper's job either —
+    * `Dataset.unpersist` already releases CacheManager entries.
+    * `ReleaseContractSpec` gates both directions. */
   private[graft] def releaseCheckpointedFrame(df: DataFrame,
-                                              blocking: Boolean = false): Unit = {
-    df.unpersist(blocking)
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking))
-  }
+                                              blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        df.unpersist(blocking)
+        lr.rdd.unpersist(blocking)
+      case other => throw new IllegalArgumentException(
+        "releaseCheckpointedFrame: not a flat checkpoint handle — " +
+          "releasing a derived frame would free checkpoint blocks its " +
+          "parent still owns (plan root: " +
+          s"${other.getClass.getSimpleName}). Release the handle the " +
+          "localCheckpoint call returned; for persisted frames call " +
+          "Dataset.unpersist directly.")
+    }
+
+  /** True iff the frame is a flat checkpoint handle (analyzed plan is a
+    * single `LogicalRDD` leaf) — the only shape
+    * [[releaseCheckpointedFrame]] accepts. Loops whose round frames
+    * alternate persist/checkpoint use this to route release. */
+  private[graft] def isFlatCheckpoint(df: DataFrame): Boolean =
+    df.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
 
   /** STATS FIREWALL for checkpointed iterative loops (r16, measured).
     *

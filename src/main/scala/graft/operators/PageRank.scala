@@ -110,7 +110,9 @@ object PageRank {
       // across rounds = machine; a dominant round = plan/skew
       System.err.println(
         f"[pagerank] round $iter ${(System.nanoTime() - tRound) / 1e9}%.2fs")
-      toRelease += state
+      // round-1 state is a projection OVER stateBase — release the
+      // flat HANDLE, not the derived frame (the r18 release contract)
+      toRelease += (if (iter == 1) stateBase else state)
       state = newState
     }
     // releaseCheckpointedFrame, not bare unpersist: checkpoint RDD
@@ -199,7 +201,9 @@ object PageRank {
         .localCheckpoint(true)
       System.err.println(
         f"[ppr] round $iter ${(System.nanoTime() - tRound) / 1e9}%.2fs")
-      toRelease += state
+      // round-1 state is a projection OVER stateBase — release the
+      // flat HANDLE, not the derived frame (the r18 release contract)
+      toRelease += (if (iter == 1) stateBase else state)
       state = newState
     }
     toRelease.foreach(GraphOps.releaseCheckpointedFrame(_))

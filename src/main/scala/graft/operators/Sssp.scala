@@ -93,6 +93,7 @@ object Sssp {
     var frontier = state
     var frontierRows = 1L
     var iter = 0
+    var stateTruncated = true // round-0 state is an eager checkpoint
     val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     while (frontierRows > 0 && iter < cfg.maxIterations) {
@@ -117,8 +118,9 @@ object Sssp {
           min(when($"old", $"dist")).as("old_dist"))
       // lazy: the frontier count materializes the checkpoint in the
       // same job (the Bfs round fuse)
+      stateTruncated = iter % cfg.checkpointInterval == 0
       merged =
-        if (iter % cfg.checkpointInterval == 0) merged.localCheckpoint(false)
+        if (stateTruncated) merged.localCheckpoint(false)
         else merged.persist(StorageLevel.MEMORY_AND_DISK)
 
       frontier = merged
@@ -133,7 +135,11 @@ object Sssp {
       state = merged.select($"id", $"dist")
     }
     toUnpersist.foreach(_.unpersist(false))
-    GraphOps.releaseCheckpointedFrame(e)
+    // free e only when the returned state's lineage is truncated (last
+    // round checkpointed) — a persist()-round result recomputes through
+    // e on block loss, and freeing e would make that eviction fatal;
+    // otherwise leave e to the harness sweep (r17 ADVICE, as in Bfs)
+    if (stateTruncated) GraphOps.releaseCheckpointedFrame(e)
     if (frontierRows > 0 && !boundedHops) throw new IllegalStateException(
       s"SSSP did not converge in ${cfg.maxIterations} rounds — raise " +
         "maxIterations (Bellman-Ford needs at most |V|-1)")
