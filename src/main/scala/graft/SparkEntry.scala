@@ -271,6 +271,51 @@ object SparkEntry {
       |  SELECT l_partkey*2+1, l_orderkey*2 FROM lineitem
       |)""".stripMargin
 
+  /** Phase-1 Louvain CTE chain (canonical edges → degrees → 2m →
+    * singleton init → 2 unrolled synchronous move sweeps ending in
+    * `a2(id, comm)`), shared by the q_louvain_move and
+    * q_louvain_coarse oracles so both replay ONE phase-1
+    * construction. Chained CTEs MATERIALIZED (the q_ktruss inlining
+    * lesson — a{r-1} is referenced 4× per sweep). */
+  private def louvainPhase1Sql: String = {
+    val steps = (1 to 2).map { r =>
+      s"""kin$r AS MATERIALIZED (
+         |  SELECT e.src AS id, a.comm, count(*) AS kvc
+         |  FROM e JOIN a${r - 1} a ON a.id = e.dst GROUP BY 1, 2),
+         |tot$r AS MATERIALIZED (
+         |  SELECT a.comm, sum(d.k) AS tot
+         |  FROM a${r - 1} a JOIN deg d ON d.id = a.id GROUP BY 1),
+         |cset$r AS MATERIALIZED (
+         |  SELECT DISTINCT id, comm FROM (
+         |    SELECT id, comm FROM kin$r
+         |    UNION ALL SELECT id, comm FROM a${r - 1})),
+         |sc$r AS MATERIALIZED (
+         |  SELECT cs.id, cs.comm,
+         |    (SELECT m2 FROM m) * coalesce(kin.kvc, 0)
+         |      - d.k * (t.tot -
+         |          CASE WHEN cur.comm = cs.comm THEN d.k ELSE 0 END)
+         |      AS score
+         |  FROM cset$r cs
+         |  JOIN deg d ON d.id = cs.id
+         |  JOIN a${r - 1} cur ON cur.id = cs.id
+         |  JOIN tot$r t ON t.comm = cs.comm
+         |  LEFT JOIN kin$r kin
+         |    ON kin.id = cs.id AND kin.comm = cs.comm),
+         |a$r AS MATERIALIZED (
+         |  SELECT id, comm FROM (
+         |    SELECT id, comm, row_number() OVER (
+         |      PARTITION BY id ORDER BY score DESC, comm ASC) AS rn
+         |    FROM sc$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$copurchaseEdgesSql,
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS id, count(*) AS k FROM e GROUP BY src),
+       |m AS (SELECT count(*) AS m2 FROM e),
+       |a0 AS MATERIALIZED (SELECT id, id AS comm FROM deg),
+       |$steps""".stripMargin
+  }
+
   /** Two unrolled LP rounds over `edges` (mirrors
     * LabelPropagation.run(rounds = 2): neighbor-majority with
     * min-label tie-break via the argmin row), emitting `l2(id,
@@ -1966,6 +2011,18 @@ object SparkEntry {
     // oracle sweeps replay the argmax bit-exactly.
     "q_louvain_move" -> ((s, dir) => {
       Louvain.moveSteps(copurchaseEdges(s, dir), steps = 2).orderBy("id")
+    }),
+
+    // Two-level Louvain (r17 verdict stretch #8): phase-1 move steps,
+    // ONE community contraction (intra mass → self-loops, inter counts
+    // → weights), then the SAME integer-exact synchronous core on the
+    // contracted weighted graph. Output: per vertex its phase-1 and
+    // final community — the two-level assignment real Louvain's
+    // alternation produces. Oracle unrolls both phases (weighted
+    // recurrence over the contracted CTEs, MATERIALIZED).
+    "q_louvain_coarse" -> ((s, dir) => {
+      Louvain.twoLevel(copurchaseEdges(s, dir), steps1 = 2, steps2 = 2)
+        .orderBy("id")
     }),
 
     // Modularity of the 2-round LP communities — the community-
@@ -5096,44 +5153,60 @@ object SparkEntry {
     // 2m·k_vc − k_v·(Σtot − [own]·k_v), argmax by (score DESC,
     // comm ASC). Chained CTEs MATERIALIZED (the q_ktruss inlining
     // lesson — a{r-1} is referenced 4× per sweep).
-    "q_louvain_move" -> {
-      val steps = (1 to 2).map { r =>
-        s"""kin$r AS MATERIALIZED (
-           |  SELECT e.src AS id, a.comm, count(*) AS kvc
-           |  FROM e JOIN a${r - 1} a ON a.id = e.dst GROUP BY 1, 2),
-           |tot$r AS MATERIALIZED (
-           |  SELECT a.comm, sum(d.k) AS tot
-           |  FROM a${r - 1} a JOIN deg d ON d.id = a.id GROUP BY 1),
-           |cset$r AS MATERIALIZED (
+    "q_louvain_move" ->
+      s"""WITH $louvainPhase1Sql
+         |SELECT id, comm FROM a2 ORDER BY id""".stripMargin,
+
+    // two-level Louvain: the shared phase-1 chain, the contraction
+    // (community-pair weight sums — intra mass lands on the diagonal
+    // as 2·intra because the symmetric table carries both directions),
+    // then the SAME move recurrence with sum(w) in place of count(*)
+    // and self-loops excluded from k_vc but present in degrees/Σtot
+    "q_louvain_coarse" -> {
+      val wsteps = (1 to 2).map { r =>
+        s"""wkin$r AS MATERIALIZED (
+           |  SELECT e.src AS id, a.comm, CAST(sum(e.w) AS BIGINT) AS kvc
+           |  FROM w0 e JOIN b${r - 1} a ON a.id = e.dst
+           |  WHERE e.src <> e.dst GROUP BY 1, 2),
+           |wtot$r AS MATERIALIZED (
+           |  SELECT a.comm, CAST(sum(d.k) AS BIGINT) AS tot
+           |  FROM b${r - 1} a JOIN wdeg d ON d.id = a.id GROUP BY 1),
+           |wcset$r AS MATERIALIZED (
            |  SELECT DISTINCT id, comm FROM (
-           |    SELECT id, comm FROM kin$r
-           |    UNION ALL SELECT id, comm FROM a${r - 1})),
-           |sc$r AS MATERIALIZED (
+           |    SELECT id, comm FROM wkin$r
+           |    UNION ALL SELECT id, comm FROM b${r - 1})),
+           |wsc$r AS MATERIALIZED (
            |  SELECT cs.id, cs.comm,
-           |    (SELECT m2 FROM m) * coalesce(kin.kvc, 0)
+           |    (SELECT m2 FROM wm) * coalesce(kin.kvc, 0)
            |      - d.k * (t.tot -
            |          CASE WHEN cur.comm = cs.comm THEN d.k ELSE 0 END)
            |      AS score
-           |  FROM cset$r cs
-           |  JOIN deg d ON d.id = cs.id
-           |  JOIN a${r - 1} cur ON cur.id = cs.id
-           |  JOIN tot$r t ON t.comm = cs.comm
-           |  LEFT JOIN kin$r kin
+           |  FROM wcset$r cs
+           |  JOIN wdeg d ON d.id = cs.id
+           |  JOIN b${r - 1} cur ON cur.id = cs.id
+           |  JOIN wtot$r t ON t.comm = cs.comm
+           |  LEFT JOIN wkin$r kin
            |    ON kin.id = cs.id AND kin.comm = cs.comm),
-           |a$r AS MATERIALIZED (
+           |b$r AS MATERIALIZED (
            |  SELECT id, comm FROM (
            |    SELECT id, comm, row_number() OVER (
            |      PARTITION BY id ORDER BY score DESC, comm ASC) AS rn
-           |    FROM sc$r) WHERE rn = 1)""".stripMargin
+           |    FROM wsc$r) WHERE rn = 1)""".stripMargin
       }.mkString(",\n")
-      s"""WITH $copurchaseEdgesSql,
-         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
-         |deg AS MATERIALIZED (
-         |  SELECT src AS id, count(*) AS k FROM e GROUP BY src),
-         |m AS (SELECT count(*) AS m2 FROM e),
-         |a0 AS MATERIALIZED (SELECT id, id AS comm FROM deg),
-         |$steps
-         |SELECT id, comm FROM a2 ORDER BY id""".stripMargin
+      s"""WITH $louvainPhase1Sql,
+         |w0 AS MATERIALIZED (
+         |  SELECT a.comm AS src, b.comm AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM e JOIN a2 a ON a.id = e.src JOIN a2 b ON b.id = e.dst
+         |  GROUP BY 1, 2),
+         |wdeg AS MATERIALIZED (
+         |  SELECT src AS id, CAST(sum(w) AS BIGINT) AS k
+         |  FROM w0 GROUP BY 1),
+         |wm AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM w0),
+         |b0 AS MATERIALIZED (SELECT id, id AS comm FROM wdeg),
+         |$wsteps
+         |SELECT a.id, a.comm AS comm1, b.comm AS comm2
+         |FROM a2 a JOIN b2 b ON b.id = a.comm ORDER BY a.id""".stripMargin
     },
 
     // mirrors LabelPropagation.modularity over the SAME unrolled LP

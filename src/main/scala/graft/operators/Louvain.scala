@@ -58,32 +58,114 @@ object Louvain {
                 keepAqe: Boolean = true): DataFrame = {
     require(steps > 0, s"steps must be positive, got $steps")
     GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
-      runSteps(edges, steps)
+      runSteps(simpleWeighted(edges), steps)
     }
   }
 
-  private def runSteps(edges: DataFrame, steps: Int): DataFrame = {
-    val spark = edges.sparkSession
+  /** Two-level Louvain (phase 1 + ONE coarsening pass + phase 1 on
+    * the contracted graph — Blondel 2008 §2's alternation, unrolled
+    * once): move steps improve the singleton assignment, communities
+    * contract to super-vertices (intra-community mass as self-loops,
+    * inter-community edge counts as weights), and weighted move steps
+    * improve the contracted assignment. Both phases run the SAME
+    * integer-exact synchronous core, so the composition stays
+    * oracle-replayable.
+    *
+    * Scale shape: [[coarsen]] is two gated |V|-frame joins + one
+    * exchange on the (community, community) key; the phase-2 loop
+    * runs on the CONTRACTED graph — |communities| vertices, usually
+    * orders of magnitude smaller — so the second phase is nearly free
+    * at 100 TB, which is exactly why real Louvain alternates instead
+    * of running more flat sweeps.
+    *
+    * @return DataFrame(id, comm1, comm2): per vertex the phase-1
+    *         community and its final (phase-2) community */
+  def twoLevel(edges: DataFrame, steps1: Int, steps2: Int,
+               keepAqe: Boolean = true): DataFrame = {
+    require(steps1 > 0 && steps2 > 0,
+      s"steps must be positive, got ($steps1, $steps2)")
+    GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
+      val simple = simpleWeighted(edges)
+      val a1 = runSteps(simple, steps1)
+      val a2 = runSteps(coarsen(simple, a1), steps2)
+      // the phase-2 map is |communities|-sized — gate like every other
+      // |V|-frame join (broadcast under the Bfs ceiling, else
+      // shuffle-hash)
+      val a2r =
+        if (a2.count() <= 4000000L)
+          broadcast(a2.select(col("id").as("comm1"),
+            col("comm").as("comm2")))
+        else a2.select(col("id").as("comm1"), col("comm").as("comm2"))
+          .hint("shuffle_hash")
+      val out = a1.select(col("id"), col("comm").as("comm1"))
+        .join(a2r, "comm1")
+        .select(col("id"), col("comm1"), col("comm2"))
+        .localCheckpoint(true)
+      GraphOps.releaseCheckpointedFrame(a1)
+      GraphOps.releaseCheckpointedFrame(a2)
+      out
+    }
+  }
+
+  /** Canonical weighted form of a simple symmetric edge table: drop
+    * self-loops and duplicate pairs, weight 1 per direction — the
+    * shape [[runSteps]] consumes and [[coarsen]] aggregates. */
+  private def simpleWeighted(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .withColumn("w", lit(1L))
+
+  /** Louvain phase 2's graph contraction: map both endpoints to their
+    * communities and sum weights. On a symmetric input each intra-
+    * community undirected edge appears in both directions, so the
+    * contracted self-loop row (c, c) carries BOTH endpoint
+    * contributions (w = 2·intra) — exactly the degree bookkeeping the
+    * weighted gain needs (k_c = Σ k of members; 2m preserved).
+    * Inter-community rows stay symmetric. Two gated |V|-frame joins +
+    * ONE exchange on the community-pair key. */
+  private[graft] def coarsen(wEdges: DataFrame,
+                             assign: DataFrame): DataFrame = {
+    val small = assign.count() <= 4000000L
+    def gate(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
+    wEdges
+      .join(gate(assign.select(col("id").as("src"),
+        col("comm").as("cs"))), "src")
+      .join(gate(assign.select(col("id").as("dst"),
+        col("comm").as("cd"))), "dst")
+      .groupBy(col("cs").as("src"), col("cd").as("dst"))
+      .agg(sum(col("w")).as("w"))
+  }
+
+  /** Weighted synchronous move-step core. Input (`src`, `dst`, `w`):
+    * symmetric rows for src ≠ dst; self-loop rows (contracted
+    * intra-community mass) count in degrees and Σtot but never
+    * generate neighbor candidates. The unweighted face is the w = 1
+    * special case — one implementation, one oracle recurrence. */
+  private def runSteps(wEdges: DataFrame, steps: Int): DataFrame = {
+    val spark = wEdges.sparkSession
     import spark.implicits._
-    // Canonical simple edge table, src-partitioned for the per-step
+    // Canonical weighted edge table, src-partitioned for the per-step
     // message join, held as a LOCAL CHECKPOINT rather than a persist:
     // the columnar cache's encode+decode tax dominated this operator's
     // profile (persist(MEMORY_AND_DISK): 56 task-CPU-s to build+degree
     // the 1.2M-row table and ~2x on every per-step read; checkpoint
     // row blocks: 17 — measured at sf0.1, JobProbe). Checkpoint blocks
     // are raw InternalRows: no codec on either side of the loop.
-    val e = edges.select($"src", $"dst")
-      .filter($"src" =!= $"dst")
-      .distinct()
+    val e = wEdges.select($"src", $"dst", $"w")
       .repartition($"src")
       .localCheckpoint(false)
     // one materialization supplies 2m AND warms the cache the per-step
-    // joins reuse
-    val twoM = e.count()
+    // joins reuse; 2m = total weight INCLUDING self-loops (a
+    // super-vertex's internal mass is part of its degree)
+    val twoM = e.agg(coalesce(sum($"w"), lit(0L))).head().getLong(0)
     require(twoM <= 3000000000L,
-      s"louvain gain overflows Long past ~1.5e9 edges (2m = $twoM); " +
-        "rescale the gain before running larger graphs")
-    val deg = e.groupBy($"src".as("id")).agg(count(lit(1)).as("k"))
+      s"louvain gain overflows Long past ~1.5e9 total weight (2m = " +
+        s"$twoM); rescale the gain before running larger graphs")
+    // self-loops feed degrees, never messages
+    val eMsg = e.filter($"src" =!= $"dst")
+    val deg = e.groupBy($"src".as("id")).agg(sum($"w").as("k"))
       .localCheckpoint(true)
     // the per-vertex side tables (state, deg, Σtot — all ≤ |V| rows)
     // join the |E|-sized score stream map-side while |V| is under the
@@ -98,15 +180,15 @@ object Louvain {
     while (step < steps) {
       step += 1
       val tStep = System.nanoTime()
-      // k_{v,c}: per vertex, edge count into each neighboring
+      // k_{v,c}: per vertex, edge weight into each neighboring
       // community — the LP message shape: each vertex's comm joins on
       // e.SRC (riding the cached src partitioning exchange-free, the
       // table is symmetric) and is delivered to e.dst. ONE exchange
       // (the groupBy).
       val kin = state.as("a").hint("shuffle_hash")
-        .join(e.as("e"), col("a.id") === col("e.src"))
-        .select(col("e.dst").as("id"), col("a.comm"))
-        .groupBy($"id", $"comm").agg(count(lit(1)).as("kvc"))
+        .join(eMsg.as("e"), col("a.id") === col("e.src"))
+        .select(col("e.dst").as("id"), col("a.comm"), col("e.w"))
+        .groupBy($"id", $"comm").agg(sum($"w").as("kvc"))
       // Σtot_c: community degree mass under the CURRENT assignment —
       // ≤ |V| rows, rides the gated joins below
       val tot = state.join(deg, "id")
@@ -147,6 +229,9 @@ object Louvain {
       state = newState
     }
     GraphOps.releaseCheckpointedFrame(e)
+    // deg is loop-resident too — the returned state is a flat
+    // checkpoint, so nothing recomputes through deg (r17 ADVICE leak)
+    GraphOps.releaseCheckpointedFrame(deg)
     state
   }
 }

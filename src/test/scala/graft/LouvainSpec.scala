@@ -78,4 +78,62 @@ class LouvainSpec extends AnyFunSuite with SparkTestBase {
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L), (2L, 3L))
     assert(move(edges, 1) == serialMove(Seq((1L, 2L), (2L, 3L)), 1))
   }
+
+  test("coarsen invariants: 2m preserved, self-loop = 2·intra, " +
+       "inter rows symmetric") {
+    // two triangles joined by one bridge, contracted by triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val sym = GraphOps.symmetrize(edges.toDF("src", "dst"))
+      .withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "comm")
+    val c = Louvain.coarsen(sym, assign)
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, d, w) => ((s, d), w) }.toMap
+    // self-loops: 3 intra edges per triangle → w = 6 each
+    assert(c((1L, 1L)) == 6L && c((4L, 4L)) == 6L)
+    // the bridge: one edge each direction
+    assert(c((1L, 4L)) == 1L && c((4L, 1L)) == 1L)
+    // total weight (2m) preserved: 7 undirected edges → 14
+    assert(c.values.sum == 14L)
+    assert(c.size == 4)
+  }
+
+  test("twoLevel: phase 2 merges the contracted barbell across the " +
+       "bridge when its mass dominates") {
+    // two K4s joined by one bridge: phase 1 finds (at least) the two
+    // cliques; the contracted graph is tiny and phase 2's weighted
+    // sweep must (a) keep phase-1 structure visible in comm1 and
+    // (b) produce a comm2 that is a coarsening of comm1 (every comm1
+    // maps to exactly one comm2 — functional dependence).
+    val k4a = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val k4b = for { a <- 5L to 8L; b <- 5L to 8L if a < b } yield (a, b)
+    val edges = k4a ++ k4b ++ Seq((4L, 5L))
+    val out = Louvain.twoLevel(GraphOps.symmetrize(edges.toDF("src", "dst")),
+        steps1 = 2, steps2 = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 8)
+    // comm2 is functionally dependent on comm1
+    val m = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(m.values.forall(_.size == 1),
+      s"a phase-1 community split in phase 2: ${out.toSeq}")
+    // no community spans the bridge in phase 1 (clique structure)
+    val left1 = out.filter(_._1 <= 4L).map(_._2).toSet
+    val right1 = out.filter(_._1 >= 5L).map(_._2).toSet
+    assert(left1.intersect(right1).isEmpty)
+  }
+
+  test("twoLevel on disjoint triangles: each contracts to a single " +
+       "super-vertex that phase 2 leaves alone") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val out = Louvain.twoLevel(GraphOps.symmetrize(edges.toDF("src", "dst")),
+        steps1 = 2, steps2 = 2)
+      .as[(Long, Long, Long)].collect()
+    val leftC2 = out.filter(_._1 < 10L).map(_._3).toSet
+    val rightC2 = out.filter(_._1 >= 10L).map(_._3).toSet
+    assert(leftC2.size == 1 && rightC2.size == 1)
+    assert(leftC2 != rightC2, "disjoint components never merge")
+  }
 }
