@@ -28,7 +28,10 @@ import graft.sources.{EdgeListSource, SyntheticGraphs}
   * min. Results land in BASELINE.md §crossover.
   *
   * Usage: runMain graft.CrossoverSweep [outCsv] [runs] [datasetDir]
-  * (datasetDir defaults to the reference checkout's datasets/).
+  * [onlyDataset] (datasetDir defaults to the reference checkout's
+  * datasets/; onlyDataset restricts the sweep to one named dataset so
+  * a new cell — largeG_synth, r18 — appends without re-running the
+  * committed cells).
   */
 object CrossoverSweep {
 
@@ -84,9 +87,13 @@ object CrossoverSweep {
     val runs = if (args.length > 1) args(1).toInt else 2
     val dataDir =
       if (args.length > 2) args(2) else "/root/reference/datasets"
+    val only = if (args.length > 3) Some(args(3)) else None
     val tiny = s"$dataDir/tinyG.txt"
     val small = s"$dataDir/smallG.txt"
     val (mn, me) = SyntheticGraphs.MediumG
+    val (ln, le) = SyntheticGraphs.LargeG
+    def keep[A](sets: Seq[(String, A)]): Seq[(String, A)] =
+      only.fold(sets)(o => sets.filter(_._1 == o))
 
     // ---- serial baseline (n_Workers = 0): same edge lists, in-memory
     def fileEdges(path: String): Seq[(Long, Long)] =
@@ -102,10 +109,13 @@ object CrossoverSweep {
     // cross-checks it against an independent replay)
     def mediumEdges(): Seq[(Long, Long)] =
       SyntheticGraphs.referenceScaleEdges(mn, me)
-    val serialSets = Seq(
+    val serialSets = keep(Seq(
       "tinyG" -> (() => fileEdges(tiny)),
       "smallG" -> (() => fileEdges(small)),
-      "mediumG_synth" -> (() => mediumEdges()))
+      "mediumG_synth" -> (() => mediumEdges()),
+      // slide 23's largest published scale (325,729 / 1,497,134)
+      "largeG_synth" ->
+        (() => SyntheticGraphs.referenceScaleEdges(ln, le))))
     for ((name, mk) <- serialSets) {
       val edges = mk()
       for (_ <- 1 to math.max(runs, 3)) runSerialCell(out, name, edges)
@@ -115,11 +125,13 @@ object CrossoverSweep {
     for (w <- Seq(1, 2, 8, 32)) {
       val spark = session(w)
       try {
-        val sets = Seq(
+        val sets = keep(Seq(
           "tinyG" -> (() => EdgeListSource.load(spark, tiny)),
           "smallG" -> (() => EdgeListSource.load(spark, small)),
           "mediumG_synth" ->
-            (() => SyntheticGraphs.referenceScale(spark, mn, me)))
+            (() => SyntheticGraphs.referenceScale(spark, mn, me)),
+          "largeG_synth" ->
+            (() => SyntheticGraphs.referenceScale(spark, ln, le))))
         for ((name, mk) <- sets; _ <- 1 to runs)
           runDistributedCell(out, name, mk(), w)
       } finally spark.stop()
