@@ -94,7 +94,12 @@ object SparkEntry {
     * k whose truss is non-empty at every shipped SF AND whose peel
     * cascades across multiple rounds (measured convergence depths:
     * 5 at sf0.001, 4 at sf0.01, 2 at sf0.1 — 8 layers leave headroom,
-    * post-fixpoint layers are no-ops by idempotence). */
+    * post-fixpoint layers are no-ops by idempotence).
+    *
+    * MAINTENANCE: adding an SF (or a new dataset) requires re-measuring
+    * the peel depth — the engine's `[ktruss]` round telemetry prints
+    * it; a peel deeper than KTrussLayers surfaces as an oracle
+    * hash-mismatch (unrolled oracle stops early), never silently. */
   private val KTrussK = 5
   private val KTrussLayers = 8
 

@@ -297,28 +297,53 @@ object Centrality {
     var seen = levels.head.select(col("pv"), col("id"))
     var depth = 0L
     var frontierNonEmpty = true
+    // one level expansion: lazy checkpoint — blocks materialize when
+    // the BATCH probe below (or a deeper level's plan) first computes
+    // through it. The frontier rides a gated BROADCAST join (r18
+    // re-measured: the shuffle_hash-against-src-partitioned-edges
+    // form — the Louvain pattern — read 16.3s @ CPU 113 vs 12.8 @ 66
+    // here; on THIS face the per-level frontier is tiny and the
+    // broadcast build is cheaper than hashing 32 partitions of the
+    // candidate stream). `seen` joins SHUFFLED (r17): it grows toward
+    // k·|V| — broadcasting it re-collects the whole set to the driver
+    // every level.
+    def expand(prev: DataFrame, seenSoFar: DataFrame): DataFrame = edgesC
+      .join(gated(prev
+        .select(col("pv"), col("id").as("src"), col("sigma"))), "src")
+      .groupBy(col("pv"), col("dst").as("id"))
+      .agg(sum(col("sigma")).as("sigma"))
+      .join(seenSoFar, Seq("pv", "id"), "left_anti")
+      .localCheckpoint(false)
+    // TWO levels per probe (r17 verdict punch #2): the probe result is
+    // only consumed as "frontier empty", and an empty level's
+    // expansion is empty by BFS monotonicity — so advancing two levels
+    // lazily and counting only the deeper one halves the forward
+    // sweep's job count (this face is latency-bound on per-level probe
+    // jobs at quiet-window CPU ≪ cores, the same disease the r17
+    // loop-wide fuse cured in Bfs/Msf). One count materializes BOTH
+    // levels' checkpoint blocks (b's plan computes through a's). The
+    // overshoot cost is one empty expansion at the fixpoint; the tail
+    // count(a) on already-materialized blocks is metadata-cheap.
     while (frontierNonEmpty) {
-      // lazy checkpoint + count: one job per level materializes the
-      // blocks AND reads the emptiness signal (the Bfs round fuse; the
-      // eager-checkpoint-then-isEmpty form paid two jobs per level)
-      val next = edgesC
-        .join(gated(levels.last
-          .select(col("pv"), col("id").as("src"), col("sigma"))), "src")
-        .groupBy(col("pv"), col("dst").as("id"))
-        .agg(sum(col("sigma")).as("sigma"))
-        // seen joins SHUFFLED, not broadcast (r17): it grows toward
-        // k·|V| — broadcasting it re-collects the whole set to the
-        // driver EVERY level (one extra broadcast-build job per level,
-        // and the one join here that genuinely scales badly as a
-        // broadcast); the anti-join's tiny exchange rides the level's
-        // own job and AQE coalesces it
-        .join(seen, Seq("pv", "id"), "left_anti")
-        .localCheckpoint(false)
-      if (next.count() == 0L) frontierNonEmpty = false
-      else {
-        levels :+= next
-        seen = seen.unionByName(next.select(col("pv"), col("id")))
-        depth += 1
+      val a = expand(levels.last, seen)
+      val seenA = seen.unionByName(a.select(col("pv"), col("id")))
+      val b = expand(a, seenA)
+      if (b.count() == 0L) {
+        frontierNonEmpty = false
+        if (a.count() > 0L) {
+          levels :+= a
+          seen = seenA
+          depth += 1
+          GraphOps.releaseCheckpointedFrame(b)
+        } else {
+          GraphOps.releaseCheckpointedFrame(a)
+          GraphOps.releaseCheckpointedFrame(b)
+        }
+      } else {
+        levels :+= a
+        levels :+= b
+        seen = seenA.unionByName(b.select(col("pv"), col("id")))
+        depth += 2
       }
     }
     val maxD = depth
