@@ -10,11 +10,18 @@ object JobProbe {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
+    // optional 3rd arg: comma-separated extra confs k=v (A/B probes)
+    val extra = if (args.length > 2)
+      args(2).split(',').toSeq.map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      } else Seq.empty
+    val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobStart = mutable.Map.empty[Int, Long]
     val jobTasks = mutable.Map.empty[Int, Int]

@@ -58,6 +58,50 @@ object StreamHarness {
       .withColumn("ts", EventStream.adaptTs(schema("ts").dataType))
   }
 
+  /** State-partition count for the bounded drains. Stateful-operator
+    * parallelism is fixed at stream START from
+    * `spark.sql.shuffle.partitions` — inheriting the BATCH default
+    * (32 on the bench session) gave every micro-batch 32 partitions ×
+    * 4 state stores (a stream-stream join keeps keyToNumValues +
+    * keyWithIndexToValue per side) = 128 store commits per batch, and
+    * the per-store fixed cost is BLOCKING wall, not compute
+    * (jstack-confirmed on q_streaming_left_join, r18: task threads
+    * parked in ChecksumCheckpointFileManager.createWithChecksum →
+    * Future/Thread.start per delta file — executorRunTime 197 s at
+    * 5.5 s CPU on the data batch). These eval drains carry KB-MB
+    * state, so 8 partitions bounds the per-batch store count at 32;
+    * a production stream sizes this to its STATE (hundreds of
+    * partitions at 100 TB), explicitly — which is the point: state
+    * partitioning should track state size, never the batch shuffle
+    * default. Measured on the r17 weak-marked face: data batch
+    * 8.2 s → 2.8 s, eviction batch 4.5 s → 0.5 s. */
+  private val BoundedStatePartitions = 8
+
+  /** Run `body` with the bounded-drain streaming confs applied and
+    * restored after: state partitions sized to the harness's state
+    * (see [[BoundedStatePartitions]]) and checkpoint-file checksums
+    * OFF — these checkpoints live in /tmp for one drain and are
+    * discarded; the checksum machinery (Spark 4.1, one background
+    * future + shadow .crc per checkpoint file) exists to catch
+    * corruption of DURABLE checkpoints and was the largest single
+    * cost of every stateful face (delta-file creation serialized
+    * behind per-file checksum futures). Production checkpoints keep
+    * it on. Single-threaded session assumption (the SkewOps/rocksdb
+    * contract). */
+  private def withEphemeralCheckpointConfs[A](spark: SparkSession)
+                                             (body: => A): A = {
+    val flips = Seq(
+      "spark.sql.shuffle.partitions" -> BoundedStatePartitions.toString,
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false")
+    val prev = flips.map { case (k, _) => (k, spark.conf.getOption(k)) }
+    flips.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Start `df` into a uniquely-named memory sink, drain all available
     * input, and return the sink table as a batch frame.
     *
@@ -71,7 +115,14 @@ object StreamHarness {
     *        it. */
   def runBounded(df: DataFrame, mode: String,
                  awaitNoDataBatch: Boolean = false,
-                 settleTimeoutMs: Long = 60000L): DataFrame = {
+                 settleTimeoutMs: Long = 60000L): DataFrame =
+    withEphemeralCheckpointConfs(df.sparkSession) {
+      runBoundedInner(df, mode, awaitNoDataBatch, settleTimeoutMs)
+    }
+
+  private def runBoundedInner(df: DataFrame, mode: String,
+                              awaitNoDataBatch: Boolean,
+                              settleTimeoutMs: Long): DataFrame = {
     val spark = df.sparkSession
     val name = s"stream_face_${nameCounter.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name)
@@ -134,7 +185,8 @@ object StreamHarness {
     * Session-global conf flip for the face's duration (set inside
     * try, restored in finally — single-threaded session assumption,
     * the SkewOps contract). */
-  def rocksdbWindowFace(spark: SparkSession, dir: String): DataFrame = {
+  def rocksdbWindowFace(spark: SparkSession,
+                        dir: String): DataFrame = withEphemeralCheckpointConfs(spark) {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     try {
@@ -184,7 +236,8 @@ object StreamHarness {
     *    window_end ≤ watermark, aggregated from on-time rows only —
     *    which is what the oracle replays relationally.
     */
-  def lateDropFace(spark: SparkSession, dir: String): DataFrame = {
+  def lateDropFace(spark: SparkSession, dir: String): DataFrame =
+    withEphemeralCheckpointConfs(spark) {
     import java.nio.file.Files
     val ev = EventStream.eventsTable(spark, dir)
     val root = Files.createTempDirectory("graft-stream-late-")
@@ -283,7 +336,11 @@ object StreamHarness {
     *        incarnation whose watermark is final). */
   private def twoPhaseResume(spark: SparkSession, dir: String, mode: String,
       awaitNoDataFinal: Boolean = false, settleTimeoutMs: Long = 60000L)
-      (build: DataFrame => DataFrame): DataFrame = {
+      (build: DataFrame => DataFrame): DataFrame =
+      withEphemeralCheckpointConfs(spark) {
+    // NOTE: the conf scope spans BOTH incarnations — state files are
+    // keyed by partition id, so the stateful partition count must be
+    // identical across a stop→resume pair.
     import java.nio.file.Files
     val ev = EventStream.eventsTable(spark, dir)
     val root = Files.createTempDirectory("graft-stream-resume-")
@@ -424,7 +481,8 @@ object StreamHarness {
     * `maxFilesPerTrigger = 1`, and the face REQUIRES that more than
     * one merge actually ran — otherwise it would silently degrade to
     * the batch face. */
-  def cdcApplyFace(spark: SparkSession, dir: String): DataFrame = {
+  def cdcApplyFace(spark: SparkSession, dir: String): DataFrame =
+    withEphemeralCheckpointConfs(spark) {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-cdc-apply-")
     try {
@@ -507,7 +565,8 @@ object StreamHarness {
     * run nothing). Merge/state machinery identical to [[cdcApplyFace]]
     * (versioned state dirs, retained tombstones), so the face shares
     * q_snapshot_upsert's oracle. */
-  def availableNowCdcFace(spark: SparkSession, dir: String): DataFrame = {
+  def availableNowCdcFace(spark: SparkSession, dir: String): DataFrame =
+    withEphemeralCheckpointConfs(spark) {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-cdc-avail-")
     try {
@@ -613,7 +672,8 @@ object StreamHarness {
     * Tombstones ride IN state (the [[cdcApplyFace]] argument), so the
     * final state is independent of HOW the limiter sliced the backlog
     * — which is what lets this face share q_snapshot_upsert's oracle. */
-  def backpressureFace(spark: SparkSession, dir: String): DataFrame = {
+  def backpressureFace(spark: SparkSession, dir: String): DataFrame =
+    withEphemeralCheckpointConfs(spark) {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-backpressure-")
     try {
