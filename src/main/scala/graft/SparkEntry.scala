@@ -321,6 +321,60 @@ object SparkEntry {
        |$steps""".stripMargin
   }
 
+  /** Phase-2 Louvain CTE chain over `a2`: the contraction (`w0` —
+    * intra mass on the diagonal as 2·intra), weighted degrees/2m, and
+    * 2 unrolled WEIGHTED move sweeps ending in `b2(id, comm)` over
+    * the contracted graph. sum(w) replaces count(*); self-loops are
+    * excluded from k_vc but feed degrees and Σtot. Shared by the
+    * q_louvain_coarse and q_louvain_gain oracles. */
+  private def louvainPhase2Sql: String = {
+    val wsteps = (1 to 2).map { r =>
+      s"""wkin$r AS MATERIALIZED (
+         |  SELECT e.src AS id, a.comm, CAST(sum(e.w) AS BIGINT) AS kvc
+         |  FROM w0 e JOIN b${r - 1} a ON a.id = e.dst
+         |  WHERE e.src <> e.dst GROUP BY 1, 2),
+         |wtot$r AS MATERIALIZED (
+         |  SELECT a.comm, CAST(sum(d.k) AS BIGINT) AS tot
+         |  FROM b${r - 1} a JOIN wdeg d ON d.id = a.id GROUP BY 1),
+         |wcset$r AS MATERIALIZED (
+         |  SELECT DISTINCT id, comm FROM (
+         |    SELECT id, comm FROM wkin$r
+         |    UNION ALL SELECT id, comm FROM b${r - 1})),
+         |wsc$r AS MATERIALIZED (
+         |  SELECT cs.id, cs.comm,
+         |    (SELECT m2 FROM wm) * coalesce(kin.kvc, 0)
+         |      - d.k * (t.tot -
+         |          CASE WHEN cur.comm = cs.comm THEN d.k ELSE 0 END)
+         |      AS score
+         |  FROM wcset$r cs
+         |  JOIN wdeg d ON d.id = cs.id
+         |  JOIN b${r - 1} cur ON cur.id = cs.id
+         |  JOIN wtot$r t ON t.comm = cs.comm
+         |  LEFT JOIN wkin$r kin
+         |    ON kin.id = cs.id AND kin.comm = cs.comm),
+         |b$r AS MATERIALIZED (
+         |  SELECT w.id,
+         |    CASE WHEN (w.id + $r) % 2 = 0 THEN w.comm
+         |         ELSE cur.comm END AS comm
+         |  FROM (SELECT id, comm FROM (
+         |          SELECT id, comm, row_number() OVER (
+         |            PARTITION BY id ORDER BY score DESC, comm ASC) AS rn
+         |          FROM wsc$r) WHERE rn = 1) w
+         |  JOIN b${r - 1} cur ON cur.id = w.id)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT a.comm AS src, b.comm AS dst,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM e JOIN a2 a ON a.id = e.src JOIN a2 b ON b.id = e.dst
+       |  GROUP BY 1, 2),
+       |wdeg AS MATERIALIZED (
+       |  SELECT src AS id, CAST(sum(w) AS BIGINT) AS k
+       |  FROM w0 GROUP BY 1),
+       |wm AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM w0),
+       |b0 AS MATERIALIZED (SELECT id, id AS comm FROM wdeg),
+       |$wsteps""".stripMargin
+  }
+
   /** Two unrolled LP rounds over `edges` (mirrors
     * LabelPropagation.run(rounds = 2): neighbor-majority with
     * min-label tie-break via the argmin row), emitting `l2(id,
@@ -2059,6 +2113,31 @@ object SparkEntry {
     "q_louvain_coarse" -> ((s, dir) => {
       Louvain.twoLevel(copurchaseEdges(s, dir), steps1 = 2, steps2 = 2)
         .orderBy("id")
+    }),
+
+    // Does the coarsening PAY? Newman Q of the phase-1 vs two-level
+    // assignment over the same edges — the eval row that justifies
+    // alternating move steps with contraction (what recall@5 is to
+    // IVF training). One twoLevel run feeds both evaluations (flat
+    // checkpoint); Q collapses to its global (micro, integer-exact)
+    // row per level.
+    "q_louvain_gain" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir)
+      val two = Louvain.twoLevel(edges, steps1 = 2, steps2 = 2)
+      // Q evaluates over the DISTINCT canonical edge table — the graph
+      // Louvain itself optimized (its 2m is the simple-graph count);
+      // the raw copurchase stream carries (order, part) multi-edges
+      val simple = edges.select(col("src"), col("dst")).distinct()
+      Seq(
+        "phase1" -> two.select(col("id"), col("comm1").as("label")),
+        "two_level" -> two.select(col("id"), col("comm2").as("label")))
+        .map { case (level, al) =>
+          LabelPropagation.modularity(simple, al)
+            .agg(count(lit(1)).as("n_communities"),
+              min(col("q_micro")).as("q_micro"))
+            .select(lit(level).as("level"), col("n_communities"),
+              col("q_micro"))
+        }.reduce(_ unionByName _).orderBy("level")
     }),
 
     // Modularity of the 2-round LP communities — the community-
@@ -5263,51 +5342,47 @@ object SparkEntry {
     // as 2·intra because the symmetric table carries both directions),
     // then the SAME move recurrence with sum(w) in place of count(*)
     // and self-loops excluded from k_vc but present in degrees/Σtot
-    "q_louvain_coarse" -> {
-      val wsteps = (1 to 2).map { r =>
-        s"""wkin$r AS MATERIALIZED (
-           |  SELECT e.src AS id, a.comm, CAST(sum(e.w) AS BIGINT) AS kvc
-           |  FROM w0 e JOIN b${r - 1} a ON a.id = e.dst
-           |  WHERE e.src <> e.dst GROUP BY 1, 2),
-           |wtot$r AS MATERIALIZED (
-           |  SELECT a.comm, CAST(sum(d.k) AS BIGINT) AS tot
-           |  FROM b${r - 1} a JOIN wdeg d ON d.id = a.id GROUP BY 1),
-           |wcset$r AS MATERIALIZED (
-           |  SELECT DISTINCT id, comm FROM (
-           |    SELECT id, comm FROM wkin$r
-           |    UNION ALL SELECT id, comm FROM b${r - 1})),
-           |wsc$r AS MATERIALIZED (
-           |  SELECT cs.id, cs.comm,
-           |    (SELECT m2 FROM wm) * coalesce(kin.kvc, 0)
-           |      - d.k * (t.tot -
-           |          CASE WHEN cur.comm = cs.comm THEN d.k ELSE 0 END)
-           |      AS score
-           |  FROM wcset$r cs
-           |  JOIN wdeg d ON d.id = cs.id
-           |  JOIN b${r - 1} cur ON cur.id = cs.id
-           |  JOIN wtot$r t ON t.comm = cs.comm
-           |  LEFT JOIN wkin$r kin
-           |    ON kin.id = cs.id AND kin.comm = cs.comm),
-           |b$r AS MATERIALIZED (
-           |  SELECT id, comm FROM (
-           |    SELECT id, comm, row_number() OVER (
-           |      PARTITION BY id ORDER BY score DESC, comm ASC) AS rn
-           |    FROM wsc$r) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
+    "q_louvain_coarse" ->
       s"""WITH $louvainPhase1Sql,
-         |w0 AS MATERIALIZED (
-         |  SELECT a.comm AS src, b.comm AS dst,
-         |    CAST(count(*) AS BIGINT) AS w
-         |  FROM e JOIN a2 a ON a.id = e.src JOIN a2 b ON b.id = e.dst
-         |  GROUP BY 1, 2),
-         |wdeg AS MATERIALIZED (
-         |  SELECT src AS id, CAST(sum(w) AS BIGINT) AS k
-         |  FROM w0 GROUP BY 1),
-         |wm AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM w0),
-         |b0 AS MATERIALIZED (SELECT id, id AS comm FROM wdeg),
-         |$wsteps
+         |$louvainPhase2Sql
          |SELECT a.id, a.comm AS comm1, b.comm AS comm2
-         |FROM a2 a JOIN b2 b ON b.id = a.comm ORDER BY a.id""".stripMargin
+         |FROM a2 a JOIN b2 b ON b.id = a.comm ORDER BY a.id""".stripMargin,
+
+    // does the coarsening PAY? Newman Q (micro, the q_modularity
+    // formula collapsed to its global row) of the phase-1 assignment
+    // vs the two-level one, over the same edges: num = m2·Σintra −
+    // Σd², one sign-safe truncating micro division per level
+    "q_louvain_gain" -> {
+      def qRow(level: String, al: String): String =
+        s"""we_$al AS (SELECT a.label AS c_src, b.label AS c_dst
+           |       FROM e JOIN $al a ON a.id = e.src
+           |       JOIN $al b ON b.id = e.dst),
+           |st_$al AS (SELECT c_src AS label,
+           |         CAST(count(*) AS BIGINT) AS degree_sum,
+           |         CAST(sum(CASE WHEN c_src = c_dst THEN 1 ELSE 0 END)
+           |           AS BIGINT) AS intra
+           |       FROM we_$al GROUP BY 1),
+           |t_$al AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           |        CAST(sum(degree_sum) AS BIGINT) AS m2,
+           |        CAST(sum(intra) AS BIGINT) AS si,
+           |        CAST(sum(degree_sum * degree_sum) AS BIGINT) AS sd2
+           |      FROM st_$al),
+           |g_$al AS (SELECT '$level' AS level, n_communities,
+           |        CASE WHEN (m2 * si - sd2) >= 0
+           |          THEN (m2 * si - sd2) * 1000000 // (m2 * m2)
+           |          ELSE -((-(m2 * si - sd2)) * 1000000 // (m2 * m2))
+           |        END AS q_micro
+           |      FROM t_$al)""".stripMargin
+      s"""WITH $louvainPhase1Sql,
+         |$louvainPhase2Sql,
+         |al1 AS (SELECT id, comm AS label FROM a2),
+         |al2 AS (SELECT a.id, b.comm AS label
+         |        FROM a2 a JOIN b2 b ON b.id = a.comm),
+         |${qRow("phase1", "al1")},
+         |${qRow("two_level", "al2")}
+         |SELECT level, n_communities, q_micro
+         |FROM (SELECT * FROM g_al1 UNION ALL SELECT * FROM g_al2)
+         |ORDER BY level""".stripMargin
     },
 
     // mirrors LabelPropagation.modularity over the SAME unrolled LP

@@ -66,8 +66,13 @@ object Louvain {
     * the contracted graph — Blondel 2008 §2's alternation, unrolled
     * once): move steps improve the singleton assignment, communities
     * contract to super-vertices (intra-community mass as self-loops,
-    * inter-community edge counts as weights), and weighted move steps
-    * improve the contracted assignment. Both phases run the SAME
+    * inter-community edge counts as weights), and weighted
+    * PARITY-GATED move steps improve the contracted assignment (see
+    * `partialMoves` — the ungated synchronous sweep swap-oscillates
+    * from the contracted singleton init and measurably LOWERS Q;
+    * gated, it lifts the copurchase graph from Q = −4807 micro to
+    * +266015 at (2,2), 331 → 133 communities — the q_louvain_gain
+    * face gates exactly this claim). Both phases run the SAME
     * integer-exact synchronous core, so the composition stays
     * oracle-replayable.
     *
@@ -87,7 +92,8 @@ object Louvain {
     GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
       val simple = simpleWeighted(edges)
       val a1 = runSteps(simple, steps1)
-      val a2 = runSteps(coarsen(simple, a1), steps2)
+      val a2 = runSteps(coarsen(simple, a1), steps2,
+        partialMoves = true)
       // the phase-2 map is |communities|-sized — gate like every other
       // |V|-frame join (broadcast under the Bfs ceiling, else
       // shuffle-hash)
@@ -143,7 +149,22 @@ object Louvain {
     * intra-community mass) count in degrees and Σtot but never
     * generate neighbor candidates. The unweighted face is the w = 1
     * special case — one implementation, one oracle recurrence. */
-  private def runSteps(wEdges: DataFrame, steps: Int): DataFrame = {
+  /** @param partialMoves parity-gate the moves: in step r only
+    *        vertices with (id + r) even may leave their community.
+    *        The SYNCHRONOUS sweep's known pathology is the swap — a
+    *        hub abandons its label in the same step its neighbors
+    *        adopt it, and from a SINGLETON init on a small dense
+    *        contracted graph that net-LOWERS Q (measured on the
+    *        copurchase graph: every (steps1, steps2) config of the
+    *        ungated phase 2 lost 550-610 micro-Q). Gating half the
+    *        vertices per step is the standard deterministic
+    *        distributed remedy (the coloring/partial-move family,
+    *        e.g. Que et al. 2015): movers target STATIONARY
+    *        communities, so merges are real. Phase 1 stays ungated —
+    *        its face/oracle pair predates this and its dynamics from
+    *        the |V|-singleton init measurably ascend. */
+  private def runSteps(wEdges: DataFrame, steps: Int,
+                       partialMoves: Boolean = false): DataFrame = {
     val spark = wEdges.sparkSession
     import spark.implicits._
     // Canonical weighted edge table, src-partitioned for the per-step
@@ -219,9 +240,17 @@ object Louvain {
           (-$"k" * ($"tot" - $"k")).as("score"))
       // argmax by (score DESC, comm ASC) — min(struct), order-free;
       // the step's SECOND and last exchange
-      val newState = nbrCand.union(ownCand).groupBy($"id")
+      val argmax = nbrCand.union(ownCand).groupBy($"id")
         .agg(min(struct((-$"score").as("ns"), $"comm".as("c"))).as("m"))
         .select($"id", $"m.c".as("comm"))
+      // parity gate: non-movers keep their community this step — one
+      // extra gated |V|-frame join, no new exchange
+      val newState = (if (partialMoves)
+          argmax.join(gated(cur), "id")
+            .select($"id",
+              when((($"id" + step) % 2) === 0, $"comm")
+                .otherwise($"cur").as("comm"))
+        else argmax)
         .localCheckpoint(true)
       System.err.println(
         f"[louvain] step $step ${(System.nanoTime() - tStep) / 1e9}%.2fs")
