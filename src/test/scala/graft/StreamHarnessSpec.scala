@@ -19,6 +19,16 @@ class StreamHarnessSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("bounded drains restore the session confs they flip " +
+       "(ephemeral-checkpoint scope, r18)") {
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+    val before = keys.map(k => spark.conf.getOption(k))
+    StreamHarness.boundedWindowedCounts(spark, dir).count()
+    assert(keys.map(k => spark.conf.getOption(k)) == before,
+      "a bounded drain leaked its scoped streaming confs into the session")
+  }
+
   test("bounded streaming sliding windows == batch slidingCounts, and " +
       "each event lands in window/slide windows") {
     val batch = EventStream.slidingCounts(EventStream.eventsTable(spark, dir))
