@@ -54,6 +54,13 @@ object Louvain {
     * without coalescing — the KCore shrinking-frame doctrine applies
     * even though the frames here are steady-sized, because they are
     * SMALL relative to shuffle.partitions). */
+  /** CAVEAT (r18, measured): the UNGATED synchronous sweep is the
+    * published BSP primitive, but its simultaneous moves swap-oscillate
+    * — on the copurchase graph it lands BELOW the singleton baseline
+    * (Q −1497 → −4807 micro after 2 steps). For community QUALITY use
+    * [[twoLevel]], whose parity-gated contracted phase measurably
+    * ascends (−4807 → +266015); this primitive face exists for the
+    * synchronous-recurrence contract the oracle replays. */
   def moveSteps(edges: DataFrame, steps: Int,
                 keepAqe: Boolean = true): DataFrame = {
     require(steps > 0, s"steps must be positive, got $steps")
