@@ -41,6 +41,56 @@ object Bench {
       case _ => -1.0
     }
 
+  /** Host-side counters from /proc — the telemetry the r18 anomaly
+    * band proved the artifact needs (VERDICT r18 next-round #1): a
+    * band of untouched queries inflated up to 33x wall AND 46x CPU on
+    * the driver box while every in-JVM signal (gc, code cache) stayed
+    * flat, and adjudicating it cost a round of forensics because the
+    * artifact carried nothing host-attributable. Per timed run the
+    * bench now stamps the 1-minute loadavg (sampled BEFORE the run —
+    * competing processes show up here even when they steal no tick
+    * from this JVM) and the /proc/stat busy/iowait/steal tick deltas
+    * across the run: steal>0 = the hypervisor preempted the VM;
+    * iowait high = storage contention; host busy >> this JVM's CPU =
+    * a neighbor process owned the cores. All three are whole-HOST
+    * counters, so they see exactly the interference the in-process
+    * MXBeans structurally cannot. */
+  private def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** (totalTicks, busyTicks, iowaitTicks, stealTicks) from the
+    * aggregate `cpu` line of /proc/stat; (-1,0,0,0) if unreadable. */
+  private def procStatTicks(): (Long, Long, Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1)
+          .map(_.toLong)
+        val total = f.sum
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+        val iowait = if (f.length > 4) f(4) else 0L
+        val steal = if (f.length > 7) f(7) else 0L
+        (total, total - idle, iowait, steal)
+      } finally src.close()
+    } catch { case _: Throwable => (-1L, 0L, 0L, 0L) }
+
+  /** Percent-of-host deltas between two [[procStatTicks]] samples:
+    * (busy%, iowait%, steal%), each 0-100 of ALL host cpus over the
+    * interval; (-1,-1,-1) when /proc/stat was unreadable or no ticks
+    * elapsed (sub-tick runs). */
+  private def hostPct(before: (Long, Long, Long, Long),
+                      after: (Long, Long, Long, Long)): (Double, Double, Double) = {
+    val dt = after._1 - before._1
+    if (before._1 < 0 || after._1 < 0 || dt <= 0) (-1.0, -1.0, -1.0)
+    else ((after._2 - before._2) * 100.0 / dt,
+          (after._3 - before._3) * 100.0 / dt,
+          (after._4 - before._4) * 100.0 / dt)
+  }
+
   /** Cumulative GC milliseconds — per-run deltas land in the artifact
     * so a CPU spike is classifiable without the stderr log: wall>>cpu
     * flat-gc = preempted; cpu+gc both high = memory pressure; cpu high
@@ -139,7 +189,11 @@ object Bench {
     "q_pagerank_personalized",
     // r17 session 2: the support-peel loop (multi-second iterative,
     // full spread from the start — the r11/r12 lesson)
-    "q_ktruss")
+    "q_ktruss",
+    // r19: the multi-second Louvain family faces — the r18 driver
+    // artifact read q_louvain_coarse [16.98, 48.3] under min-of-2,
+    // exactly the one-spike shape the third run exists to break
+    "q_louvain_coarse", "q_louvain_gain", "q_louvain_multilevel")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry
@@ -261,8 +315,12 @@ object Bench {
     // the machine; if the probe is flat and a query regresses, that is
     // the plan. q_hash_split per VERDICT r8 next-round #1c.
     val probeFn = SparkEntry.queries("q_hash_split")
+    // loadavg at each calibration point — with the per-run host maps
+    // this brackets the whole suite's machine state in the artifact
+    val calLoads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def calibrate(label: String): Double = {
       benchPhase = s"calibration_$label"
+      calLoads(label) = loadAvg1m()
       val t0 = System.nanoTime()
       // a failed probe must NOT record its near-zero wall time as a
       // "fast machine" reading — that silently corrupts the load
@@ -293,6 +351,8 @@ object Bench {
       // JIT/GC/page-cache hiccups (OS cache of the parquet inputs stays
       // warm between runs; per-query state is released each time)
       val times = (1 to runs).flatMap { i =>
+        val load0 = loadAvg1m()
+        val st0 = procStatTicks()
         val t0 = System.nanoTime()
         val c0 = processCpuSec()
         val g0 = gcMillis()
@@ -308,11 +368,15 @@ object Bench {
         val dc = processCpuSec() - c0
         val dg = gcMillis() - g0
         val cc = codeCacheMb()
+        val (busy, iow, steal) = hostPct(st0, procStatTicks())
         if (StorageQueries(name))
           System.err.println(s"[bench] $name ${storageStats(spark)}")
         release()
-        System.err.println(f"[bench] $name run$i $dt%.2f ${jvmStats()}")
-        if (ok) Some((dt, dc, dg, cc)) else None
+        System.err.println(
+          f"[bench] $name run$i $dt%.2f ${jvmStats()} " +
+            f"load=$load0%.2f busy=$busy%.0f%% iowait=$iow%.0f%% " +
+            f"steal=$steal%.0f%%")
+        if (ok) Some((dt, dc, dg, cc, load0, busy, iow, steal)) else None
       }
       // -1 marks a failed query — a regression must not read as a speedup
       val v = if (times.size == runs) times.map(_._1).min else -1.0
@@ -350,7 +414,23 @@ object Bench {
       .map { case (k, _, ts) =>
         s"\"" + k + "\":" + ts.map(t => t._4.toString).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val cal = s"""{"start":${fmt(calStart)},"mid":${fmt(calMid)},"end":${fmt(calEnd)}}"""
+    // per-run HOST telemetry, parallel to `runs` (VERDICT r18 #1): the
+    // 1-minute loadavg sampled before the run plus the whole-host
+    // busy/iowait/steal percentages across it. These attribute a wall
+    // or CPU spike to the MACHINE (neighbor load, storage stalls,
+    // hypervisor preemption) from the JSON alone — the adjudication
+    // the r18 anomaly band needed and the in-JVM counters can't give.
+    def hostMap(get: ((Double, Double, Long, Long, Double, Double, Double, Double)) => Double): String =
+      results.map { case (k, _, ts) =>
+        s"\"" + k + "\":" + ts.map(t => fmt(get(t))).mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
+    val loadJson = hostMap(_._5)
+    val busyJson = hostMap(_._6)
+    val iowaitJson = hostMap(_._7)
+    val stealJson = hostMap(_._8)
+    val cal = s"""{"start":${fmt(calStart)},"mid":${fmt(calMid)},"end":${fmt(calEnd)},""" +
+      calLoads.map { case (k, v) => s"\"${k}_load\":${fmt(v)}" }
+        .mkString("", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // r9 lesson: ONE giant line (queries+runs+cpu+calibration) overflowed
     // the driver's tail capture — BENCH_r09.json came back "parsed":null
@@ -366,6 +446,7 @@ object Bench {
     println(summary)
     println(s"""{"metric":"runs","value":$runsJson}""")
     println(s"""{"metric":"cpu","value":$cpuJson}""")
+    println(s"""{"metric":"host_load","value":$loadJson}""")
     println(s"""{"metric":"calibration","value":$cal}""")
 
     // r10 lesson (third round running): the stdout tail capture
@@ -434,6 +515,10 @@ object Bench {
          |"cpu":$cpuJson,
          |"gc_ms":$gcJson,
          |"codecache_mb":$ccJson,
+         |"host_load1m":$loadJson,
+         |"host_busy_pct":$busyJson,
+         |"host_iowait_pct":$iowaitJson,
+         |"host_steal_pct":$stealJson,
          |"calibration":$cal,
          |"rounds":$bspJson,
          |"jvm_final":"${esc(jvmStats())}"
