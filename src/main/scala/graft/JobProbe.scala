@@ -13,7 +13,11 @@ object JobProbe {
     // optional 3rd arg: comma-separated extra confs k=v (A/B probes)
     val extra = if (args.length > 2)
       args(2).split(',').toSeq.map { kv =>
-        val Array(k, v) = kv.split("=", 2); (k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => (k, v)
+          case _ => sys.error(
+            s"malformed extra-conf token '$kv' (expected key=value)")
+        }
       } else Seq.empty
     val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

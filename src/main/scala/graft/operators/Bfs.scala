@@ -88,6 +88,17 @@ object Bfs {
     * `dist == round` — no separate anti-join/visited bookkeeping, which
     * would cost a second shuffle per round.
     *
+    * Cache lifetime: when the final round lands on a checkpoint
+    * interval the result is a flat handle and every loop-internal
+    * block (including the partitioned edge table) is released before
+    * returning. When it lands on a persist interval the result still
+    * RECOMPUTES through the edge cache on block loss, so those blocks
+    * are deliberately left alive — long-lived callers issuing many
+    * runs should drop them after materializing the result (e.g.
+    * `spark.sparkContext.getPersistentRDDs.values.foreach(
+    * _.unpersist())`, the harness sweep) or size `checkpointInterval`
+    * to divide the graph's eccentricity so the last round checkpoints.
+    *
     * @return DataFrame(id LONG, dist LONG [, path ARRAY<LONG>]) — reached
     *         vertices only; join [[withUnreachable]] for the full set. */
   def run(edges: DataFrame, source: Long, cfg: Config = Config()): DataFrame =

@@ -97,10 +97,11 @@ object RandomWalk {
         $"seed".as("cur"), lit(0).as("step"),
         $"seed".cast("string").as("path"))
       // lazy checkpoint, NOT persist: this frame is released through
-      // releaseCheckpointedFrame after step 1, and that helper frees
-      // every LogicalRDD in the frame's PLAN — a persisted (e-derived)
-      // init state would hand it e's checkpoint blocks mid-query. A
-      // flat checkpoint contains only itself.
+      // releaseCheckpointedFrame after step 1, and that helper (r18
+      // contract) accepts ONLY a flat one-LogicalRDD checkpoint handle
+      // — a persisted (e-derived) init state is a derived frame and
+      // would be REJECTED, not swept. A flat checkpoint contains only
+      // itself, so releasing it can never free e's blocks mid-query.
       .localCheckpoint(false)
 
     GraphOps.withLoopAqeDisabled(spark, keepAqe = false) {

@@ -46,6 +46,12 @@ object Sssp {
     * `w`). For an undirected graph pass symmetrized edges with the
     * same weight in both directions.
     *
+    * Cache lifetime: as [[Bfs.run]] — a final round on a checkpoint
+    * interval releases every loop-internal block; a final round on a
+    * persist interval leaves the edge cache alive (the result would
+    * recompute through it on block loss), for the caller to drop
+    * after materializing (the harness getPersistentRDDs sweep).
+    *
     * @return DataFrame(id LONG, dist LONG) — reached vertices only. */
   def run(edges: DataFrame, source: Long, cfg: Config = Config()): DataFrame = {
     val spark = edges.sparkSession
