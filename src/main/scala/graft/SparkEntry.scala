@@ -282,8 +282,30 @@ object SparkEntry {
     * q_louvain_coarse oracles so both replay ONE phase-1
     * construction. Chained CTEs MATERIALIZED (the q_ktruss inlining
     * lesson — a{r-1} is referenced 4× per sweep). */
-  private def louvainPhase1Sql: String = {
+  /** @param gated parity-gate the sweeps (mirrors
+    *        `moveSteps(partialMoves = true)`): in step r only ids
+    *        with (id + r) even adopt the argmax, everyone else keeps
+    *        their step-(r−1) community — the same CASE the phase-2
+    *        (`b$r`) chain runs */
+  private def louvainPhase1Sql(gated: Boolean = false): String = {
     val steps = (1 to 2).map { r =>
+      val pick =
+        if (gated)
+          s"""a$r AS MATERIALIZED (
+             |  SELECT w.id,
+             |    CASE WHEN (w.id + $r) % 2 = 0 THEN w.comm
+             |         ELSE cur.comm END AS comm
+             |  FROM (SELECT id, comm FROM (
+             |          SELECT id, comm, row_number() OVER (
+             |            PARTITION BY id ORDER BY score DESC, comm ASC) AS rn
+             |          FROM sc$r) WHERE rn = 1) w
+             |  JOIN a${r - 1} cur ON cur.id = w.id)""".stripMargin
+        else
+          s"""a$r AS MATERIALIZED (
+             |  SELECT id, comm FROM (
+             |    SELECT id, comm, row_number() OVER (
+             |      PARTITION BY id ORDER BY score DESC, comm ASC) AS rn
+             |    FROM sc$r) WHERE rn = 1)""".stripMargin
       s"""kin$r AS MATERIALIZED (
          |  SELECT e.src AS id, a.comm, count(*) AS kvc
          |  FROM e JOIN a${r - 1} a ON a.id = e.dst GROUP BY 1, 2),
@@ -306,11 +328,7 @@ object SparkEntry {
          |  JOIN tot$r t ON t.comm = cs.comm
          |  LEFT JOIN kin$r kin
          |    ON kin.id = cs.id AND kin.comm = cs.comm),
-         |a$r AS MATERIALIZED (
-         |  SELECT id, comm FROM (
-         |    SELECT id, comm, row_number() OVER (
-         |      PARTITION BY id ORDER BY score DESC, comm ASC) AS rn
-         |    FROM sc$r) WHERE rn = 1)""".stripMargin
+         |$pick""".stripMargin
     }.mkString(",\n")
     s"""$copurchaseEdgesSql,
        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
@@ -327,53 +345,93 @@ object SparkEntry {
     * the contracted graph. sum(w) replaces count(*); self-loops are
     * excluded from k_vc but feed degrees and Σtot. Shared by the
     * q_louvain_coarse and q_louvain_gain oracles. */
-  private def louvainPhase2Sql: String = {
+  private def louvainPhase2Sql: String =
+    louvainWeightedPhaseSql("w", "b", "e", "count(*)", "a2")
+
+  /** One weighted parity-gated Louvain level, generically named so
+    * levels chain (the q_louvain_multilevel oracle stacks two): the
+    * contraction of `$srcEdges` by `$assign` into `${g}0(src, dst,
+    * w)` (weight = `$wExpr` — count(*) when the source level is the
+    * unweighted simple graph, sum(e.w) for deeper levels), weighted
+    * degrees `${g}deg` / 2m `${g}m`, singleton init `${ap}0`, and 2
+    * unrolled PARITY-GATED weighted sweeps ending `${ap}2(id, comm)`
+    * — the (id + r) parity CASE mirroring
+    * `runSteps(partialMoves = true)`. */
+  private def louvainWeightedPhaseSql(g: String, ap: String,
+                                      srcEdges: String, wExpr: String,
+                                      assign: String): String = {
     val wsteps = (1 to 2).map { r =>
-      s"""wkin$r AS MATERIALIZED (
+      s"""${g}kin$r AS MATERIALIZED (
          |  SELECT e.src AS id, a.comm, CAST(sum(e.w) AS BIGINT) AS kvc
-         |  FROM w0 e JOIN b${r - 1} a ON a.id = e.dst
+         |  FROM ${g}0 e JOIN ${ap}${r - 1} a ON a.id = e.dst
          |  WHERE e.src <> e.dst GROUP BY 1, 2),
-         |wtot$r AS MATERIALIZED (
+         |${g}tot$r AS MATERIALIZED (
          |  SELECT a.comm, CAST(sum(d.k) AS BIGINT) AS tot
-         |  FROM b${r - 1} a JOIN wdeg d ON d.id = a.id GROUP BY 1),
-         |wcset$r AS MATERIALIZED (
+         |  FROM ${ap}${r - 1} a JOIN ${g}deg d ON d.id = a.id GROUP BY 1),
+         |${g}cset$r AS MATERIALIZED (
          |  SELECT DISTINCT id, comm FROM (
-         |    SELECT id, comm FROM wkin$r
-         |    UNION ALL SELECT id, comm FROM b${r - 1})),
-         |wsc$r AS MATERIALIZED (
+         |    SELECT id, comm FROM ${g}kin$r
+         |    UNION ALL SELECT id, comm FROM ${ap}${r - 1})),
+         |${g}sc$r AS MATERIALIZED (
          |  SELECT cs.id, cs.comm,
-         |    (SELECT m2 FROM wm) * coalesce(kin.kvc, 0)
+         |    (SELECT m2 FROM ${g}m) * coalesce(kin.kvc, 0)
          |      - d.k * (t.tot -
          |          CASE WHEN cur.comm = cs.comm THEN d.k ELSE 0 END)
          |      AS score
-         |  FROM wcset$r cs
-         |  JOIN wdeg d ON d.id = cs.id
-         |  JOIN b${r - 1} cur ON cur.id = cs.id
-         |  JOIN wtot$r t ON t.comm = cs.comm
-         |  LEFT JOIN wkin$r kin
+         |  FROM ${g}cset$r cs
+         |  JOIN ${g}deg d ON d.id = cs.id
+         |  JOIN ${ap}${r - 1} cur ON cur.id = cs.id
+         |  JOIN ${g}tot$r t ON t.comm = cs.comm
+         |  LEFT JOIN ${g}kin$r kin
          |    ON kin.id = cs.id AND kin.comm = cs.comm),
-         |b$r AS MATERIALIZED (
+         |${ap}$r AS MATERIALIZED (
          |  SELECT w.id,
          |    CASE WHEN (w.id + $r) % 2 = 0 THEN w.comm
          |         ELSE cur.comm END AS comm
          |  FROM (SELECT id, comm FROM (
          |          SELECT id, comm, row_number() OVER (
          |            PARTITION BY id ORDER BY score DESC, comm ASC) AS rn
-         |          FROM wsc$r) WHERE rn = 1) w
-         |  JOIN b${r - 1} cur ON cur.id = w.id)""".stripMargin
+         |          FROM ${g}sc$r) WHERE rn = 1) w
+         |  JOIN ${ap}${r - 1} cur ON cur.id = w.id)""".stripMargin
     }.mkString(",\n")
-    s"""w0 AS MATERIALIZED (
+    s"""${g}0 AS MATERIALIZED (
        |  SELECT a.comm AS src, b.comm AS dst,
-       |    CAST(count(*) AS BIGINT) AS w
-       |  FROM e JOIN a2 a ON a.id = e.src JOIN a2 b ON b.id = e.dst
+       |    CAST($wExpr AS BIGINT) AS w
+       |  FROM $srcEdges e JOIN $assign a ON a.id = e.src
+       |  JOIN $assign b ON b.id = e.dst
        |  GROUP BY 1, 2),
-       |wdeg AS MATERIALIZED (
+       |${g}deg AS MATERIALIZED (
        |  SELECT src AS id, CAST(sum(w) AS BIGINT) AS k
-       |  FROM w0 GROUP BY 1),
-       |wm AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM w0),
-       |b0 AS MATERIALIZED (SELECT id, id AS comm FROM wdeg),
+       |  FROM ${g}0 GROUP BY 1),
+       |${g}m AS (SELECT CAST(sum(w) AS BIGINT) AS m2 FROM ${g}0),
+       |${ap}0 AS MATERIALIZED (SELECT id, id AS comm FROM ${g}deg),
        |$wsteps""".stripMargin
   }
+
+  /** Weighted Newman-Q CTE triple `${tag}st`/`${tag}t`/`${tag}q`
+    * (mirrors Louvain.qEval): over graph `$edges` (weight term
+    * `$wRef` — `1` for the unweighted simple table, `e.w` for
+    * contracted levels) under `$assign(id, comm)`, d_c = Σ_{src∈c} w
+    * and intra2_c = Σ_{src∈c ∧ dst∈c} w in one pass, then the global
+    * `${tag}q(n, q)` row via the sign-safe truncating micro
+    * division. */
+  private def louvainQSql(tag: String, edges: String, wRef: String,
+                          assign: String): String =
+    s"""${tag}st AS (
+       |  SELECT a.comm AS c, CAST(sum($wRef) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN a.comm = b.comm THEN $wRef ELSE 0 END)
+       |      AS BIGINT) AS i2
+       |  FROM $edges e JOIN $assign a ON a.id = e.src
+       |  JOIN $assign b ON b.id = e.dst GROUP BY 1),
+       |${tag}t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d) AS BIGINT) AS m2, CAST(sum(i2) AS BIGINT) AS si,
+       |    CAST(sum(d * d) AS BIGINT) AS sd2 FROM ${tag}st),
+       |${tag}q AS (
+       |  SELECT n, CASE WHEN (m2 * si - sd2) >= 0
+       |    THEN (m2 * si - sd2) * 1000000 // (m2 * m2)
+       |    ELSE -((-(m2 * si - sd2)) * 1000000 // (m2 * m2))
+       |  END AS q FROM ${tag}t)""".stripMargin
 
   /** Two unrolled LP rounds over `edges` (mirrors
     * LabelPropagation.run(rounds = 2): neighbor-majority with
@@ -2122,22 +2180,43 @@ object SparkEntry {
     // checkpoint); Q collapses to its global (micro, integer-exact)
     // row per level.
     "q_louvain_gain" -> ((s, dir) => {
-      val edges = copurchaseEdges(s, dir)
-      val two = Louvain.twoLevel(edges, steps1 = 2, steps2 = 2)
-      // Q evaluates over the DISTINCT canonical edge table — the graph
-      // Louvain itself optimized (its 2m is the simple-graph count);
-      // the raw copurchase stream carries (order, part) multi-edges
-      val simple = edges.select(col("src"), col("dst")).distinct()
-      Seq(
-        "phase1" -> two.select(col("id"), col("comm1").as("label")),
-        "two_level" -> two.select(col("id"), col("comm2").as("label")))
-        .map { case (level, al) =>
-          LabelPropagation.modularity(simple, al)
-            .agg(count(lit(1)).as("n_communities"),
-              min(col("q_micro")).as("q_micro"))
-            .select(lit(level).as("level"), col("n_communities"),
-              col("q_micro"))
-        }.reduce(_ unionByName _).orderBy("level")
+      // r19 (VERDICT r18 #4): the fused twoLevelGain — ONE staged
+      // canonical edge table shared by phase 1, the contraction and
+      // the phase-1 eval, and the two-level Q evaluated on the
+      // CONTRACTED graph (bit-equal to the flattened |E| pass the
+      // standalone composition paid twice). Q still evaluates over
+      // the DISTINCT canonical edge table — the graph Louvain itself
+      // optimized; the raw copurchase stream carries (order, part)
+      // multi-edges. Same oracle, same hashes, ~half the passes.
+      Louvain.twoLevelGain(copurchaseEdges(s, dir), steps1 = 2,
+        steps2 = 2).orderBy("level")
+    }),
+
+    // The RECOMMENDED public move-step face (r19, VERDICT r18 #3):
+    // the same synchronous integer-exact sweep with the parity gate
+    // ON — in step r only (id + r)-even vertices move, so movers
+    // target stationary communities and merges are real (the ungated
+    // q_louvain_move primitive swap-oscillates BELOW the singleton
+    // baseline; scaladoc caveat at Louvain.moveSteps). Oracle: the
+    // shared phase-1 recurrence with the same parity CASE the
+    // phase-2 chain replays.
+    "q_louvain_move_gated" -> ((s, dir) => {
+      Louvain.moveSteps(copurchaseEdges(s, dir), steps = 2,
+        partialMoves = true).orderBy("id")
+    }),
+
+    // Convergence-driven multi-level Louvain (r19, VERDICT r18 #5 —
+    // Blondel 2008's real alternation): move-steps → Q-eval →
+    // coarsen, looping while each level's modularity gain clears the
+    // threshold and the contraction still shrinks, bounded at 3
+    // levels so the oracle unrolls. Output = the per-level ascent
+    // trajectory (community count + integer-exact micro Q per level
+    // RUN) — the stopping rule's own inputs, hash-gated; the oracle
+    // replays the emission conditions as WHERE clauses over the
+    // unrolled level CTEs.
+    "q_louvain_multilevel" -> ((s, dir) => {
+      Louvain.untilConverged(copurchaseEdges(s, dir), stepsPerLevel = 2,
+        maxLevels = 3, minGainMicro = 1000L).orderBy("level")
     }),
 
     // Modularity of the 2-round LP communities — the community-
@@ -2386,6 +2465,17 @@ object SparkEntry {
     // greedy merge over the word-frequency vocabulary (corpus scanned
     // once; each round costs |vocab|). The oracle replays the whole
     // loop with a generated 8-stage CTE chain.
+    // Batched BPE learning (r19, VERDICT r18 #6): up to 8 mutually
+    // non-interacting merges per pass (greedy in count order over the
+    // top-64 candidates), 4 passes → 32 merges in 4 driver round
+    // trips — the pass-bounded loop shape a 32k-merge production
+    // tokenizer needs; the one-merge q_bpe_learn face keeps the
+    // classic recurrence contract.
+    "q_bpe_learn_batched" -> ((s, dir) => {
+      Indexing.bpeLearnBatched(t(s, dir, "documents"), "text",
+        passes = 4, batchK = 8, window = 64).orderBy("rank")
+    }),
+
     "q_bpe_learn" -> ((s, dir) => {
       Indexing.bpeLearn(t(s, dir, "documents"), "text", numMerges = 8)
         .orderBy("rank")
@@ -3094,6 +3184,83 @@ object SparkEntry {
            |  FROM v${i - 1}, b$i b)""".stripMargin
     }
     s"WITH $base,\n${rounds.mkString(",\n")}"
+  }
+
+  /** Generated oracle for [[graft.operators.Indexing.bpeLearnBatched]]:
+    * `passes` unrolled stages; per stage the pair counts, the
+    * top-`window` ranked candidates, a RECURSIVE greedy selection
+    * walk (rank order, accept while < `k` picked and {l, r, l||r}
+    * shares no symbol with the accepted set — DuckDB replays the
+    * driver's sequential fold as a recursive CTE with list
+    * accumulators), and `k` LEFT-JOIN-guarded vocabulary rewrites
+    * (an empty pick passes the vocabulary through), applied in pick
+    * order exactly as the engine's one native fold sweep. */
+  private def bpeBatchOracleSql(passes: Int, k: Int, window: Int): String = {
+    val base =
+      s"""bw AS (SELECT token AS word, count(*) AS freq FROM (
+         |    SELECT unnest($toksSql) AS token FROM documents)
+         |  WHERE len(token) >= 2 GROUP BY token),
+         |bv0 AS MATERIALIZED (
+         |  SELECT word, string_split(word, '') AS syms, freq FROM bw)"""
+        .stripMargin
+    val passSql = (1 to passes).map { p =>
+      val prev = s"bv${p - 1}"
+      val pick = s"len(r.picked) < $k AND NOT list_has_any(r.used, " +
+        s"[c.l, c.r, c.l || c.r])"
+      val rewrites = (1 to k).map { j =>
+        val src = if (j == 1) prev else s"bv${p}_${j - 1}"
+        s"""bsel${p}_$j AS (SELECT l, r FROM sel$p WHERE j = $j),
+           |bv${p}_$j AS (
+           |  SELECT word,
+           |    CASE WHEN b.l IS NULL THEN syms
+           |         ELSE list_reduce([CAST([] AS VARCHAR[])] ||
+           |             list_transform(syms, x -> [x]),
+           |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l
+           |                             AND x[1] = b.r
+           |                            THEN acc[:-2] || [b.l || b.r]
+           |                            ELSE acc || x END)
+           |    END AS syms, freq
+           |  FROM $src LEFT JOIN bsel${p}_$j b ON true)""".stripMargin
+      }.mkString(",\n")
+      s"""pc$p AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      j -> {'l': syms[j], 'r': syms[j+1]})) AS p FROM $prev)
+         |  GROUP BY p.l, p.r),
+         |cand$p AS MATERIALIZED (
+         |  SELECT l, r, n, rn FROM (
+         |    SELECT l, r, n,
+         |      row_number() OVER (ORDER BY n DESC, l, r) AS rn
+         |    FROM pc$p) WHERE rn <= $window),
+         |rec$p AS (
+         |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS VARCHAR[]) AS used,
+         |         CAST([] AS BIGINT[]) AS picked
+         |  UNION ALL
+         |  SELECT c.rn,
+         |    CASE WHEN $pick
+         |         THEN r.used || [c.l, c.r, c.l || c.r] ELSE r.used END,
+         |    CASE WHEN $pick
+         |         THEN r.picked || [c.rn] ELSE r.picked END
+         |  FROM rec$p r JOIN cand$p c ON c.rn = r.rn + 1),
+         |sel$p AS MATERIALIZED (
+         |  SELECT c.l, c.r, c.n, row_number() OVER (ORDER BY c.rn) AS j
+         |  FROM cand$p c
+         |  WHERE c.rn IN (SELECT unnest(picked) FROM (
+         |    SELECT picked FROM rec$p ORDER BY rn DESC LIMIT 1))),
+         |$rewrites,
+         |bv$p AS MATERIALIZED (SELECT * FROM bv${p}_$k)""".stripMargin
+    }.mkString(",\n")
+    val sels = (1 to passes)
+      .map(p => s"SELECT $p AS pass, j, l, r, n FROM sel$p")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $base,
+       |$passSql,
+       |allsel AS ($sels)
+       |SELECT CAST(row_number() OVER (ORDER BY pass, j) AS INTEGER)
+       |    AS rank,
+       |  CAST(pass AS INTEGER) AS pass, l AS "left", r AS "right",
+       |  l || r AS merged, n
+       |FROM allsel ORDER BY rank""".stripMargin
   }
 
   private def bpeLearnOracleSql(n: Int): String = {
@@ -5334,7 +5501,7 @@ object SparkEntry {
     // comm ASC). Chained CTEs MATERIALIZED (the q_ktruss inlining
     // lesson — a{r-1} is referenced 4× per sweep).
     "q_louvain_move" ->
-      s"""WITH $louvainPhase1Sql
+      s"""WITH ${louvainPhase1Sql()}
          |SELECT id, comm FROM a2 ORDER BY id""".stripMargin,
 
     // two-level Louvain: the shared phase-1 chain, the contraction
@@ -5343,7 +5510,7 @@ object SparkEntry {
     // then the SAME move recurrence with sum(w) in place of count(*)
     // and self-loops excluded from k_vc but present in degrees/Σtot
     "q_louvain_coarse" ->
-      s"""WITH $louvainPhase1Sql,
+      s"""WITH ${louvainPhase1Sql()},
          |$louvainPhase2Sql
          |SELECT a.id, a.comm AS comm1, b.comm AS comm2
          |FROM a2 a JOIN b2 b ON b.id = a.comm ORDER BY a.id""".stripMargin,
@@ -5373,7 +5540,7 @@ object SparkEntry {
            |          ELSE -((-(m2 * si - sd2)) * 1000000 // (m2 * m2))
            |        END AS q_micro
            |      FROM t_$al)""".stripMargin
-      s"""WITH $louvainPhase1Sql,
+      s"""WITH ${louvainPhase1Sql()},
          |$louvainPhase2Sql,
          |al1 AS (SELECT id, comm AS label FROM a2),
          |al2 AS (SELECT a.id, b.comm AS label
@@ -5384,6 +5551,41 @@ object SparkEntry {
          |FROM (SELECT * FROM g_al1 UNION ALL SELECT * FROM g_al2)
          |ORDER BY level""".stripMargin
     },
+
+    // the parity-gated flat sweep (the RECOMMENDED move-step face):
+    // the shared phase-1 recurrence with the (id + r) % 2 CASE the
+    // phase-2 chain replays — non-movers keep their step-(r-1)
+    // community
+    "q_louvain_move_gated" ->
+      s"""WITH ${louvainPhase1Sql(gated = true)}
+         |SELECT id, comm FROM a2 ORDER BY id""".stripMargin,
+
+    // convergence-driven multi-level Louvain: 3 unrolled levels
+    // (ungated phase 1, then two parity-gated weighted contracted
+    // phases via the generic level generator), a weighted Newman-Q
+    // triple per level, and the engine's emission rule as WHERE
+    // clauses — level 1 requires the level-0 contraction to shrink
+    // (n0 < |V|), level 2 additionally requires the level-1 gain to
+    // clear the 1000-micro threshold and n1 < n0 (maxLevels = 3 cuts
+    // deeper levels on both sides)
+    "q_louvain_multilevel" ->
+      s"""WITH ${louvainPhase1Sql()},
+         |$louvainPhase2Sql,
+         |${louvainWeightedPhaseSql("x", "c", "w0", "sum(e.w)", "b2")},
+         |nv0 AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM deg),
+         |${louvainQSql("q0", "e", "1", "a2")},
+         |${louvainQSql("q1", "w0", "e.w", "b2")},
+         |${louvainQSql("q2", "x0", "e.w", "c2")}
+         |SELECT 0 AS level, n AS n_communities, q AS q_micro FROM q0q
+         |UNION ALL
+         |SELECT 1, n, q FROM q1q
+         |WHERE (SELECT n FROM q0q) < (SELECT nv FROM nv0)
+         |UNION ALL
+         |SELECT 2, n, q FROM q2q
+         |WHERE (SELECT n FROM q0q) < (SELECT nv FROM nv0)
+         |  AND (SELECT q FROM q1q) - (SELECT q FROM q0q) >= 1000
+         |  AND (SELECT n FROM q1q) < (SELECT n FROM q0q)
+         |ORDER BY level""".stripMargin,
 
     // mirrors LabelPropagation.modularity over the SAME unrolled LP
     // CTEs (shared lpTwoRoundsSql — the engine and both oracles
@@ -6292,6 +6494,11 @@ object SparkEntry {
     // vocabulary, argmax (ties lexicographic), greedy left-to-right
     // merge via list_reduce
     "q_bpe_learn" -> bpeLearnOracleSql(8),
+
+    // batched BPE: 4 unrolled passes, recursive greedy selection of
+    // <= 8 non-interacting merges over the top-64 candidates per
+    // pass, LEFT-JOIN-guarded chained rewrites (see bpeBatchOracleSql)
+    "q_bpe_learn_batched" -> bpeBatchOracleSql(4, 8, 64),
 
     // replays learn-then-encode end-to-end: the 8-round chain with
     // the final rewrite applied, then the corpus-wide token rollup

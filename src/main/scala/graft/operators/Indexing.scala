@@ -339,9 +339,15 @@ object Indexing {
     for (r <- 1 to numMerges if !done) {
       val best = vocab
         .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(element_at(syms, i) AS l, " +
-            "element_at(syms, i + 1) AS r))")).as("p"))
+          // slice-based pair walk: a word that fully merges to ONE
+          // symbol must yield an EMPTY pair list — sequence(1, 0)
+          // DESCENDS in Spark ([1, 0]) and element_at(syms, 2) then
+          // throws on the 1-element array (hit by batched merges;
+          // slice(_, 1, 0) is empty, and values are identical for
+          // every >= 2-symbol word)
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(x, i) -> struct(x AS l, " +
+            "element_at(syms, i + 2) AS r))")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
@@ -363,6 +369,93 @@ object Indexing {
     vocab.unpersist(false)
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "merged", "n")
+  }
+
+  /** Batched BPE merge learning (r19, VERDICT r18 #6): [[bpeLearn]]'s
+    * one-merge-per-pass driver loop bounds a real tokenizer — 32k
+    * merges would be 32k driver round trips and 32k checkpoints. The
+    * standard remedy: per pass, collect the top-`window` pairs ONCE
+    * and greedily select up to `batchK` MUTUALLY NON-INTERACTING
+    * merges (in count order, each accepted only if {left, right,
+    * merged} shares no symbol with any already-accepted pick's set —
+    * disjoint pairs' occurrences don't change under each other's
+    * application, and excluding the merged string blocks the one
+    * cross-effect a fresh symbol could have), then apply them in one
+    * native fold sweep. Vocabulary size per driver round trip scales
+    * by the per-pass yield; the gated face learns 32 merges in 4
+    * passes instead of 32.
+    *
+    * Shape at 100 TB: the corpus is scanned once into the word
+    * vocabulary; each pass is one pair-count exchange + one
+    * `window`-row TakeOrdered collect + one per-row fold — passes,
+    * not merges, bound the driver-loop count, which is exactly the
+    * property a 32k-merge production run needs.
+    *
+    * The one-merge [[bpeLearn]] keeps its face: at `batchK = 1,
+    * window = 1` this reduces to it exactly (spec-pinned).
+    *
+    * @return merge table (rank INT — global, dense; pass INT; left,
+    *         right, merged; n — the PRE-pass pair count) */
+  def bpeLearnBatched(df: DataFrame, textCol: String, passes: Int,
+                      batchK: Int, window: Int = 64): DataFrame = {
+    require(passes > 0, s"passes must be positive, got $passes")
+    require(batchK > 0, s"batchK must be positive, got $batchK")
+    require(window >= batchK,
+      s"window ($window) must be >= batchK ($batchK)")
+    val spark = df.sparkSession
+    var vocab = df.select(
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(expr("transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1))").as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, String, String, Long)]
+    var rank = 0
+    for (p <- 1 to passes) {
+      val cands = vocab
+        .select(col("freq"), explode(expr(
+          // slice-based pair walk: a word that fully merges to ONE
+          // symbol must yield an EMPTY pair list — sequence(1, 0)
+          // DESCENDS in Spark ([1, 0]) and element_at(syms, 2) then
+          // throws on the 1-element array (hit by batched merges;
+          // slice(_, 1, 0) is empty, and values are identical for
+          // every >= 2-symbol word)
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(x, i) -> struct(x AS l, " +
+            "element_at(syms, i + 2) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(window).collect()
+      var used = Set.empty[String]
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      for (row <- cands if picked.size < batchK) {
+        val (l, r) = (row.getString(0), row.getString(1))
+        val syms = Set(l, r, l + r)
+        if (syms.intersect(used).isEmpty) {
+          picked += ((l, r, row.getLong(2)))
+          used ++= syms
+        }
+      }
+      if (picked.nonEmpty) {
+        picked.foreach { case (l, r, n) =>
+          rank += 1
+          merges += ((rank, p, l, r, l + r, n))
+        }
+        val prev = vocab
+        vocab = vocab.withColumn("syms",
+            graft.functions.BpeApplyExpr.bpe_apply(col("syms"),
+              picked.toSeq.map { case (l, r, _) => (l, r, l + r) }))
+          .localCheckpoint(true)
+        prev.unpersist(false)
+      }
+    }
+    vocab.unpersist(false)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "pass", "left", "right", "merged", "n")
   }
 
   /** BPE encoding with a LEARNED merge table — the serving-time

@@ -54,18 +54,24 @@ object Louvain {
     * without coalescing — the KCore shrinking-frame doctrine applies
     * even though the frames here are steady-sized, because they are
     * SMALL relative to shuffle.partitions). */
-  /** CAVEAT (r18, measured): the UNGATED synchronous sweep is the
-    * published BSP primitive, but its simultaneous moves swap-oscillate
-    * — on the copurchase graph it lands BELOW the singleton baseline
-    * (Q −1497 → −4807 micro after 2 steps). For community QUALITY use
-    * [[twoLevel]], whose parity-gated contracted phase measurably
-    * ascends (−4807 → +266015); this primitive face exists for the
-    * synchronous-recurrence contract the oracle replays. */
+  /** CAVEAT (r18, measured): the UNGATED (`partialMoves = false`)
+    * synchronous sweep is the published BSP primitive, but its
+    * simultaneous moves swap-oscillate — on the copurchase graph it
+    * lands BELOW the singleton baseline (Q −1497 → −4807 micro after
+    * 2 steps). That default exists for the synchronous-recurrence
+    * contract the q_louvain_move oracle replays. For community
+    * QUALITY pass `partialMoves = true` (r19, the recommended public
+    * face): in step r only vertices with (id + r) even may leave
+    * their community, so movers target STATIONARY communities and
+    * merges are real — the same parity gate [[twoLevel]]'s contracted
+    * phase runs (measured there: −4807 → +266015 micro), here exposed
+    * as a first-class flat-sweep primitive. */
   def moveSteps(edges: DataFrame, steps: Int,
+                partialMoves: Boolean = false,
                 keepAqe: Boolean = true): DataFrame = {
     require(steps > 0, s"steps must be positive, got $steps")
     GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
-      runSteps(simpleWeighted(edges), steps)
+      runSteps(simpleWeighted(edges), steps, partialMoves)
     }
   }
 
@@ -97,15 +103,20 @@ object Louvain {
     require(steps1 > 0 && steps2 > 0,
       s"steps must be positive, got ($steps1, $steps2)")
     GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
-      val simple = simpleWeighted(edges)
-      val a1 = runSteps(simple, steps1)
-      val a2 = runSteps(coarsen(simple, a1), steps2,
+      // ONE staged canonical edge table feeds phase 1 AND the
+      // contraction (r19: coarsen used to recompute the distinct
+      // exchange from the raw plan); vertex/community counts thread
+      // out of the sweeps, so no gate decision pays its own count()
+      // job (r18 ADVICE)
+      val simple = stageCanonical(edges)
+      val (a1, nV) = runStepsCounted(simple, steps1, preStaged = true)
+      val (a2, nC) = runStepsCounted(coarsen(simple, a1, nV), steps2,
         partialMoves = true)
       // the phase-2 map is |communities|-sized — gate like every other
       // |V|-frame join (broadcast under the Bfs ceiling, else
       // shuffle-hash)
       val a2r =
-        if (a2.count() <= 4000000L)
+        if (nC <= 4000000L)
           broadcast(a2.select(col("id").as("comm1"),
             col("comm").as("comm2")))
         else a2.select(col("id").as("comm1"), col("comm").as("comm2"))
@@ -116,8 +127,186 @@ object Louvain {
         .localCheckpoint(true)
       GraphOps.releaseCheckpointedFrame(a1)
       GraphOps.releaseCheckpointedFrame(a2)
+      GraphOps.releaseCheckpointedFrame(simple)
       out
     }
+  }
+
+  /** [[twoLevel]] plus its own evaluation, fused (r19, VERDICT r18
+    * #4): per level the Newman Q (micro, integer-exact) and community
+    * count of the assignment — the q_louvain_gain face's row pair —
+    * WITHOUT the two flattened |E| modularity passes the standalone
+    * composition paid. The phase-1 row evaluates over the staged
+    * canonical table with `a1` directly (one |E| pass); the two-level
+    * row evaluates over the CONTRACTED graph with `a2`, which is
+    * bit-identical to evaluating the flattened assignment over the
+    * full graph — contraction preserves 2m, every intra-community
+    * weight lands on a diagonal cell, and per-community degree mass
+    * is the member sum, so m2/Σintra/Σd² (hence the truncating micro
+    * division) are EQUAL, at |E_contracted| ≪ |E| cost. The staged
+    * table itself is shared by phase 1, the contraction and the
+    * phase-1 eval (the standalone shape recomputed its distinct
+    * exchange four times).
+    *
+    * @return 2 rows: (level STRING ∈ {phase1, two_level},
+    *         n_communities LONG, q_micro LONG) */
+  def twoLevelGain(edges: DataFrame, steps1: Int, steps2: Int,
+                   keepAqe: Boolean = true): DataFrame = {
+    require(steps1 > 0 && steps2 > 0,
+      s"steps must be positive, got ($steps1, $steps2)")
+    val spark = edges.sparkSession
+    GraphOps.withLoopAqeDisabled(spark, keepAqe) {
+      val simple = stageCanonical(edges)
+      val (a1, nV) = runStepsCounted(simple, steps1, preStaged = true)
+      val g1 = coarsen(simple, a1, nV).localCheckpoint(true)
+      GraphOps.releaseCheckpointedFrame(simple)
+      GraphOps.releaseCheckpointedFrame(a1)
+      // phase-1 Q reads off the CONTRACTED graph's identity
+      // assignment (d_c = super-vertex degree, intra2_c = its
+      // self-loop mass) — one |E_contracted| pass instead of a full
+      // |E| assignment-join pass; bit-equal by the contraction
+      // invariants (2m preserved, intra mass on the diagonal)
+      val (n0, q0) = qEvalIdentity(g1)
+      val (a2, _) = runStepsCounted(g1, steps2, partialMoves = true)
+      val (n1, q1) = qEval(g1, a2, n0 <= 4000000L)
+      GraphOps.releaseCheckpointedFrame(a2)
+      GraphOps.releaseCheckpointedFrame(g1)
+      import spark.implicits._
+      Seq(("phase1", n0, q0), ("two_level", n1, q1))
+        .toDF("level", "n_communities", "q_micro")
+    }
+  }
+
+  /** Convergence-driven multi-level Louvain (r19, VERDICT r18 #5 —
+    * Blondel 2008 §2's REAL alternation): move-steps → evaluate Q →
+    * coarsen, looping while each level's modularity gain clears
+    * `minGainMicro`, the contraction still shrinks the graph
+    * (n_communities < |V_level|), and `maxLevels` is not exhausted.
+    * Level 0 runs the ungated sweep from the |V|-singleton init (the
+    * established phase-1 dynamics); every deeper level runs
+    * parity-gated (the ungated sweep swap-oscillates from a
+    * contracted singleton init — measured r18). Q per level is
+    * evaluated on that level's OWN graph, which equals the flattened
+    * assignment's Q over the original graph (see [[twoLevelGain]]),
+    * so the trajectory is the honest ascent record and the stopping
+    * rule reads exactly the quantity it bounds.
+    *
+    * Scale shape: each level's graph is the previous level's
+    * community-contracted quotient — the |E| work collapses
+    * geometrically after level 0, which is why real Louvain
+    * alternates instead of running more flat sweeps. Per-level state
+    * is flat-checkpointed and contract-released; the returned
+    * trajectory is `maxLevels`-bounded driver rows.
+    *
+    * @return one row per level RUN: (level INT, n_communities LONG,
+    *         q_micro LONG), ordered by level */
+  def untilConverged(edges: DataFrame, stepsPerLevel: Int = 2,
+                     maxLevels: Int = 3, minGainMicro: Long = 1000L,
+                     keepAqe: Boolean = true): DataFrame = {
+    require(stepsPerLevel > 0, s"stepsPerLevel must be positive")
+    require(maxLevels > 0, s"maxLevels must be positive")
+    val spark = edges.sparkSession
+    GraphOps.withLoopAqeDisabled(spark, keepAqe) {
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Long)]
+      var g = stageCanonical(edges)
+      var preStaged = true
+      var prevQ = Option.empty[Long]
+      var level = 0
+      var continue = true
+      while (continue && level < maxLevels) {
+        val (a, nV) = runStepsCounted(g, stepsPerLevel,
+          partialMoves = level > 0, preStaged = preStaged)
+        // the level's Q reads off its CONTRACTED quotient's identity
+        // assignment (see twoLevelGain) — the contraction is the
+        // next level's input anyway, so the eval is one
+        // |E_contracted| pass and no assignment-join pass exists
+        val gNext = coarsen(g, a, nV).localCheckpoint(true)
+        GraphOps.releaseCheckpointedFrame(a)
+        GraphOps.releaseCheckpointedFrame(g)
+        val (nComm, q) = qEvalIdentity(gNext)
+        rows += ((level, nComm, q))
+        System.err.println(
+          s"[louvain] level $level communities=$nComm q_micro=$q")
+        // stop when the level's gain falls under the threshold (the
+        // q-gain rule), when contraction stops shrinking (the quotient
+        // would be the same graph), or at the level budget
+        continue = prevQ.forall(p => q - p >= minGainMicro) &&
+          nComm < nV && level + 1 < maxLevels
+        prevQ = Some(q)
+        g = gNext
+        preStaged = false
+        level += 1
+      }
+      GraphOps.releaseCheckpointedFrame(g)
+      import spark.implicits._
+      rows.toSeq.toDF("level", "n_communities", "q_micro")
+    }
+  }
+
+  /** Canonical staged edge table: simple-graph rows with unit weight,
+    * src-partitioned and lazily flat-checkpointed — the shape every
+    * loop, contraction and eval in this object can share without
+    * recomputing the distinct exchange. Caller releases. */
+  private def stageCanonical(edges: DataFrame): DataFrame =
+    simpleWeighted(edges).repartition(col("src")).localCheckpoint(false)
+
+  /** Newman Q (micro, integer-exact — the q_modularity formula
+    * collapsed to its global row) plus community count of `assign`
+    * over the weighted graph `g` (`src`, `dst`, `w`; symmetric,
+    * self-loop rows carry their full mass): d_c = Σ_{src∈c} w,
+    * intra2_c = Σ_{src∈c ∧ dst∈c} w, Q·(2m)² = m2·Σintra2 − Σd² —
+    * one |E_g| pass with both assignment joins gated, one 1-row
+    * collect. Same truncating sign-safe micro division (and the same
+    * overflow guard) as [[LabelPropagation.modularity]]. */
+  private def qEval(g: DataFrame, assign: DataFrame,
+                    small: Boolean): (Long, Long) = {
+    def gate(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
+    val st = g
+      .join(gate(assign.select(col("id").as("src"),
+        col("comm").as("cs"))), "src")
+      .join(gate(assign.select(col("id").as("dst"),
+        col("comm").as("cd"))), "dst")
+      .groupBy(col("cs"))
+      .agg(sum(col("w")).as("d"),
+        sum(when(col("cs") === col("cd"), col("w")).otherwise(lit(0L)))
+          .as("i2"))
+    qGlobal(st)
+  }
+
+  /** [[qEval]] for the IDENTITY assignment over a contracted graph
+    * (every super-vertex its own community): by the [[coarsen]]
+    * invariants d_c is the super-vertex's weighted degree and
+    * intra2_c its self-loop mass, so the per-community pass is one
+    * groupBy on the contracted edge table — no assignment join at
+    * all. Bit-equal to evaluating the flattened source assignment
+    * over the source graph. */
+  private def qEvalIdentity(g: DataFrame): (Long, Long) =
+    qGlobal(g.groupBy(col("src").as("cs"))
+      .agg(sum(col("w")).as("d"),
+        sum(when(col("src") === col("dst"), col("w")).otherwise(lit(0L)))
+          .as("i2")))
+
+  /** Global Q row over a per-community (d, i2) table — the shared
+    * tail of [[qEval]]/[[qEvalIdentity]]. */
+  private def qGlobal(st: DataFrame): (Long, Long) = {
+    val row = st
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("m2"),
+        sum(col("i2")).as("si"), expr("sum(d * d)").as("sd2"))
+      .select(col("n"), expr(
+        "CASE WHEN (m2 * si - sd2) >= 0 " +
+          "THEN (m2 * si - sd2) * 1000000 div (m2 * m2) " +
+          "ELSE -((-(m2 * si - sd2)) * 1000000 div (m2 * m2)) END + " +
+          // same headroom guard as LabelPropagation.modularity: the
+          // micro numerator and m2² wrap silently past 2^63
+          s"ifnull(cast(assert_true(" +
+          s"abs(m2 * si - sd2) <= ${Long.MaxValue / 1000000L} AND " +
+          s"m2 <= ${Long.MaxValue} div m2, " +
+          "concat('louvain q_micro overflow: m2=', m2)) as int), 0)")
+        .as("q"))
+      .head()
+    (row.getLong(0), row.getLong(1))
   }
 
   /** Canonical weighted form of a simple symmetric edge table: drop
@@ -137,9 +326,14 @@ object Louvain {
     * weighted gain needs (k_c = Σ k of members; 2m preserved).
     * Inter-community rows stay symmetric. Two gated |V|-frame joins +
     * ONE exchange on the community-pair key. */
-  private[graft] def coarsen(wEdges: DataFrame,
-                             assign: DataFrame): DataFrame = {
-    val small = assign.count() <= 4000000L
+  /** @param assignRows `assign`'s row count when the caller already
+    *        knows it (threaded out of [[runStepsCounted]] — r18
+    *        ADVICE: the gate decision should not pay its own count
+    *        job); -1 falls back to counting */
+  private[graft] def coarsen(wEdges: DataFrame, assign: DataFrame,
+                             assignRows: Long = -1L): DataFrame = {
+    val small =
+      (if (assignRows >= 0L) assignRows else assign.count()) <= 4000000L
     def gate(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df.hint("shuffle_hash")
     wEdges
@@ -171,7 +365,19 @@ object Louvain {
     *        its face/oracle pair predates this and its dynamics from
     *        the |V|-singleton init measurably ascend. */
   private def runSteps(wEdges: DataFrame, steps: Int,
-                       partialMoves: Boolean = false): DataFrame = {
+                       partialMoves: Boolean = false): DataFrame =
+    runStepsCounted(wEdges, steps, partialMoves)._1
+
+  /** [[runSteps]], also returning the vertex count of the input graph
+    * (= the returned state's row count) so callers reuse it for gate
+    * decisions instead of paying another count job (r18 ADVICE).
+    * @param preStaged the input already IS the staged canonical shape
+    *        ([[stageCanonical]]: src-partitioned flat checkpoint with
+    *        `w`) — skip re-staging AND leave its release to the
+    *        caller, who is sharing it across consumers */
+  private def runStepsCounted(wEdges: DataFrame, steps: Int,
+                              partialMoves: Boolean = false,
+                              preStaged: Boolean = false): (DataFrame, Long) = {
     val spark = wEdges.sparkSession
     import spark.implicits._
     // Canonical weighted edge table, src-partitioned for the per-step
@@ -181,9 +387,11 @@ object Louvain {
     // the 1.2M-row table and ~2x on every per-step read; checkpoint
     // row blocks: 17 — measured at sf0.1, JobProbe). Checkpoint blocks
     // are raw InternalRows: no codec on either side of the loop.
-    val e = wEdges.select($"src", $"dst", $"w")
-      .repartition($"src")
-      .localCheckpoint(false)
+    val e =
+      if (preStaged) wEdges
+      else wEdges.select($"src", $"dst", $"w")
+        .repartition($"src")
+        .localCheckpoint(false)
     // one materialization supplies 2m AND warms the cache the per-step
     // joins reuse; 2m = total weight INCLUDING self-loops (a
     // super-vertex's internal mass is part of its degree)
@@ -218,8 +426,10 @@ object Louvain {
         .select(col("e.dst").as("id"), col("a.comm"), col("e.w"))
         .groupBy($"id", $"comm").agg(sum($"w").as("kvc"))
       // Σtot_c: community degree mass under the CURRENT assignment —
-      // ≤ |V| rows, rides the gated joins below
-      val tot = state.join(deg, "id")
+      // ≤ |V| rows, rides the gated joins below. deg is gated here
+      // too (r19): the ungated |V|⋈|V| form sort-merged with an
+      // exchange pair per step
+      val tot = state.join(gated(deg), "id")
         .groupBy($"comm").agg(sum($"k").as("tot"))
       val cur = state.select($"id", $"comm".as("cur"))
       // neighbor-community candidates: score rides kin MAP-SIDE (three
@@ -264,10 +474,10 @@ object Louvain {
       GraphOps.releaseCheckpointedFrame(state)
       state = newState
     }
-    GraphOps.releaseCheckpointedFrame(e)
+    if (!preStaged) GraphOps.releaseCheckpointedFrame(e)
     // deg is loop-resident too — the returned state is a flat
     // checkpoint, so nothing recomputes through deg (r17 ADVICE leak)
     GraphOps.releaseCheckpointedFrame(deg)
-    state
+    (state, nV)
   }
 }

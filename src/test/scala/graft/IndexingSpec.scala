@@ -166,6 +166,40 @@ class IndexingSpec extends AnyFunSuite with SparkTestBase {
   }
 
 
+  test("bpeLearnBatched at batchK=1, window=1 reduces exactly to " +
+       "bpeLearn's one-merge-per-pass sequence") {
+    val docs = Seq((1L, "low low low lower"),
+      (2L, "lower newest newest"), (3L, "newest newest")).toDF("doc_id", "text")
+    val classic = Indexing.bpeLearn(docs, "text", 6)
+      .as[(Int, String, String, String, Long)].collect().toVector
+    val batched = Indexing.bpeLearnBatched(docs, "text", passes = 6,
+        batchK = 1, window = 1)
+      .as[(Int, Int, String, String, String, Long)].collect().toVector
+    assert(batched.map(t => (t._1, t._3, t._4, t._5, t._6)) == classic)
+    // one merge per pass -> pass equals rank
+    assert(batched.forall(t => t._1 == t._2))
+  }
+
+  test("bpeLearnBatched: within a pass no two merges interact " +
+       "(disjoint {left, right, merged} sets), ranks dense, pass " +
+       "yield bounded by batchK") {
+    val docs = Seq((1L, "low low low lower lower"),
+      (2L, "newest newest newest widest widest")).toDF("doc_id", "text")
+    val out = Indexing.bpeLearnBatched(docs, "text", passes = 3,
+        batchK = 4, window = 32)
+      .as[(Int, Int, String, String, String, Long)].collect().toVector
+    assert(out.map(_._1) == (1 to out.size).toVector, s"ranks: $out")
+    out.groupBy(_._2).foreach { case (p, ms) =>
+      assert(ms.size <= 4, s"pass $p over batchK: $ms")
+      val sets = ms.map(m => Set(m._3, m._4, m._5))
+      for (i <- sets.indices; j <- 0 until i)
+        assert(sets(i).intersect(sets(j)).isEmpty,
+          s"pass $p merges interact: ${ms(j)} vs ${ms(i)}")
+    }
+    // batching actually batches: fewer passes than merges
+    assert(out.map(_._2).distinct.size < out.size)
+  }
+
   test("bpeEncode applies learned merges greedily; counts the encoded " +
        "distribution") {
     val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")

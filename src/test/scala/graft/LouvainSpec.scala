@@ -38,6 +38,90 @@ class LouvainSpec extends AnyFunSuite with SparkTestBase {
     comm
   }
 
+  /** Serial model of the PARITY-GATED sweep: argmax as [[serialMove]],
+    * but in step r only (id + r)-even vertices adopt it. */
+  private def serialMoveGated(edges: Seq[(Long, Long)],
+                              steps: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(p => p._1 != p._2).distinct
+    val twoM = sym.size.toLong
+    val deg = sym.groupBy(_._1).map { case (v, xs) => (v, xs.size.toLong) }
+    var comm: Map[Long, Long] = deg.keys.map(v => (v, v)).toMap
+    for (r <- 1 to steps) {
+      val cur = comm
+      comm = deg.keys.map { v =>
+        val kvc = sym.collect { case (`v`, u) => cur(u) }
+          .groupBy(identity).map { case (c, xs) => (c, xs.size.toLong) }
+        val cands = kvc.keySet + cur(v)
+        val tot = cur.groupBy(_._2).map { case (c, vs) =>
+          (c, vs.keys.map(deg).sum)
+        }
+        val best = cands.map { c =>
+          val totP = tot(c) - (if (c == cur(v)) deg(v) else 0L)
+          val score = twoM * kvc.getOrElse(c, 0L) - deg(v) * totP
+          (-score, c)
+        }.min
+        (v, if ((v + r) % 2 == 0) best._2 else cur(v))
+      }.toMap
+    }
+    comm
+  }
+
+  test("gated moveSteps matches the serial parity-gated model") {
+    val edges = for {
+      a <- 0L until 24L; b <- 0L until 24L
+      if a < b && (a * 13 + b * 7) % 4 == 0
+    } yield (a, b)
+    for (steps <- 1 to 3) {
+      val out = Louvain.moveSteps(
+          GraphOps.symmetrize(edges.toDF("src", "dst")), steps,
+          partialMoves = true)
+        .as[(Long, Long)].collect().toMap
+      assert(out == serialMoveGated(edges, steps), s"steps=$steps")
+    }
+  }
+
+  test("untilConverged on disjoint triangles: stops after the level " +
+       "that stops shrinking, with flat Q") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val out = Louvain.untilConverged(
+        GraphOps.symmetrize(edges.toDF("src", "dst")),
+        stepsPerLevel = 2, maxLevels = 4, minGainMicro = 1000L)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // level 0 collapses each triangle (6 → 2 communities, shrink →
+    // continue); level 1's contracted graph is 2 disjoint self-loop
+    // super-vertices — nothing can merge, n stays 2 = |V_1| → stop
+    assert(out.map(_._1).toSeq == Seq(0, 1), s"levels: ${out.toSeq}")
+    assert(out.forall(_._2 == 2L), s"communities: ${out.toSeq}")
+    // two disjoint triangles at their natural split: Q = 1/2 exactly
+    assert(out.forall(_._3 == 500000L), s"q_micro: ${out.toSeq}")
+  }
+
+  test("twoLevelGain equals modularity of the twoLevel assignment " +
+       "computed the flattened way") {
+    val k4a = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val k4b = for { a <- 5L to 8L; b <- 5L to 8L if a < b } yield (a, b)
+    val edges = k4a ++ k4b ++ Seq((4L, 5L))
+    val sym = GraphOps.symmetrize(edges.toDF("src", "dst"))
+    val gain = Louvain.twoLevelGain(sym, steps1 = 2, steps2 = 2)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // reference values: the standalone composition (twoLevel +
+    // LabelPropagation.modularity over the flattened assignments)
+    val two = Louvain.twoLevel(sym, steps1 = 2, steps2 = 2)
+    import org.apache.spark.sql.functions.{col, count, lit, min => fmin}
+    val expected = Seq(
+      "phase1" -> two.select(col("id"), col("comm1").as("label")),
+      "two_level" -> two.select(col("id"), col("comm2").as("label")))
+      .map { case (level, al) =>
+        val r = graft.operators.LabelPropagation
+          .modularity(sym.select("src", "dst").distinct(), al)
+          .agg(count(lit(1)), fmin(col("q_micro"))).head()
+        (level, r.getLong(0), r.getLong(1))
+      }
+    assert(gain == expected, s"gain=$gain expected=$expected")
+  }
+
   test("two disjoint triangles each collapse to one community") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L))
