@@ -193,7 +193,8 @@ object Bench {
     // r19: the multi-second Louvain family faces — the r18 driver
     // artifact read q_louvain_coarse [16.98, 48.3] under min-of-2,
     // exactly the one-spike shape the third run exists to break
-    "q_louvain_coarse", "q_louvain_gain", "q_louvain_multilevel")
+    "q_louvain_coarse", "q_louvain_gain", "q_louvain_multilevel",
+    "q_louvain_multilevel_assign")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

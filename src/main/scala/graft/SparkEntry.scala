@@ -2219,6 +2219,19 @@ object SparkEntry {
         maxLevels = 3, minGainMicro = 1000L).orderBy("level")
     }),
 
+    // The multi-level USER surface: the flattened per-vertex
+    // community of untilConverged's final level. The trajectory face
+    // gates the ascent record and the stop rule's inputs; this gates
+    // the assignment those decisions produce — depth included (a
+    // wrong stop depth is a wrong hash here). Oracle: the same
+    // unrolled level chains with the flatten joins, emission CASEd on
+    // the stop conditions.
+    "q_louvain_multilevel_assign" -> ((s, dir) => {
+      Louvain.untilConvergedAssign(copurchaseEdges(s, dir),
+        stepsPerLevel = 2, maxLevels = 3, minGainMicro = 1000L)
+        .orderBy("id")
+    }),
+
     // Modularity of the 2-round LP communities — the community-
     // detection EVAL face (recall@k's role for the ANN family).
     // Per-community contributions stay RAW BIGINT numerators; the
@@ -5586,6 +5599,37 @@ object SparkEntry {
          |  AND (SELECT q FROM q1q) - (SELECT q FROM q0q) >= 1000
          |  AND (SELECT n FROM q1q) < (SELECT n FROM q0q)
          |ORDER BY level""".stripMargin,
+
+    // the flattened final assignment under the same stop rule: the
+    // level maps compose (a2 -> b2 -> c2) and the emission depth is
+    // the engine's — level 0 only when the contraction does not
+    // shrink, two levels when level 1's gain misses the threshold,
+    // else all three
+    "q_louvain_multilevel_assign" ->
+      s"""WITH ${louvainPhase1Sql()},
+         |$louvainPhase2Sql,
+         |${louvainWeightedPhaseSql("x", "c", "w0", "sum(e.w)", "b2")},
+         |nv0 AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM deg),
+         |${louvainQSql("q0", "e", "1", "a2")},
+         |${louvainQSql("q1", "w0", "e.w", "b2")},
+         |flat1 AS (SELECT a.id, b.comm FROM a2 a
+         |          JOIN b2 b ON b.id = a.comm),
+         |flat2 AS (SELECT f.id, c.comm FROM flat1 f
+         |          JOIN c2 c ON c.id = f.comm),
+         |cond1 AS (SELECT (SELECT n FROM q0q) < (SELECT nv FROM nv0)
+         |            AS go),
+         |cond2 AS (SELECT (SELECT q FROM q1q) - (SELECT q FROM q0q)
+         |             >= 1000
+         |            AND (SELECT n FROM q1q) < (SELECT n FROM q0q)
+         |            AS go)
+         |SELECT id, comm FROM a2 WHERE NOT (SELECT go FROM cond1)
+         |UNION ALL
+         |SELECT id, comm FROM flat1
+         |WHERE (SELECT go FROM cond1) AND NOT (SELECT go FROM cond2)
+         |UNION ALL
+         |SELECT id, comm FROM flat2
+         |WHERE (SELECT go FROM cond1) AND (SELECT go FROM cond2)
+         |ORDER BY id""".stripMargin,
 
     // mirrors LabelPropagation.modularity over the SAME unrolled LP
     // CTEs (shared lpTwoRoundsSql — the engine and both oracles

@@ -203,6 +203,36 @@ object Louvain {
   def untilConverged(edges: DataFrame, stepsPerLevel: Int = 2,
                      maxLevels: Int = 3, minGainMicro: Long = 1000L,
                      keepAqe: Boolean = true): DataFrame = {
+    val spark = edges.sparkSession
+    val (rows, _) = runMultilevel(edges, stepsPerLevel, maxLevels,
+      minGainMicro, keepAqe, wantAssign = false)
+    import spark.implicits._
+    rows.toDF("level", "n_communities", "q_micro")
+  }
+
+  /** [[untilConverged]]'s USER-FACING output: the flattened
+    * per-vertex community of the final level — what "run Louvain on
+    * this graph" means to a caller (the trajectory face gates the
+    * ascent record and the stopping rule's inputs; this gates the
+    * assignment those decisions produce, depth included — a wrong
+    * stop depth is a wrong hash here). Flattening rides the loop:
+    * one gated |V|-frame join per level composes the level maps, so
+    * the extra cost over the trajectory is one small join and one
+    * flat checkpoint per level.
+    *
+    * @return DataFrame(id LONG, comm LONG) — one row per vertex */
+  def untilConvergedAssign(edges: DataFrame, stepsPerLevel: Int = 2,
+                           maxLevels: Int = 3, minGainMicro: Long = 1000L,
+                           keepAqe: Boolean = true): DataFrame =
+    runMultilevel(edges, stepsPerLevel, maxLevels, minGainMicro,
+      keepAqe, wantAssign = true)._2.get
+
+  /** Shared multi-level loop behind [[untilConverged]] (trajectory)
+    * and [[untilConvergedAssign]] (flattened assignment). */
+  private def runMultilevel(edges: DataFrame, stepsPerLevel: Int,
+                            maxLevels: Int, minGainMicro: Long,
+                            keepAqe: Boolean, wantAssign: Boolean)
+      : (Seq[(Int, Long, Long)], Option[DataFrame]) = {
     require(stepsPerLevel > 0, s"stepsPerLevel must be positive")
     require(maxLevels > 0, s"maxLevels must be positive")
     val spark = edges.sparkSession
@@ -214,6 +244,7 @@ object Louvain {
       var prevQ = Option.empty[Long]
       var level = 0
       var continue = true
+      var flat: DataFrame = null
       while (continue && level < maxLevels) {
         val (a, nV) = runStepsCounted(g, stepsPerLevel,
           partialMoves = level > 0, preStaged = preStaged)
@@ -222,6 +253,24 @@ object Louvain {
         // next level's input anyway, so the eval is one
         // |E_contracted| pass and no assignment-join pass exists
         val gNext = coarsen(g, a, nV).localCheckpoint(true)
+        if (wantAssign) {
+          // compose the level map onto the running flat assignment:
+          // flat.comm values ARE this level's vertex ids
+          val gateA =
+            if (nV <= 4000000L)
+              broadcast(a.select(col("id").as("prev"),
+                col("comm").as("next")))
+            else a.select(col("id").as("prev"), col("comm").as("next"))
+              .hint("shuffle_hash")
+          val flatNext =
+            (if (flat == null) a
+             else flat.select(col("id"), col("comm").as("prev"))
+               .join(gateA, "prev")
+               .select(col("id"), col("next").as("comm")))
+              .localCheckpoint(true)
+          if (flat != null) GraphOps.releaseCheckpointedFrame(flat)
+          flat = flatNext
+        }
         GraphOps.releaseCheckpointedFrame(a)
         GraphOps.releaseCheckpointedFrame(g)
         val (nComm, q) = qEvalIdentity(gNext)
@@ -239,8 +288,7 @@ object Louvain {
         level += 1
       }
       GraphOps.releaseCheckpointedFrame(g)
-      import spark.implicits._
-      rows.toSeq.toDF("level", "n_communities", "q_micro")
+      (rows.toSeq, Option(flat))
     }
   }
 

@@ -98,6 +98,26 @@ class LouvainSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(_._3 == 500000L), s"q_micro: ${out.toSeq}")
   }
 
+  test("untilConvergedAssign: flattened final communities agree with " +
+       "the trajectory's final level count and respect components") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val sym = GraphOps.symmetrize(edges.toDF("src", "dst"))
+    val traj = Louvain.untilConverged(sym, stepsPerLevel = 2,
+        maxLevels = 4, minGainMicro = 1000L)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    val assign = Louvain.untilConvergedAssign(sym, stepsPerLevel = 2,
+        maxLevels = 4, minGainMicro = 1000L)
+      .as[(Long, Long)].collect().toMap
+    assert(assign.size == 6)
+    assert(assign.values.toSet.size == traj.last._2,
+      s"assignment communities != trajectory final count: " +
+        s"${assign.values.toSet} vs ${traj.last}")
+    val left = (1L to 3L).map(assign).toSet
+    val right = (10L to 12L).map(assign).toSet
+    assert(left.size == 1 && right.size == 1 && left != right)
+  }
+
   test("twoLevelGain equals modularity of the twoLevel assignment " +
        "computed the flattened way") {
     val k4a = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
