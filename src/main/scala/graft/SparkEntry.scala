@@ -2489,6 +2489,24 @@ object SparkEntry {
         passes = 4, batchK = 8, window = 64).orderBy("rank")
     }),
 
+    // The batched table SERVING (its q_bpe_encode): encode the corpus
+    // with all 32 batch-learned merges in rank order and roll up the
+    // top-30 token distribution — proves the pass-bounded learner's
+    // artifact drops into the serving path unchanged (a 4x deeper
+    // vocabulary than the classic 8-merge face at the same number of
+    // driver round trips).
+    "q_bpe_encode_batched" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Indexing.bpeLearnBatched(docs, "text", passes = 4,
+          batchK = 8, window = 64)
+        .orderBy("rank")
+        .select("left", "right", "merged")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSeq
+      Indexing.bpeEncode(docs, "text", merges, topK = 30)
+    }),
+
     "q_bpe_learn" -> ((s, dir) => {
       Indexing.bpeLearn(t(s, dir, "documents"), "text", numMerges = 8)
         .orderBy("rank")
@@ -3208,7 +3226,8 @@ object SparkEntry {
     * accumulators), and `k` LEFT-JOIN-guarded vocabulary rewrites
     * (an empty pick passes the vocabulary through), applied in pick
     * order exactly as the engine's one native fold sweep. */
-  private def bpeBatchOracleSql(passes: Int, k: Int, window: Int): String = {
+  private def bpeBatchOracleSql(passes: Int, k: Int, window: Int,
+                                encodeTopK: Option[Int] = None): String = {
     val base =
       s"""bw AS (SELECT token AS word, count(*) AS freq FROM (
          |    SELECT unnest($toksSql) AS token FROM documents)
@@ -3266,14 +3285,26 @@ object SparkEntry {
     val sels = (1 to passes)
       .map(p => s"SELECT $p AS pass, j, l, r, n FROM sel$p")
       .mkString("\nUNION ALL\n")
+    val tail = encodeTopK match {
+      case Some(topK) =>
+        // serving arm: the final rewritten vocabulary IS the encoded
+        // corpus — roll up the token distribution (bpeEncode's shape)
+        s"""
+           |SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM (
+           |  SELECT unnest(syms) AS token, freq FROM bv$passes)
+           |GROUP BY token ORDER BY n DESC, token LIMIT $topK"""
+          .stripMargin
+      case None =>
+        s""",
+           |allsel AS ($sels)
+           |SELECT CAST(row_number() OVER (ORDER BY pass, j) AS INTEGER)
+           |    AS rank,
+           |  CAST(pass AS INTEGER) AS pass, l AS "left", r AS "right",
+           |  l || r AS merged, n
+           |FROM allsel ORDER BY rank""".stripMargin
+    }
     s"""WITH RECURSIVE $base,
-       |$passSql,
-       |allsel AS ($sels)
-       |SELECT CAST(row_number() OVER (ORDER BY pass, j) AS INTEGER)
-       |    AS rank,
-       |  CAST(pass AS INTEGER) AS pass, l AS "left", r AS "right",
-       |  l || r AS merged, n
-       |FROM allsel ORDER BY rank""".stripMargin
+       |$passSql$tail""".stripMargin
   }
 
   private def bpeLearnOracleSql(n: Int): String = {
@@ -6543,6 +6574,11 @@ object SparkEntry {
     // <= 8 non-interacting merges over the top-64 candidates per
     // pass, LEFT-JOIN-guarded chained rewrites (see bpeBatchOracleSql)
     "q_bpe_learn_batched" -> bpeBatchOracleSql(4, 8, 64),
+
+    // the batched table's serving arm: same 4-pass chain, final
+    // vocabulary rolled up as the encoded token distribution
+    "q_bpe_encode_batched" -> bpeBatchOracleSql(4, 8, 64,
+      encodeTopK = Some(30)),
 
     // replays learn-then-encode end-to-end: the 8-round chain with
     // the final rewrite applied, then the corpus-wide token rollup
