@@ -98,6 +98,27 @@ class LouvainSpec extends AnyFunSuite with SparkTestBase {
     assert(out.forall(_._3 == 500000L), s"q_micro: ${out.toSeq}")
   }
 
+  test("untilConverged: the gain threshold alone stops the loop — " +
+       "level 1 runs (vacuous first gain) but level 2 is cut even " +
+       "though levels remain and the graph could still contract") {
+    // K4 barbell: level 0 finds the cliques, level 1 CAN merge across
+    // the bridge (the twoLevel spec shows the contracted merge), so
+    // with a permissive threshold >= 3 levels are reachable; an
+    // impossible threshold (Q gain is bounded by 1e6 micro) must cut
+    // after level 1 — the stop then is the GAIN rule, not shrink or
+    // the level budget
+    val k4a = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val k4b = for { a <- 5L to 8L; b <- 5L to 8L if a < b } yield (a, b)
+    val edges = k4a ++ k4b ++ Seq((4L, 5L))
+    val sym = GraphOps.symmetrize(edges.toDF("src", "dst"))
+    val out = Louvain.untilConverged(sym, stepsPerLevel = 2,
+        maxLevels = 4, minGainMicro = 10000000L)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0, 1),
+      s"gain rule did not stop after level 1: ${out.toSeq}")
+    assert(out(1)._3 - out(0)._3 < 10000000L)
+  }
+
   test("untilConvergedAssign: flattened final communities agree with " +
        "the trajectory's final level count and respect components") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
