@@ -459,7 +459,15 @@ object Louvain {
     val small = nV <= 4000000L
     def gated(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df.hint("shuffle_hash")
-    var state = deg.select($"id", $"id".as("comm")).localCheckpoint(true)
+    // the STATIC per-vertex degree rides the loop state (id, comm, k)
+    // instead of joining in per step (r19): Σtot needs no join at all
+    // (state self-aggregates), the candidate scorers each drop their
+    // deg join, and the k re-attach fuses into the argmax⋈cur join
+    // every step already ends with — 2-3 fewer gated |V| joins (and
+    // deg broadcast builds) per step for one extra Long in the
+    // checkpoint row
+    var state = deg.select($"id", $"id".as("comm"), $"k")
+      .localCheckpoint(true)
     var step = 0
     while (step < steps) {
       step += 1
@@ -468,23 +476,21 @@ object Louvain {
       // community — the LP message shape: each vertex's comm joins on
       // e.SRC (riding the cached src partitioning exchange-free, the
       // table is symmetric) and is delivered to e.dst. ONE exchange
-      // (the groupBy).
-      val kin = state.as("a").hint("shuffle_hash")
+      // (the groupBy). Project k away first: the exchange stays
+      // 2-column narrow.
+      val kin = state.select($"id", $"comm").as("a").hint("shuffle_hash")
         .join(eMsg.as("e"), col("a.id") === col("e.src"))
         .select(col("e.dst").as("id"), col("a.comm"), col("e.w"))
         .groupBy($"id", $"comm").agg(sum($"w").as("kvc"))
       // Σtot_c: community degree mass under the CURRENT assignment —
-      // ≤ |V| rows, rides the gated joins below. deg is gated here
-      // too (r19): the ungated |V|⋈|V| form sort-merged with an
-      // exchange pair per step
-      val tot = state.join(gated(deg), "id")
-        .groupBy($"comm").agg(sum($"k").as("tot"))
-      val cur = state.select($"id", $"comm".as("cur"))
-      // neighbor-community candidates: score rides kin MAP-SIDE (three
+      // a straight self-aggregate of the (comm, k)-carrying state
+      val tot = state.groupBy($"comm").agg(sum($"k").as("tot"))
+      // the (cur, k) side frame both scorers and the k re-attach ride
+      val cur = state.select($"id", $"comm".as("cur"), $"k")
+      // neighbor-community candidates: score rides kin MAP-SIDE (two
       // gated |V|-frame joins — no further |E| exchange)
       val nbrCand = kin
         .join(gated(cur), "id")
-        .join(gated(deg), "id")
         .join(gated(tot), "comm")
         .select($"id", $"comm",
           (lit(twoM) * $"kvc" -
@@ -499,7 +505,6 @@ object Louvain {
       // comm) — the argmax dedupes them for free, which is what lets
       // this avoid the distinct-candidate-set exchange entirely.
       val ownCand = state
-        .join(gated(deg), "id")
         .join(gated(tot), "comm")
         .select($"id", $"comm",
           (-$"k" * ($"tot" - $"k")).as("score"))
@@ -508,15 +513,20 @@ object Louvain {
       val argmax = nbrCand.union(ownCand).groupBy($"id")
         .agg(min(struct((-$"score").as("ns"), $"comm".as("c"))).as("m"))
         .select($"id", $"m.c".as("comm"))
-      // parity gate: non-movers keep their community this step — one
-      // extra gated |V|-frame join, no new exchange
-      val newState = (if (partialMoves)
-          argmax.join(gated(cur), "id")
-            .select($"id",
-              when((($"id" + step) % 2) === 0, $"comm")
-                .otherwise($"cur").as("comm"))
-        else argmax)
-        .localCheckpoint(true)
+      // one gated |V| join closes the step: the parity gate (when
+      // gated) and the k re-attach for the next step's state share it.
+      // The LAST step emits the caller-facing (id, comm) shape — no
+      // trailing projection over the checkpoint (release contract).
+      val last = step == steps
+      val joined = argmax.join(gated(cur), "id")
+      val kept =
+        if (partialMoves)
+          when((($"id" + step) % 2) === 0, $"comm").otherwise($"cur")
+        else $"comm"
+      val newState =
+        (if (last) joined.select($"id", kept.as("comm"))
+         else joined.select($"id", kept.as("comm"), $"k"))
+          .localCheckpoint(true)
       System.err.println(
         f"[louvain] step $step ${(System.nanoTime() - tStep) / 1e9}%.2fs")
       GraphOps.releaseCheckpointedFrame(state)
