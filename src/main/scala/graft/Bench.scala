@@ -429,9 +429,14 @@ object Bench {
     val busyJson = hostMap(_._6)
     val iowaitJson = hostMap(_._7)
     val stealJson = hostMap(_._8)
-    val cal = s"""{"start":${fmt(calStart)},"mid":${fmt(calMid)},"end":${fmt(calEnd)},""" +
-      calLoads.map { case (k, v) => s"\"${k}_load\":${fmt(v)}" }
-        .mkString("", ",", "}")
+    // one flat key list, joined once — a hardcoded trailing comma
+    // before a map-derived tail would orphan (",}" = invalid JSON) the
+    // moment calLoads could be empty (r19 ADVICE)
+    val cal = (Seq(
+        s"\"start\":${fmt(calStart)}", s"\"mid\":${fmt(calMid)}",
+        s"\"end\":${fmt(calEnd)}") ++
+      calLoads.map { case (k, v) => s"\"${k}_load\":${fmt(v)}" })
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // r9 lesson: ONE giant line (queries+runs+cpu+calibration) overflowed
     // the driver's tail capture — BENCH_r09.json came back "parsed":null

@@ -90,8 +90,12 @@ object AvroSource {
     // FileNotFoundException stack on every analysis (r18 verdict
     // noise item — it reads like a failure in the Verify log). The
     // filter selects the same files with the probe hitting the real,
-    // existing directory.
+    // existing directory. recursiveFileLookup pinned false (r19
+    // ADVICE): the directory form would otherwise let file listing
+    // descend into nested subdirectories the old top-level glob never
+    // matched — the contract stays "the *.avro files OF `dir`".
     spark.read.format("binaryFile").option("pathGlobFilter", "*.avro")
+      .option("recursiveFileLookup", "false")
       .load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]

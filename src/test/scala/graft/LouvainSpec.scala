@@ -10,9 +10,10 @@ class LouvainSpec extends AnyFunSuite with SparkTestBase {
     Louvain.moveSteps(GraphOps.symmetrize(edges.toDF("src", "dst")), steps)
       .as[(Long, Long)].collect().toMap
 
-  /** Serial synchronous move sweep replaying the integer gain. */
-  private def serialMove(edges: Seq[(Long, Long)],
-                         steps: Int): Map[Long, Long] = {
+  /** Serial synchronous move sweep replaying the integer gain —
+    * γ-parameterized (score_γ = γden·2m·k_vc − γnum·k_v·Σtot'). */
+  private def serialMove(edges: Seq[(Long, Long)], steps: Int,
+                         gNum: Long = 1L, gDen: Long = 1L): Map[Long, Long] = {
     val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .filter(p => p._1 != p._2).distinct
     val twoM = sym.size.toLong
@@ -29,7 +30,8 @@ class LouvainSpec extends AnyFunSuite with SparkTestBase {
         }
         val best = cands.map { c =>
           val totP = tot(c) - (if (c == cur(v)) deg(v) else 0L)
-          val score = twoM * kvc.getOrElse(c, 0L) - deg(v) * totP
+          val score = gDen * twoM * kvc.getOrElse(c, 0L) -
+            gNum * deg(v) * totP
           (-score, c)
         }.min
         (v, best._2)
@@ -161,6 +163,120 @@ class LouvainSpec extends AnyFunSuite with SparkTestBase {
         (level, r.getLong(0), r.getLong(1))
       }
     assert(gain == expected, s"gain=$gain expected=$expected")
+  }
+
+  // --- r20: wide (decimal) gain, γ resolution, fused faces ---------
+
+  test("wide gain: uniform 1e8 weights (2m ≈ 1.2e10, past the Long " +
+       "ceiling) produce the BIT-IDENTICAL assignment — the decimal " +
+       "path is exact, not approximate") {
+    val edges = for {
+      a <- 0L until 24L; b <- 0L until 24L
+      if a < b && (a * 13 + b * 7) % 4 == 0
+    } yield (a, b)
+    val sym = GraphOps.symmetrize(edges.toDF("src", "dst"))
+    import org.apache.spark.sql.functions.lit
+    // score scales by c² under uniform weight scaling, so the argmax
+    // (and every tie) is invariant — any divergence is a wide-path bug
+    val wide = Louvain.simpleWeighted(sym).withColumn("w", lit(100000000L))
+    for (steps <- 1 to 3; gated <- Seq(false, true)) {
+      val narrow = Louvain.moveSteps(sym, steps, partialMoves = gated)
+        .as[(Long, Long)].collect().toMap
+      val w = Louvain.moveStepsWeighted(wide, steps, partialMoves = gated)
+        .as[(Long, Long)].collect().toMap
+      assert(w == narrow, s"steps=$steps gated=$gated")
+    }
+  }
+
+  test("wide gain: a >1.5e9-total-weight graph RUNS (the r19 require " +
+       "refused it) and lands the structural answer") {
+    import org.apache.spark.sql.functions.lit
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val wide = Louvain
+      .simpleWeighted(GraphOps.symmetrize(edges.toDF("src", "dst")))
+      .withColumn("w", lit(400000000L)) // 2m = 12 · 4e8 = 4.8e9 > 3e9
+    val out = Louvain.moveStepsWeighted(wide, steps = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out.filterKeys(_ < 10L).values.toSet.size == 1)
+    assert(out.filterKeys(_ >= 10L).values.toSet.size == 1)
+    assert(out(1L) != out(10L))
+  }
+
+  test("gamma: matches the serial γ-model at γ = 3/2 and γ = 2/3") {
+    val edges = for {
+      a <- 0L until 24L; b <- 0L until 24L
+      if a < b && (a * 13 + b * 7) % 4 == 0
+    } yield (a, b)
+    val sym = GraphOps.symmetrize(edges.toDF("src", "dst"))
+    for ((gn, gd) <- Seq((3L, 2L), (2L, 3L)); steps <- 1 to 2) {
+      val out = Louvain.moveSteps(sym, steps, gammaNum = gn, gammaDen = gd)
+        .as[(Long, Long)].collect().toMap
+      assert(out == serialMove(edges, steps, gn, gd),
+        s"gamma=$gn/$gd steps=$steps")
+    }
+  }
+
+  test("gamma: extreme resolution (γ = 1e6) freezes every vertex in " +
+       "its singleton; γ = 1e-6 merges the triangle") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val sym = GraphOps.symmetrize(edges.toDF("src", "dst"))
+    val hi = Louvain.moveSteps(sym, steps = 2, gammaNum = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(hi == Map(1L -> 1L, 2L -> 2L, 3L -> 3L), s"hi-res: $hi")
+    val lo = Louvain.moveSteps(sym, steps = 2, gammaDen = 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(lo.values.toSet.size == 1, s"lo-res: $lo")
+  }
+
+  test("empty graph: a clear contract error, not an NPE (r19 ADVICE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Louvain.untilConverged(empty, stepsPerLevel = 1, maxLevels = 1)
+    }
+    assert(e.getMessage.contains("empty or zero-weight"), e.getMessage)
+  }
+
+  test("twoLevelFull equals twoLevel ∪ twoLevelGain — the fused face " +
+       "serves both outputs from one run") {
+    val k4a = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val k4b = for { a <- 5L to 8L; b <- 5L to 8L if a < b } yield (a, b)
+    val edges = k4a ++ k4b ++ Seq((4L, 5L))
+    val sym = GraphOps.symmetrize(edges.toDF("src", "dst"))
+    val full = Louvain.twoLevelFull(sym, steps1 = 2, steps2 = 2)
+      .as[(Option[Long], Option[Long], Option[Long],
+           Option[String], Option[Long], Option[Long])]
+      .collect().toSet
+    val assign = Louvain.twoLevel(sym, steps1 = 2, steps2 = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, c1, c2) =>
+        (Some(i), Some(c1), Some(c2), None, None, None) }.toSet
+    val gain = Louvain.twoLevelGain(sym, steps1 = 2, steps2 = 2)
+      .as[(String, Long, Long)].collect()
+      .map { case (l, n, q) =>
+        (None, None, None, Some(l), Some(n), Some(q)) }.toSet
+    assert(full == assign ++ gain)
+  }
+
+  test("untilConvergedFull equals untilConverged ∪ untilConvergedAssign") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val sym = GraphOps.symmetrize(edges.toDF("src", "dst"))
+    val full = Louvain.untilConvergedFull(sym, stepsPerLevel = 2,
+        maxLevels = 4, minGainMicro = 1000L)
+      .as[(Option[Long], Option[Long], Option[Int],
+           Option[Long], Option[Long])]
+      .collect().toSet
+    val traj = Louvain.untilConverged(sym, stepsPerLevel = 2,
+        maxLevels = 4, minGainMicro = 1000L)
+      .as[(Int, Long, Long)].collect()
+      .map { case (l, n, q) => (None, None, Some(l), Some(n), Some(q)) }
+      .toSet
+    val assign = Louvain.untilConvergedAssign(sym, stepsPerLevel = 2,
+        maxLevels = 4, minGainMicro = 1000L)
+      .as[(Long, Long)].collect()
+      .map { case (i, c) => (Some(i), Some(c), None, None, None) }.toSet
+    assert(full == traj ++ assign)
   }
 
   test("two disjoint triangles each collapse to one community") {
