@@ -2489,6 +2489,22 @@ object SparkEntry {
         passes = 4, batchK = 8, window = 64).orderBy("rank")
     }),
 
+    // DEEP batched BPE (r20, VERDICT r19 #4): 256 merges in 4 driver
+    // round trips — token-sequence symbols (wordpiece-style phrase
+    // units, pair space |vocab|² instead of the char alphabet the
+    // corpus saturates at ~90 merges) and the MINIMAL non-interaction
+    // batch rule (shared lefts/rights safe; only chains and
+    // merged-unit collisions excluded), which lifts per-pass yield
+    // from ~|symbols|/2 to the full batchK. The oracle replays each
+    // pass's greedy selection recursively and applies the whole batch
+    // in ONE simultaneous fold — equal to the engine's sequential
+    // sweep exactly because the rule makes batch members
+    // non-interacting.
+    "q_bpe_learn_deep" -> ((s, dir) => {
+      Indexing.bpeLearnPhrases(t(s, dir, "documents"), "text",
+        passes = 4, batchK = 64, window = 1024).orderBy("rank")
+    }),
+
     // The batched table SERVING (its q_bpe_encode): encode the corpus
     // with all 32 batch-learned merges in rank order and roll up the
     // top-30 token distribution — proves the pass-bounded learner's
@@ -3305,6 +3321,90 @@ object SparkEntry {
     }
     s"""WITH RECURSIVE $base,
        |$passSql$tail""".stripMargin
+  }
+
+  /** Generated oracle for [[graft.operators.Indexing.bpeLearnPhrases]]:
+    * `passes` unrolled stages over the TOKEN-sequence table; per stage
+    * the pair counts, the top-`window` ranked candidates, a RECURSIVE
+    * greedy selection replaying the engine's minimal non-interaction
+    * rule (three accumulator lists — accepted lefts, rights, merged
+    * units; accept unless the candidate chains with an accepted pick
+    * or touches an accepted merged unit), and ONE simultaneous
+    * `list_reduce` fold applying the whole batch — valid precisely
+    * because the selection rule makes batch members non-interacting,
+    * so the engine's sequential rank-order sweep and this single
+    * scan produce the same sequence. Pair lookup keys join l/r with
+    * chr(1) (tokens are whitespace-split, so neither tokens nor
+    * space-joined phrases can contain it) — a bare `l || r` key
+    * would false-match across different split points. */
+  private def bpePhraseOracleSql(passes: Int, k: Int,
+                                 window: Int): String = {
+    val base =
+      s"""pw AS (SELECT list_filter($toksSql, t -> t <> '') AS syms
+         |  FROM documents),
+         |pv0 AS MATERIALIZED (
+         |  SELECT syms, CAST(count(*) AS BIGINT) AS freq FROM pw
+         |  WHERE len(syms) >= 2 GROUP BY syms)""".stripMargin
+    val passSql = (1 to passes).map { p =>
+      val prev = s"pv${p - 1}"
+      val m = "c.l || ' ' || c.r"
+      val ok = s"len(r.picked) < $k AND " +
+        s"NOT list_contains(r.ls, c.r) AND " +
+        s"NOT list_contains(r.rs, c.l) AND " +
+        s"NOT list_contains(r.ls, $m) AND " +
+        s"NOT list_contains(r.rs, $m) AND " +
+        s"NOT list_contains(r.ms, $m) AND " +
+        s"NOT list_contains(r.ms, c.l) AND " +
+        s"NOT list_contains(r.ms, c.r)"
+      s"""ppc$p AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      j -> {'l': syms[j], 'r': syms[j+1]})) AS p FROM $prev)
+         |  GROUP BY p.l, p.r),
+         |pcand$p AS MATERIALIZED (
+         |  SELECT l, r, n, rn FROM (
+         |    SELECT l, r, n,
+         |      row_number() OVER (ORDER BY n DESC, l, r) AS rn
+         |    FROM ppc$p) WHERE rn <= $window),
+         |prec$p AS (
+         |  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS VARCHAR[]) AS ls,
+         |         CAST([] AS VARCHAR[]) AS rs, CAST([] AS VARCHAR[]) AS ms,
+         |         CAST([] AS BIGINT[]) AS picked
+         |  UNION ALL
+         |  SELECT c.rn,
+         |    CASE WHEN $ok THEN r.ls || [c.l] ELSE r.ls END,
+         |    CASE WHEN $ok THEN r.rs || [c.r] ELSE r.rs END,
+         |    CASE WHEN $ok THEN r.ms || [$m] ELSE r.ms END,
+         |    CASE WHEN $ok THEN r.picked || [c.rn] ELSE r.picked END
+         |  FROM prec$p r JOIN pcand$p c ON c.rn = r.rn + 1),
+         |psel$p AS MATERIALIZED (
+         |  SELECT c.l, c.r, c.n, row_number() OVER (ORDER BY c.rn) AS j
+         |  FROM pcand$p c
+         |  WHERE c.rn IN (SELECT unnest(picked) FROM (
+         |    SELECT picked FROM prec$p ORDER BY rn DESC LIMIT 1))),
+         |ppl$p AS (
+         |  SELECT coalesce(list(l || chr(1) || r),
+         |    CAST([] AS VARCHAR[])) AS ps FROM psel$p),
+         |pv$p AS MATERIALIZED (
+         |  SELECT list_reduce([CAST([] AS VARCHAR[])] ||
+         |      list_transform(syms, x -> [x]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND list_contains(q.ps,
+         |                       acc[-1] || chr(1) || x[1])
+         |                     THEN acc[:-2] || [acc[-1] || ' ' || x[1]]
+         |                     ELSE acc || x END) AS syms, freq
+         |  FROM $prev, ppl$p q)""".stripMargin
+    }.mkString(",\n")
+    val sels = (1 to passes)
+      .map(p => s"SELECT $p AS pass, j, l, r, n FROM psel$p")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $base,
+       |$passSql,
+       |allpsel AS ($sels)
+       |SELECT CAST(row_number() OVER (ORDER BY pass, j) AS INTEGER)
+       |    AS rank,
+       |  CAST(pass AS INTEGER) AS pass, l AS "left", r AS "right",
+       |  l || ' ' || r AS merged, n
+       |FROM allpsel ORDER BY rank""".stripMargin
   }
 
   private def bpeLearnOracleSql(n: Int): String = {
@@ -6574,6 +6674,7 @@ object SparkEntry {
     // <= 8 non-interacting merges over the top-64 candidates per
     // pass, LEFT-JOIN-guarded chained rewrites (see bpeBatchOracleSql)
     "q_bpe_learn_batched" -> bpeBatchOracleSql(4, 8, 64),
+    "q_bpe_learn_deep" -> bpePhraseOracleSql(4, 64, 1024),
 
     // the batched table's serving arm: same 4-pass chain, final
     // vocabulary rolled up as the encoded token distribution

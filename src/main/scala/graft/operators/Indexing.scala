@@ -458,6 +458,112 @@ object Indexing {
     merges.toSeq.toDF("rank", "pass", "left", "right", "merged", "n")
   }
 
+  /** Deep batched BPE over TOKEN sequences — vocabulary-depth phrase
+    * merges (r20, VERDICT r19 #4). [[bpeLearnBatched]] fixed the
+    * round-trip ECONOMICS (k merges per driver pass) but two things
+    * still capped depth: its strict disjointness rule yields at most
+    * ~|symbols|/2 picks per pass, and a char-level corpus saturates
+    * its entire pair space at a few dozen merges. Two changes lift
+    * depth to passes × batchK:
+    *
+    *   - symbols are the corpus TOKEN sequences (wordpiece-style
+    *     phrase merges, merged unit = `l ⊔ ' ' ⊔ r`) whose pair space
+    *     is |vocab|²-shaped, not |alphabet|²;
+    *   - compatibility is the MINIMAL non-interaction rule: accept
+    *     candidate (l, r, m = l·' '·r) unless it CHAINS with an
+    *     accepted pick (its r equals an accepted left, or its l an
+    *     accepted right) or touches an accepted MERGED unit (m
+    *     collides with any accepted l/r/m, or its l/r equals an
+    *     accepted m). Shared lefts and shared rights are SAFE: two
+    *     distinct rules can never claim the same position pair (the
+    *     pair (prev, cur) determines at most one rule), and under the
+    *     chain/merged exclusions a merge neither creates nor destroys
+    *     another accepted rule's occurrences — so applying the batch
+    *     sequentially in rank order ([[graft.functions.BpeApplyExpr]])
+    *     equals applying each rule to the untouched input, and the
+    *     oracle replays a whole pass with ONE simultaneous fold
+    *     instead of k unrolled rewrites.
+    *
+    * The gated face learns 256 merges in 4 driver round trips (the
+    * r19 strict face: 32 in 4); the char-level faces keep their
+    * classic contracts.
+    *
+    * Shape at 100 TB: phrase learning is inherently sequence-level,
+    * so each pass scans the corpus sequences once — one pair-count
+    * exchange + one `window`-row TakeOrdered collect + one native
+    * fold sweep per pass; PASSES (not merges) bound both the driver
+    * loop and the exchange count, which is the property a deep
+    * production vocabulary needs. The remaining depth lever past
+    * this — incremental pair-count maintenance (re-count only pairs
+    * overlapping the last batch) — trades a full recount for a
+    * delta join and matters when passes themselves grow to
+    * thousands; at ≤8 passes the recount IS the cheaper plan (one
+    * map-side-combined exchange vs join machinery).
+    *
+    * @return merge table (rank INT — global, dense; pass INT; left,
+    *         right, merged; n — the PRE-pass pair count) */
+  def bpeLearnPhrases(df: DataFrame, textCol: String, passes: Int,
+                      batchK: Int, window: Int = 1024): DataFrame = {
+    require(passes > 0, s"passes must be positive, got $passes")
+    require(batchK > 0, s"batchK must be positive, got $batchK")
+    require(window >= batchK,
+      s"window ($window) must be >= batchK ($batchK)")
+    val spark = df.sparkSession
+    // the sequence table: one row per document, symbols = its token
+    // list (empty split artifacts dropped on BOTH engine and oracle
+    // sides); freq carries the grouped-duplicate count shape the
+    // char-level learners use, degenerate (1) for distinct docs
+    var vocab = df.select(
+        filter(TextAnalysis.tokens(col(textCol)),
+          x => x =!= lit("")).as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .groupBy("syms").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, String, String, Long)]
+    var rank = 0
+    for (p <- 1 to passes) {
+      val cands = vocab
+        .select(col("freq"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(x, i) -> struct(x AS l, " +
+            "element_at(syms, i + 2) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(window).collect()
+      val ls = scala.collection.mutable.Set.empty[String]
+      val rs = scala.collection.mutable.Set.empty[String]
+      val ms = scala.collection.mutable.Set.empty[String]
+      val picked = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      for (row <- cands if picked.size < batchK) {
+        val (l, r) = (row.getString(0), row.getString(1))
+        val m = l + " " + r
+        if (!ls(r) && !rs(l) &&
+            !ls(m) && !rs(m) && !ms(m) && !ms(l) && !ms(r)) {
+          picked += ((l, r, row.getLong(2)))
+          ls += l; rs += r; ms += m
+        }
+      }
+      if (picked.nonEmpty) {
+        picked.foreach { case (l, r, n) =>
+          rank += 1
+          merges += ((rank, p, l, r, l + " " + r, n))
+        }
+        val prev = vocab
+        vocab = vocab.withColumn("syms",
+            graft.functions.BpeApplyExpr.bpe_apply(col("syms"),
+              picked.toSeq.map { case (l, r, _) => (l, r, l + " " + r) }))
+          .localCheckpoint(true)
+        prev.unpersist(false)
+      }
+    }
+    vocab.unpersist(false)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "pass", "left", "right", "merged", "n")
+  }
+
   /** BPE encoding with a LEARNED merge table — the serving-time
     * counterpart of [[bpeLearn]]: tokenize, split words to
     * characters, apply each merge rule in rank order (greedy

@@ -200,6 +200,114 @@ class IndexingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._2).distinct.size < out.size)
   }
 
+  test("bpeLearnPhrases matches a serial phrase-BPE trainer (token " +
+       "symbols, minimal non-interaction rule, sequential batch " +
+       "application)") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "the dog sat on the mat and the dog ran"),
+      (3L, "a cat and a dog sat on a mat"),
+      (4L, "the cat and the dog ran on the mat")).toDF("doc_id", "text")
+    def serial(texts: Seq[String], passes: Int, batchK: Int,
+               window: Int) = {
+      var seqs = texts.map(_.toLowerCase.split("\\s+").toVector
+          .filter(_.nonEmpty)).filter(_.size >= 2)
+        .groupBy(identity).map { case (s, xs) => (s, xs.size.toLong) }
+        .toVector
+      var out = Vector.empty[(Int, Int, String, String, String, Long)]
+      var rank = 0
+      for (p <- 1 to passes) {
+        val counts = scala.collection.mutable
+          .Map.empty[(String, String), Long]
+        for ((syms, f) <- seqs; Vector(a, b) <- syms.sliding(2))
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+        val cands = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.take(window)
+        val (ls, rs, ms) = (scala.collection.mutable.Set.empty[String],
+          scala.collection.mutable.Set.empty[String],
+          scala.collection.mutable.Set.empty[String])
+        val picked = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        for (((l, r), n) <- cands if picked.size < batchK) {
+          val m = l + " " + r
+          if (!ls(r) && !rs(l) && !ls(m) && !rs(m) && !ms(m) &&
+              !ms(l) && !ms(r)) {
+            picked += ((l, r, n)); ls += l; rs += r; ms += m
+          }
+        }
+        for ((l, r, n) <- picked) {
+          rank += 1
+          out :+= ((rank, p, l, r, l + " " + r, n))
+          seqs = seqs.map { case (syms, f) =>
+            val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+            for (x <- syms)
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc(acc.size - 1) = l + " " + r
+              else acc += x
+            (acc.toVector, f)
+          }
+        }
+      }
+      out
+    }
+    val want = serial(docs.as[(Long, String)].collect().map(_._2).toSeq,
+      passes = 3, batchK = 6, window = 64)
+    val got = Indexing.bpeLearnPhrases(docs, "text", passes = 3,
+        batchK = 6, window = 64)
+      .as[(Int, Int, String, String, String, Long)].collect().toVector
+    assert(got == want)
+    // the rule is genuinely WEAKER than strict disjointness: at least
+    // one pass accepts two picks sharing a left or right operand
+    val shares = got.groupBy(_._2).values.exists { ms =>
+      val ls = ms.map(_._3); val rs = ms.map(_._4)
+      ls.distinct.size < ls.size || rs.distinct.size < rs.size
+    }
+    assert(shares, s"no shared operands in any pass: $got")
+    // and still non-interacting: no chains, no merged-unit collisions
+    got.groupBy(_._2).values.foreach { ms =>
+      val L = ms.map(_._3).toSet; val R = ms.map(_._4).toSet
+      val M = ms.map(_._5).toSet
+      ms.foreach { m =>
+        assert(!L(m._4) || m._4 == m._3, s"chain r=l: $m in $ms")
+        assert(!R(m._3) || m._3 == m._4, s"chain l=r: $m in $ms")
+        assert(!L(m._5) && !R(m._5), s"merged collides: $m")
+        assert(!M(m._3) && !M(m._4), s"operand is a merged unit: $m")
+      }
+    }
+  }
+
+  test("bpeLearnPhrases: batch application equals INDEPENDENT per-rule " +
+       "application on the pre-pass corpus — the property the " +
+       "simultaneous-fold oracle relies on") {
+    val docs = Seq(
+      (1L, "x y x y z w z w x y z w"),
+      (2L, "p q p q r s r s p q r s")).toDF("doc_id", "text")
+    val out = Indexing.bpeLearnPhrases(docs, "text", passes = 1,
+        batchK = 8, window = 64)
+      .as[(Int, Int, String, String, String, Long)].collect()
+    assert(out.nonEmpty)
+    // apply pass-1 picks (a) sequentially in rank order and (b) each
+    // independently then merged by position — equal sequences
+    val seqs = Seq("x y x y z w z w x y z w".split(" ").toVector,
+      "p q p q r s r s p q r s".split(" ").toVector)
+    def applyOne(s: Vector[String], l: String, r: String) = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (x <- s)
+        if (acc.nonEmpty && acc.last == l && x == r)
+          acc(acc.size - 1) = l + " " + r
+        else acc += x
+      acc.toVector
+    }
+    for (s <- seqs) {
+      val sequential = out.foldLeft(s) { case (cur, m) =>
+        applyOne(cur, m._3, m._4) }
+      val anyOrder = out.reverse.foldLeft(s) { case (cur, m) =>
+        applyOne(cur, m._3, m._4) }
+      assert(sequential == anyOrder,
+        s"order-dependent batch on $s: ${out.toVector}")
+    }
+  }
+
   test("bpeEncode applies learned merges greedily; counts the encoded " +
        "distribution") {
     val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
