@@ -191,10 +191,12 @@ object Bench {
     // full spread from the start — the r11/r12 lesson)
     "q_ktruss",
     // r19: the multi-second Louvain family faces — the r18 driver
-    // artifact read q_louvain_coarse [16.98, 48.3] under min-of-2,
-    // exactly the one-spike shape the third run exists to break
-    "q_louvain_coarse", "q_louvain_gain", "q_louvain_multilevel",
-    "q_louvain_multilevel_assign")
+    // artifact read the two-level face [16.98, 48.3] under min-of-2,
+    // exactly the one-spike shape the third run exists to break.
+    // r20: the pairs fused (coarse+gain -> twolevel; trajectory+assign
+    // -> multilevel); the wide-gain face is the same cost class.
+    "q_louvain_twolevel", "q_louvain_multilevel",
+    "q_louvain_move_wide")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

@@ -279,7 +279,7 @@ object SparkEntry {
   /** Phase-1 Louvain CTE chain (canonical edges → degrees → 2m →
     * singleton init → 2 unrolled synchronous move sweeps ending in
     * `a2(id, comm)`), shared by the q_louvain_move and
-    * q_louvain_coarse oracles so both replay ONE phase-1
+    * q_louvain_twolevel oracles so both replay ONE phase-1
     * construction. Chained CTEs MATERIALIZED (the q_ktruss inlining
     * lesson — a{r-1} is referenced 4× per sweep). */
   /** @param gated parity-gate the sweeps (mirrors
@@ -344,7 +344,7 @@ object SparkEntry {
     * 2 unrolled WEIGHTED move sweeps ending in `b2(id, comm)` over
     * the contracted graph. sum(w) replaces count(*); self-loops are
     * excluded from k_vc but feed degrees and Σtot. Shared by the
-    * q_louvain_coarse and q_louvain_gain oracles. */
+    * q_louvain_twolevel oracle (formerly coarse + gain). */
   private def louvainPhase2Sql: String =
     louvainWeightedPhaseSql("w", "b", "e", "count(*)", "a2")
 
@@ -2161,35 +2161,39 @@ object SparkEntry {
       Louvain.moveSteps(copurchaseEdges(s, dir), steps = 2).orderBy("id")
     }),
 
-    // Two-level Louvain (r17 verdict stretch #8): phase-1 move steps,
-    // ONE community contraction (intra mass → self-loops, inter counts
-    // → weights), then the SAME integer-exact synchronous core on the
-    // contracted weighted graph. Output: per vertex its phase-1 and
-    // final community — the two-level assignment real Louvain's
-    // alternation produces. Oracle unrolls both phases (weighted
-    // recurrence over the contracted CTEs, MATERIALIZED).
-    "q_louvain_coarse" -> ((s, dir) => {
-      Louvain.twoLevel(copurchaseEdges(s, dir), steps1 = 2, steps2 = 2)
-        .orderBy("id")
+    // Two-level Louvain, FUSED face (r20, VERDICT r19 #3): phase-1
+    // move steps, ONE community contraction (intra mass → self-loops,
+    // inter counts → weights), the SAME integer-exact synchronous
+    // core on the contracted weighted graph — AND the per-level
+    // Newman-Q evaluation that justifies the alternation. The r19
+    // registry served these as two faces (q_louvain_coarse: the
+    // per-vertex assignment; q_louvain_gain: the eval rows), each
+    // re-running the identical pipeline; twoLevelFull runs phase 1 +
+    // contraction + phase 2 ONCE and emits both row kinds (disjoint
+    // by construction — NULL eval columns on assignment rows and
+    // vice versa), both prior hash gates riding one hash. Oracle:
+    // the former faces' shared CTE chains with a schema-aligned
+    // UNION ALL.
+    "q_louvain_twolevel" -> ((s, dir) => {
+      Louvain.twoLevelFull(copurchaseEdges(s, dir), steps1 = 2,
+        steps2 = 2).orderBy("id", "level")
     }),
 
-    // Does the coarsening PAY? Newman Q of the phase-1 vs two-level
-    // assignment over the same edges — the eval row that justifies
-    // alternating move steps with contraction (what recall@5 is to
-    // IVF training). One twoLevel run feeds both evaluations (flat
-    // checkpoint); Q collapses to its global (micro, integer-exact)
-    // row per level.
-    "q_louvain_gain" -> ((s, dir) => {
-      // r19 (VERDICT r18 #4): the fused twoLevelGain — ONE staged
-      // canonical edge table shared by phase 1, the contraction and
-      // the phase-1 eval, and the two-level Q evaluated on the
-      // CONTRACTED graph (bit-equal to the flattened |E| pass the
-      // standalone composition paid twice). Q still evaluates over
-      // the DISTINCT canonical edge table — the graph Louvain itself
-      // optimized; the raw copurchase stream carries (order, part)
-      // multi-edges. Same oracle, same hashes, ~half the passes.
-      Louvain.twoLevelGain(copurchaseEdges(s, dir), steps1 = 2,
-        steps2 = 2).orderBy("level")
+    // The WIDE-gain move face (r20, VERDICT r19 #2): the parity-gated
+    // sweep on the copurchase graph with every edge carrying weight
+    // 1e7 — total weight 2m ≈ 1.2e13 at sf0.1, an order of magnitude
+    // past the Long scoring ceiling the r19 engine require-refused.
+    // The decimal(38,0) gain path must land the BIT-IDENTICAL
+    // assignment the unit-weight face produces (score scales by c²
+    // under uniform weight scaling, so every argmax and every tie is
+    // invariant) — the oracle is literally q_louvain_move_gated's
+    // SQL, which is the whole point: a >1.5e9-weight graph now runs,
+    // exactly.
+    "q_louvain_move_wide" -> ((s, dir) => {
+      Louvain.moveStepsWeighted(
+        Louvain.simpleWeighted(copurchaseEdges(s, dir))
+          .withColumn("w", lit(10000000L)),
+        steps = 2, partialMoves = true).orderBy("id")
     }),
 
     // The RECOMMENDED public move-step face (r19, VERDICT r18 #3):
@@ -2205,31 +2209,25 @@ object SparkEntry {
         partialMoves = true).orderBy("id")
     }),
 
-    // Convergence-driven multi-level Louvain (r19, VERDICT r18 #5 —
-    // Blondel 2008's real alternation): move-steps → Q-eval →
-    // coarsen, looping while each level's modularity gain clears the
-    // threshold and the contraction still shrinks, bounded at 3
-    // levels so the oracle unrolls. Output = the per-level ascent
-    // trajectory (community count + integer-exact micro Q per level
-    // RUN) — the stopping rule's own inputs, hash-gated; the oracle
-    // replays the emission conditions as WHERE clauses over the
-    // unrolled level CTEs.
+    // Convergence-driven multi-level Louvain, FUSED face (r20,
+    // VERDICT r19 #3; the operator: r19, Blondel 2008's real
+    // alternation): move-steps → Q-eval → coarsen, looping while each
+    // level's modularity gain clears the threshold and the
+    // contraction still shrinks, bounded at 3 levels so the oracle
+    // unrolls. The r19 registry served the per-level ascent
+    // trajectory and the flattened final assignment as two faces
+    // that EACH ran the identical loop (runMultilevel has always
+    // computed both in one pass); untilConvergedFull runs it once
+    // and emits both row kinds — trajectory rows (level,
+    // n_communities, q_micro — the stopping rule's own inputs) and
+    // per-vertex rows (id, comm — the user surface, stop depth
+    // included), both prior hash gates riding one hash. Oracle: the
+    // unrolled level chains with the emission conditions as WHERE
+    // clauses, trajectory and flatten arms schema-aligned UNION ALL.
     "q_louvain_multilevel" -> ((s, dir) => {
-      Louvain.untilConverged(copurchaseEdges(s, dir), stepsPerLevel = 2,
-        maxLevels = 3, minGainMicro = 1000L).orderBy("level")
-    }),
-
-    // The multi-level USER surface: the flattened per-vertex
-    // community of untilConverged's final level. The trajectory face
-    // gates the ascent record and the stop rule's inputs; this gates
-    // the assignment those decisions produce — depth included (a
-    // wrong stop depth is a wrong hash here). Oracle: the same
-    // unrolled level chains with the flatten joins, emission CASEd on
-    // the stop conditions.
-    "q_louvain_multilevel_assign" -> ((s, dir) => {
-      Louvain.untilConvergedAssign(copurchaseEdges(s, dir),
+      Louvain.untilConvergedFull(copurchaseEdges(s, dir),
         stepsPerLevel = 2, maxLevels = 3, minGainMicro = 1000L)
-        .orderBy("id")
+        .orderBy("id", "level")
     }),
 
     // Modularity of the 2-round LP communities — the community-
@@ -5648,22 +5646,16 @@ object SparkEntry {
       s"""WITH ${louvainPhase1Sql()}
          |SELECT id, comm FROM a2 ORDER BY id""".stripMargin,
 
-    // two-level Louvain: the shared phase-1 chain, the contraction
+    // FUSED two-level face: the shared phase-1 chain, the contraction
     // (community-pair weight sums — intra mass lands on the diagonal
     // as 2·intra because the symmetric table carries both directions),
-    // then the SAME move recurrence with sum(w) in place of count(*)
-    // and self-loops excluded from k_vc but present in degrees/Σtot
-    "q_louvain_coarse" ->
-      s"""WITH ${louvainPhase1Sql()},
-         |$louvainPhase2Sql
-         |SELECT a.id, a.comm AS comm1, b.comm AS comm2
-         |FROM a2 a JOIN b2 b ON b.id = a.comm ORDER BY a.id""".stripMargin,
-
-    // does the coarsening PAY? Newman Q (micro, the q_modularity
-    // formula collapsed to its global row) of the phase-1 assignment
-    // vs the two-level one, over the same edges: num = m2·Σintra −
-    // Σd², one sign-safe truncating micro division per level
-    "q_louvain_gain" -> {
+    // the SAME move recurrence with sum(w) in place of count(*), AND
+    // the per-level Newman Q (micro, the q_modularity formula
+    // collapsed to its global row: num = m2·Σintra − Σd², one
+    // sign-safe truncating micro division) — the former
+    // q_louvain_coarse and q_louvain_gain result sets schema-aligned
+    // under one hash
+    "q_louvain_twolevel" -> {
       def qRow(level: String, al: String): String =
         s"""we_$al AS (SELECT a.label AS c_src, b.label AS c_dst
            |       FROM e JOIN $al a ON a.id = e.src
@@ -5691,10 +5683,26 @@ object SparkEntry {
          |        FROM a2 a JOIN b2 b ON b.id = a.comm),
          |${qRow("phase1", "al1")},
          |${qRow("two_level", "al2")}
-         |SELECT level, n_communities, q_micro
+         |SELECT a.id, a.comm AS comm1, b.comm AS comm2,
+         |       CAST(NULL AS VARCHAR) AS level,
+         |       CAST(NULL AS BIGINT) AS n_communities,
+         |       CAST(NULL AS BIGINT) AS q_micro
+         |FROM a2 a JOIN b2 b ON b.id = a.comm
+         |UNION ALL
+         |SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |       CAST(NULL AS BIGINT), level, n_communities, q_micro
          |FROM (SELECT * FROM g_al1 UNION ALL SELECT * FROM g_al2)
-         |ORDER BY level""".stripMargin
+         |ORDER BY id, level""".stripMargin
     },
+
+    // the wide-gain face replays the EXACT gated-move recurrence: the
+    // decimal scoring path exists to be invisible — uniform weight
+    // scaling multiplies every score by c², so the argmax, every tie,
+    // and hence the assignment are bit-identical to the unit-weight
+    // sweep this SQL unrolls
+    "q_louvain_move_wide" ->
+      s"""WITH ${louvainPhase1Sql(gated = true)}
+         |SELECT id, comm FROM a2 ORDER BY id""".stripMargin,
 
     // the parity-gated flat sweep (the RECOMMENDED move-step face):
     // the shared phase-1 recurrence with the (id + r) % 2 CASE the
@@ -5712,6 +5720,13 @@ object SparkEntry {
     // (n0 < |V|), level 2 additionally requires the level-1 gain to
     // clear the 1000-micro threshold and n1 < n0 (maxLevels = 3 cuts
     // deeper levels on both sides)
+    // FUSED multi-level face: the unrolled level chains ONCE, then
+    // both row kinds — the trajectory rows (emission conditions as
+    // WHERE clauses: level 1 requires the level-0 contraction to
+    // shrink, level 2 additionally the level-1 gain over the
+    // 1000-micro threshold and n1 < n0) and the flattened final
+    // assignment (level maps composed a2 -> b2 -> c2, emission depth
+    // CASEd on the same conditions) — schema-aligned under one hash
     "q_louvain_multilevel" ->
       s"""WITH ${louvainPhase1Sql()},
          |$louvainPhase2Sql,
@@ -5719,30 +5734,7 @@ object SparkEntry {
          |nv0 AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM deg),
          |${louvainQSql("q0", "e", "1", "a2")},
          |${louvainQSql("q1", "w0", "e.w", "b2")},
-         |${louvainQSql("q2", "x0", "e.w", "c2")}
-         |SELECT 0 AS level, n AS n_communities, q AS q_micro FROM q0q
-         |UNION ALL
-         |SELECT 1, n, q FROM q1q
-         |WHERE (SELECT n FROM q0q) < (SELECT nv FROM nv0)
-         |UNION ALL
-         |SELECT 2, n, q FROM q2q
-         |WHERE (SELECT n FROM q0q) < (SELECT nv FROM nv0)
-         |  AND (SELECT q FROM q1q) - (SELECT q FROM q0q) >= 1000
-         |  AND (SELECT n FROM q1q) < (SELECT n FROM q0q)
-         |ORDER BY level""".stripMargin,
-
-    // the flattened final assignment under the same stop rule: the
-    // level maps compose (a2 -> b2 -> c2) and the emission depth is
-    // the engine's — level 0 only when the contraction does not
-    // shrink, two levels when level 1's gain misses the threshold,
-    // else all three
-    "q_louvain_multilevel_assign" ->
-      s"""WITH ${louvainPhase1Sql()},
-         |$louvainPhase2Sql,
-         |${louvainWeightedPhaseSql("x", "c", "w0", "sum(e.w)", "b2")},
-         |nv0 AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM deg),
-         |${louvainQSql("q0", "e", "1", "a2")},
-         |${louvainQSql("q1", "w0", "e.w", "b2")},
+         |${louvainQSql("q2", "x0", "e.w", "c2")},
          |flat1 AS (SELECT a.id, b.comm FROM a2 a
          |          JOIN b2 b ON b.id = a.comm),
          |flat2 AS (SELECT f.id, c.comm FROM flat1 f
@@ -5753,14 +5745,25 @@ object SparkEntry {
          |             >= 1000
          |            AND (SELECT n FROM q1q) < (SELECT n FROM q0q)
          |            AS go)
-         |SELECT id, comm FROM a2 WHERE NOT (SELECT go FROM cond1)
+         |SELECT CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS comm,
+         |       0 AS level, n AS n_communities, q AS q_micro FROM q0q
          |UNION ALL
-         |SELECT id, comm FROM flat1
+         |SELECT NULL, NULL, 1, n, q FROM q1q
+         |WHERE (SELECT go FROM cond1)
+         |UNION ALL
+         |SELECT NULL, NULL, 2, n, q FROM q2q
+         |WHERE (SELECT go FROM cond1) AND (SELECT go FROM cond2)
+         |UNION ALL
+         |SELECT id, comm, CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+         |       CAST(NULL AS BIGINT)
+         |FROM a2 WHERE NOT (SELECT go FROM cond1)
+         |UNION ALL
+         |SELECT id, comm, NULL, NULL, NULL FROM flat1
          |WHERE (SELECT go FROM cond1) AND NOT (SELECT go FROM cond2)
          |UNION ALL
-         |SELECT id, comm FROM flat2
+         |SELECT id, comm, NULL, NULL, NULL FROM flat2
          |WHERE (SELECT go FROM cond1) AND (SELECT go FROM cond2)
-         |ORDER BY id""".stripMargin,
+         |ORDER BY id, level""".stripMargin,
 
     // mirrors LabelPropagation.modularity over the SAME unrolled LP
     // CTEs (shared lpTwoRoundsSql — the engine and both oracles
