@@ -287,7 +287,14 @@ object SparkEntry {
     *        with (id + r) even adopt the argmax, everyone else keeps
     *        their step-(r−1) community — the same CASE the phase-2
     *        (`b$r`) chain runs */
-  private def louvainPhase1Sql(gated: Boolean = false): String = {
+  /** @param gn,gd resolution γ = gn/gd (Reichardt–Bornholdt): the
+    *        score scales to γden·2m·k_vc − γnum·k_v·Σtot' — mirrors
+    *        `moveSteps(gammaNum, gammaDen)`; (1, 1) is Newman
+    *        modularity and emits no scaling factors at all */
+  private def louvainPhase1Sql(gated: Boolean = false,
+                               gn: Long = 1L, gd: Long = 1L): String = {
+    val (gnF, gdF) = (if (gn == 1L) "" else s"$gn * ",
+      if (gd == 1L) "" else s"$gd * ")
     val steps = (1 to 2).map { r =>
       val pick =
         if (gated)
@@ -318,8 +325,8 @@ object SparkEntry {
          |    UNION ALL SELECT id, comm FROM a${r - 1})),
          |sc$r AS MATERIALIZED (
          |  SELECT cs.id, cs.comm,
-         |    (SELECT m2 FROM m) * coalesce(kin.kvc, 0)
-         |      - d.k * (t.tot -
+         |    $gdF(SELECT m2 FROM m) * coalesce(kin.kvc, 0)
+         |      - ${gnF}d.k * (t.tot -
          |          CASE WHEN cur.comm = cs.comm THEN d.k ELSE 0 END)
          |      AS score
          |  FROM cset$r cs
@@ -2194,6 +2201,18 @@ object SparkEntry {
         Louvain.simpleWeighted(copurchaseEdges(s, dir))
           .withColumn("w", lit(10000000L)),
         steps = 2, partialMoves = true).orderBy("id")
+    }),
+
+    // Resolution-parameterized Louvain (r20, VERDICT r19 #7,
+    // Reichardt–Bornholdt): the gated sweep at γ = 3/2 — the gain
+    // becomes γden·2m·k_vc − γnum·k_v·Σtot', integer-exact for any
+    // rational γ (both terms scaled by γden), so the oracle replays
+    // the γ-scaled argmax bit-for-bit. γ > 1 penalizes degree mass
+    // harder and yields FINER communities than the γ = 1 face over
+    // the same two sweeps.
+    "q_louvain_move_gamma" -> ((s, dir) => {
+      Louvain.moveSteps(copurchaseEdges(s, dir), steps = 2,
+        partialMoves = true, gammaNum = 3L, gammaDen = 2L).orderBy("id")
     }),
 
     // The RECOMMENDED public move-step face (r19, VERDICT r18 #3):
@@ -5702,6 +5721,12 @@ object SparkEntry {
     // sweep this SQL unrolls
     "q_louvain_move_wide" ->
       s"""WITH ${louvainPhase1Sql(gated = true)}
+         |SELECT id, comm FROM a2 ORDER BY id""".stripMargin,
+
+    // the γ = 3/2 gated sweep: the shared phase-1 recurrence with
+    // both score terms γ-scaled (2·m2·kvc vs 3·k·Σtot')
+    "q_louvain_move_gamma" ->
+      s"""WITH ${louvainPhase1Sql(gated = true, gn = 3L, gd = 2L)}
          |SELECT id, comm FROM a2 ORDER BY id""".stripMargin,
 
     // the parity-gated flat sweep (the RECOMMENDED move-step face):
