@@ -196,7 +196,7 @@ object Bench {
     // r20: the pairs fused (coarse+gain -> twolevel; trajectory+assign
     // -> multilevel); the wide-gain face is the same cost class.
     "q_louvain_twolevel", "q_louvain_multilevel",
-    "q_louvain_move_wide")
+    "q_louvain_move_wide", "q_louvain_move_gamma")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

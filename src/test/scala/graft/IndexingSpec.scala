@@ -276,6 +276,27 @@ class IndexingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bpeLearnPhrasesIncremental: the maintained pair-count table " +
+       "yields the byte-identical merge table to the full-recount " +
+       "path over multiple passes") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "the dog sat on the mat and the dog ran"),
+      (3L, "a cat and a dog sat on a mat"),
+      (4L, "the cat and the dog ran on the mat"),
+      (5L, "a mat and a cat ran on the dog")).toDF("doc_id", "text")
+    val recount = Indexing.bpeLearnPhrases(docs, "text", passes = 4,
+        batchK = 5, window = 64)
+      .as[(Int, Int, String, String, String, Long)].collect().toVector
+    val incr = Indexing.bpeLearnPhrasesIncremental(docs, "text",
+        passes = 4, batchK = 5, window = 64)
+      .as[(Int, Int, String, String, String, Long)].collect().toVector
+    assert(incr == recount)
+    // the test is only meaningful if merges actually happened across
+    // several passes (deltas compounding on the maintained table)
+    assert(recount.map(_._2).distinct.size >= 3, s"got: $recount")
+  }
+
   test("bpeLearnPhrases: batch application equals INDEPENDENT per-rule " +
        "application on the pre-pass corpus — the property the " +
        "simultaneous-fold oracle relies on") {
