@@ -279,6 +279,34 @@ class LouvainSpec extends AnyFunSuite with SparkTestBase {
     assert(full == traj ++ assign)
   }
 
+  test("untilConvergedWeighted: at unit weights equals the unweighted " +
+       "full alternation; at uniform 4e8 weights (wide path, 2m past " +
+       "the Long ceiling) the ENTIRE multi-level output — trajectory " +
+       "q_micro included — is bit-identical") {
+    import org.apache.spark.sql.functions.lit
+    val k4a = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val k4b = for { a <- 5L to 8L; b <- 5L to 8L if a < b } yield (a, b)
+    val edges = k4a ++ k4b ++ Seq((4L, 5L))
+    val sym = GraphOps.symmetrize(edges.toDF("src", "dst"))
+    def run(df: org.apache.spark.sql.DataFrame)
+        : Set[(Option[Long], Option[Long], Option[Int],
+               Option[Long], Option[Long])] =
+      df.as[(Option[Long], Option[Long], Option[Int],
+             Option[Long], Option[Long])].collect().toSet
+    val base = run(Louvain.untilConvergedFull(sym, stepsPerLevel = 2,
+      maxLevels = 3, minGainMicro = 1000L))
+    val unit = run(Louvain.untilConvergedWeighted(
+      Louvain.simpleWeighted(sym), stepsPerLevel = 2,
+      maxLevels = 3, minGainMicro = 1000L))
+    assert(unit == base)
+    // uniform scaling: scores scale by c², Q's rational is invariant,
+    // so the stop rule fires at the same depth and every row matches
+    val wide = run(Louvain.untilConvergedWeighted(
+      Louvain.simpleWeighted(sym).withColumn("w", lit(400000000L)),
+      stepsPerLevel = 2, maxLevels = 3, minGainMicro = 1000L))
+    assert(wide == base)
+  }
+
   test("two disjoint triangles each collapse to one community") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (10L, 12L))
