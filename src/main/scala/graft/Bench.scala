@@ -196,7 +196,9 @@ object Bench {
     // r20: the pairs fused (coarse+gain -> twolevel; trajectory+assign
     // -> multilevel); the wide-gain face is the same cost class.
     "q_louvain_twolevel", "q_louvain_multilevel",
-    "q_louvain_move_wide", "q_louvain_move_gamma")
+    "q_louvain_move_wide", "q_louvain_move_gamma",
+    // r20: the directed-graph fixpoint faces (multi-round iterative)
+    "q_scc", "q_topo_layers")
 
   /** Tee for System.err: every byte still reaches the real stderr, and
     * complete lines that look like operator round telemetry

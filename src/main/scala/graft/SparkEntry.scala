@@ -5,10 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AsOfJoin, Bfs, Centrality, ConnectedComponents,
-  CorpusOps, Dedup, Distributions, Funnel, GraphOps, Indexing, KCore,
+  CorpusOps, Dag, Dedup, Distributions, Funnel, GraphOps, Indexing, KCore,
   KTruss, LabelPropagation, Louvain,
   MarketBasket, Multimodal, PageRank, Profile, RandomWalk, RangeJoin, Ranking,
-  Redaction, Retention, RobustStats, SequencePacking, Similarity, SkewOps,
+  Redaction, Retention, RobustStats, Scc, SequencePacking, Similarity, SkewOps,
   Snapshot, SpanningForest, Sssp, TextAnalysis, TimeSeries}
 import graft.sources.TableLayout
 import graft.streaming.{EventStream, StreamHarness}
@@ -634,6 +634,45 @@ object SparkEntry {
         o.select((col("o_custkey") * 2).as("src"),
                  (col("o_orderkey") * 2 + 1).as("dst")))
       ConnectedComponents.run(edges).orderBy("id")
+    }),
+
+    // DIRECTED-graph layering (r20 — the graph family's directed
+    // half): longest-path depth of every vertex of a closed-form
+    // 12-level dependency DAG (6000 vertices, 3 pseudo-random forward
+    // arms per vertex, a (v + q) % 3 sparsifier so in-degree-0
+    // vertices occur at EVERY level and layers genuinely vary —
+    // critical-path depth, what scheduling/lineage queries ask).
+    // Fixpoint of layer(v) = max(0, 1 + max in-neighbor layer): the
+    // CC round shape with (max, +1) merge, checksum-fused
+    // convergence, depth-bounded rounds; a cycle fails loudly at the
+    // round cap. Oracle: the same closed-form generator + a recursive
+    // path-length closure (states bounded |V| × depth), max per
+    // vertex.
+    "q_topo_layers" -> ((s, _) => {
+      val arms = Seq((17, 1), (29, 3), (41, 7)).map { case (c, d) =>
+        s.range(0, 5500).select(col("id").as("src"))
+          .withColumn("q", (col("src") % 500) * c.toLong % 500)
+          .withColumn("q", (col("q") + d.toLong) % 500)
+          .filter(((col("src") + col("q")) % 3) =!= 0)
+          .select(col("src"),
+            ((expr("src div 500") + 1) * 500 + col("q")).as("dst"))
+      }
+      Dag.longestPathLayers(arms.reduce(_ unionAll _)).orderBy("id")
+    }),
+
+    // Strongly connected components of a directed graph (r20 — with
+    // q_topo_layers, the graph family's directed half): the Orzan
+    // coloring decomposition (forward max-color fixpoint → pivots →
+    // class-restricted reverse reach → peel) on the deterministic
+    // ring/chain condensation fixture (48 cyclic SCCs of four sizes,
+    // 16 trivial SCCs, a max-id source that forces a second peel
+    // round — SyntheticGraphs.sccFixture's scaladoc walks the
+    // construction). Oracle: the algorithm-independent closed form
+    // (comp = ring-segment max, or self past the rings) — the
+    // q_cc_star_deep convention for synthetic-graph faces.
+    "q_scc" -> ((s, _) => {
+      Scc.run(graft.sources.SyntheticGraphs.sccFixture(s))
+        .orderBy("id")
     }),
 
     // O11-O14 as a relational aggregate: min, argmin (deterministic
@@ -6493,6 +6532,46 @@ object SparkEntry {
         |  CAST(sum(i) AS BIGINT) AS sum_id
         |FROM range(12700) t(i)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the closed-form DAG rebuilt from the same integer arithmetic,
+    // then a recursive path-length closure: reach(v, len) holds every
+    // (vertex, path-length-ending-here) pair — bounded |V| × (depth+1)
+    // states on the 12-level construction — and layer = max(len)
+    "q_topo_layers" ->
+      """WITH RECURSIVE dedges(src, dst) AS (
+        |  SELECT i, ((i // 500) + 1) * 500 + (i % 500 * 17 + 1) % 500
+        |  FROM range(5500) t(i)
+        |  WHERE (i + (i % 500 * 17 + 1) % 500) % 3 != 0
+        |  UNION ALL
+        |  SELECT i, ((i // 500) + 1) * 500 + (i % 500 * 29 + 3) % 500
+        |  FROM range(5500) t(i)
+        |  WHERE (i + (i % 500 * 29 + 3) % 500) % 3 != 0
+        |  UNION ALL
+        |  SELECT i, ((i // 500) + 1) * 500 + (i % 500 * 41 + 7) % 500
+        |  FROM range(5500) t(i)
+        |  WHERE (i + (i % 500 * 41 + 7) % 500) % 3 != 0),
+        |dverts(v) AS (
+        |  SELECT DISTINCT src FROM dedges
+        |  UNION SELECT DISTINCT dst FROM dedges),
+        |reach(v, len) AS (
+        |  SELECT v, 0 FROM dverts
+        |  UNION
+        |  SELECT e.dst, r.len + 1 FROM reach r
+        |  JOIN dedges e ON e.src = r.v)
+        |SELECT v AS id, CAST(max(len) AS BIGINT) AS layer
+        |FROM reach GROUP BY v ORDER BY id""".stripMargin,
+
+    // closed form of the scc fixture (SyntheticGraphs.sccFixtureEdges):
+    // ring vertices map to their 26-block segment maximum, the
+    // singleton chain and the max-id source to themselves
+    "q_scc" ->
+      """SELECT i AS id, CASE
+        |  WHEN i >= 312 THEN i
+        |  WHEN i % 26 < 5  THEN (i // 26) * 26 + 4
+        |  WHEN i % 26 < 11 THEN (i // 26) * 26 + 10
+        |  WHEN i % 26 < 18 THEN (i // 26) * 26 + 17
+        |  ELSE (i // 26) * 26 + 25 END AS comp
+        |FROM range(329) t(i) ORDER BY id""".stripMargin,
 
     "q_connected_components" ->
       """WITH RECURSIVE oedges(src, dst) AS (

@@ -69,6 +69,50 @@ object SyntheticGraphs {
     * `SyntheticGraphsSpec` cross-checks this against an independent
     * hand replay. Driver-memory bounded: only call at the reference's
     * published scales (≤ 1.5M edges). */
+  /** Deterministic DIRECTED fixture for the SCC face: 48 rings (sizes
+    * 5/6/7/8 cycling inside 26-vertex blocks of four — ids 0..311),
+    * entry→entry condensation edges r → r+1 and r → 2r+1 (doubling
+    * shortcuts keep the forward diameter logarithmic in the ring
+    * count — the color fixpoint's round bound), a 16-vertex
+    * singleton chain with the same doubling (ids 312..327, each its
+    * own SCC), a bridge from ring 47's entry into the chain, and a
+    * max-id source M = 328 feeding ring 0. Ids INCREASE along every
+    * condensation edge except M's, so the coloring decomposition
+    * resolves in exactly TWO peel rounds — round 1 floods everything
+    * with M's color and extracts only {M} (nothing reaches back);
+    * round 2 makes every ring its own color class and every
+    * singleton a pivot — while still exercising multi-size cyclic
+    * SCCs, trivial SCCs, the class-restricted reverse reach and the
+    * peel. Closed-form answer: comp = the vertex's ring-segment
+    * maximum (g·26 + {4, 10, 17, 25}), or itself past the rings. */
+  def sccFixtureEdges: Seq[(Long, Long)] = {
+    val segs = Seq((0, 5), (5, 11), (11, 18), (18, 26))
+    val rings = for {
+      g <- 0 until 12
+      (a, b) <- segs
+      base = g * 26 + a
+      e <- (base until base + (b - a) - 1).map(v => (v.toLong, v + 1L)) :+
+        ((base + (b - a) - 1).toLong, base.toLong)
+    } yield e
+    def entry(r: Int): Long = (r / 4) * 26L + Seq(0, 5, 11, 18)(r % 4)
+    val chain = (0 until 47).map(r => (entry(r), entry(r + 1)))
+    val dbl = (0 until 48).filter(r => 2 * r + 1 < 48)
+      .map(r => (entry(r), entry(2 * r + 1)))
+    val singles = (0 until 15).map(i => (312L + i, 313L + i)) ++
+      (0 until 16).filter(i => 2 * i + 1 <= 15)
+        .map(i => (312L + i, 312L + 2 * i + 1))
+    rings ++ chain ++ dbl ++
+      Seq((entry(47), 312L)) ++ singles ++ Seq((328L, 0L))
+  }
+
+  /** [[sccFixtureEdges]] as a DataFrame (329 vertices — driver-built;
+    * the fixture is condensation-structure, not scale: the operator's
+    * scale story is its round shape, measured on the face). */
+  def sccFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    sccFixtureEdges.toDF("src", "dst")
+  }
+
   def referenceScaleEdges(nVerts: Long, nEdges: Long): Seq[(Long, Long)] = {
     require(nVerts >= 2 && nEdges >= nVerts - 1,
       s"need nVerts >= 2 and nEdges >= nVerts-1; got $nVerts/$nEdges")
