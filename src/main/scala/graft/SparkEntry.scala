@@ -484,13 +484,13 @@ object SparkEntry {
         .groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("degree"),
              min(col("dst")).as("min_nb"), max(col("dst")).as("max_nb"))
-        .orderBy("id")
+        
     }),
 
     // O5-O17: the flagship — full iterative BFS (init, frontier
     // expansion, semilattice reduce, convergence, driver loop).
     "q_bfs_copurchase" -> ((s, dir) => {
-      Bfs.run(copurchaseEdges(s, dir), source = 2L).orderBy("id")
+      Bfs.run(copurchaseEdges(s, dir), source = 2L)
     }),
 
     // Exact triangle count over the part co-occurrence graph (parts
@@ -511,7 +511,7 @@ object SparkEntry {
     // Multi-source BFS: distance to nearest seed (capability extension
     // of O5 init — same semilattice).
     "q_bfs_multisource" -> ((s, dir) => {
-      Bfs.runMulti(copurchaseEdges(s, dir), Seq(2L, 4L, 6L)).orderBy("id")
+      Bfs.runMulti(copurchaseEdges(s, dir), Seq(2L, 4L, 6L))
     }),
 
     // Pivot-sampled harmonic centrality: one BFS per pivot (2 pivots),
@@ -520,7 +520,7 @@ object SparkEntry {
     // harmonic handles disconnection (unreachable pivot contributes 0).
     "q_closeness_sample" -> ((s, dir) => {
       Centrality.pivotHarmonic(copurchaseEdges(s, dir), Seq(2L, 4L))
-        .orderBy("id")
+        
     }),
 
     // HyperBall neighborhood function: per-vertex deterministic HLL
@@ -531,7 +531,7 @@ object SparkEntry {
     // the oracle replays the sketch bit-exactly.
     "q_neighborhood_fn" -> ((s, dir) => {
       Centrality.neighborhoodFunction(copurchaseEdges(s, dir), iters = 2)
-        .orderBy("id")
+        
     }),
 
     // Effective diameter from the HyperBall neighborhood function:
@@ -571,7 +571,7 @@ object SparkEntry {
         .select(expr(s"stack($iters, " +
           (1 to iters).map(t => s"$t, s_$t, $t = t_eff").mkString(", ") +
           ") as (t, sum_est_milli, eff)"))
-        .orderBy("t")
+        
     }),
 
     // Pivot-sampled betweenness (Brandes): per pivot one BFS + one
@@ -582,7 +582,7 @@ object SparkEntry {
     "q_betweenness_sample" -> ((s, dir) => {
       Centrality.betweennessSample(copurchaseEdges(s, dir), Seq(2L, 4L),
           scale = BetweennessScale)
-        .orderBy("id")
+        
     }),
 
     // Minimum spanning forest (Borůvka) on a weighted co-purchase
@@ -600,7 +600,7 @@ object SparkEntry {
         .select(least(o2, p2).as("src"), greatest(o2, p2).as("dst"))
         .withColumn("weight",
           (col("src") * 7 + col("dst") * 13) % 1000 + 1)
-      SpanningForest.boruvka(e).orderBy("src", "dst")
+      SpanningForest.boruvka(e)
     }),
 
     // Connected components by min-label propagation on the
@@ -625,7 +625,7 @@ object SparkEntry {
       ConnectedComponents.runStarContraction(edges)
         .groupBy("comp")
         .agg(count(lit(1)).as("n_vertices"), sum(col("id")).as("sum_id"))
-        .orderBy("comp")
+        
     }),
 
     "q_connected_components" -> ((s, dir) => {
@@ -633,7 +633,7 @@ object SparkEntry {
       val edges = GraphOps.symmetrize(
         o.select((col("o_custkey") * 2).as("src"),
                  (col("o_orderkey") * 2 + 1).as("dst")))
-      ConnectedComponents.run(edges).orderBy("id")
+      ConnectedComponents.run(edges)
     }),
 
     // DIRECTED-graph layering (r20 — the graph family's directed
@@ -657,7 +657,7 @@ object SparkEntry {
           .select(col("src"),
             ((expr("src div 500") + 1) * 500 + col("q")).as("dst"))
       }
-      Dag.longestPathLayers(arms.reduce(_ unionAll _)).orderBy("id")
+      Dag.longestPathLayers(arms.reduce(_ unionAll _))
     }),
 
     // Strongly connected components of a directed graph (r20 — with
@@ -672,7 +672,7 @@ object SparkEntry {
     // q_cc_star_deep convention for synthetic-graph faces.
     "q_scc" -> ((s, _) => {
       Scc.run(graft.sources.SyntheticGraphs.sccFixture(s))
-        .orderBy("id")
+        
     }),
 
     // O11-O14 as a relational aggregate: min, argmin (deterministic
@@ -694,7 +694,7 @@ object SparkEntry {
              (min(packed) % lit(1000000000000L)).as("argmin_part"),
              char(max(ascii(col("l_returnflag")))).as("darkest_flag"),
              count_distinct(col("l_partkey")).as("n_parts"))
-        .orderBy("okey")
+        
     }),
 
     // Partial-agg showcase (TPC-H Q1 shape); decimal-exact money math
@@ -708,7 +708,7 @@ object SparkEntry {
                .as("sum_qty"),
              sum(price * (lit(1) - disc)).cast("double").as("revenue"),
              count(lit(1)).as("n_rows"))
-        .orderBy("l_returnflag", "l_linestatus")
+        
     }),
 
     // Text analysis: token/char/punct stats, BPE-ish token count,
@@ -723,7 +723,7 @@ object SparkEntry {
                TextAnalysis.distinctTokenCount(txt).as("n_distinct_tokens"),
                TextAnalysis.fingerprintMd5(txt).as("fingerprint"),
                TextAnalysis.rollingHash(txt).as("rhash"))
-        .orderBy("doc_id")
+        
     }),
 
     // Language-ID heuristic + quality scoring.
@@ -733,7 +733,7 @@ object SparkEntry {
       d.select(col("doc_id"), col("lang"),
                TextAnalysis.languageId(txt).as("guessed_lang"),
                TextAnalysis.qualityScore(txt).as("quality"))
-        .orderBy("doc_id")
+        
     }),
 
     // Positive PMI over forward skip-grams (window 2): the
@@ -743,7 +743,7 @@ object SparkEntry {
     "q_ppmi_cooccur" -> ((s, dir) => {
       CorpusOps.ppmiCooccurrence(t(s, dir, "documents"), "doc_id",
           "text")
-        .orderBy("w1", "w2")
+        
     }),
 
     // Temperature-based source mixing (τ=0.5): sampling weights
@@ -755,7 +755,7 @@ object SparkEntry {
     "q_temperature_mix" -> ((s, dir) => {
       CorpusOps.temperatureMixWeights(t(s, dir, "documents"), "source",
           budget = 10000L)
-        .orderBy("source")
+        
     }),
 
     // Per-source quality-percentile calibration: each doc's per-mille
@@ -767,13 +767,13 @@ object SparkEntry {
     "q_quality_calibration" -> ((s, dir) => {
       CorpusOps.qualityCalibration(t(s, dir, "documents"), "doc_id",
           "text", "source")
-        .orderBy("doc_id")
+        
     }),
 
     // Exact dedup: canonical-fingerprint window (one shuffle, no skew).
     "q_exact_dedup" -> ((s, dir) => {
       Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // MinHash signatures (k=8 affine permutations of shingle rolling
@@ -782,7 +782,7 @@ object SparkEntry {
       val sig = Dedup.minhashSignature(col("text"), 3)
       val cols = col("doc_id") +: Dedup.Coeffs.indices.map(i =>
         element_at(sig, i + 1).as(s"m$i"))
-      t(s, dir, "documents").select(cols: _*).orderBy("doc_id")
+      t(s, dir, "documents").select(cols: _*)
     }),
 
     // Incremental dedup: a new batch (odd doc ids) deduped against an
@@ -796,7 +796,7 @@ object SparkEntry {
           d.filter(pmod(col("doc_id"), lit(2)) === 1),
           d.filter(pmod(col("doc_id"), lit(2)) === 0),
           "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // Incremental corpus-prep end-to-end — the daily-ingest composite:
@@ -813,21 +813,21 @@ object SparkEntry {
           d.filter(pmod(col("doc_id"), lit(3)) === 0),
           d.filter(pmod(col("doc_id"), lit(3)) =!= 0),
           "doc_id", "text", "lang")
-        .orderBy("doc_id")
+        
     }),
 
     // Near-dup pairs: LSH banding (never all-pairs) + exact Jaccard
     // verify — the scale path for 100 TB dedup.
     "q_lsh_near_dups" -> ((s, dir) => {
       Dedup.lshNearDups(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_a", "doc_b")
+        
     }),
 
     // Cluster-level dedup: LSH pairs → connected components →
     // canonical min-id doc per transitive near-dup cluster.
     "q_neardup_clusters" -> ((s, dir) => {
       Dedup.nearDupClusters(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // The dedup REPORT: cluster-size histogram + removable-doc count
@@ -843,7 +843,7 @@ object SparkEntry {
         .select(col("cluster_size"), col("n_clusters"),
           expr("cluster_size * n_clusters").as("n_docs"),
           expr("(cluster_size - 1) * n_clusters").as("n_removable"))
-        .orderBy("cluster_size")
+        
     }),
 
     // MinHash estimator quality: signature-match estimate vs exact
@@ -851,7 +851,7 @@ object SparkEntry {
     // face for the dedup family's sketch (recall@k's role for ANN).
     "q_minhash_est_quality" -> ((s, dir) => {
       Dedup.minhashEstQuality(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_a", "doc_b")
+        
     }),
 
     // Exact n-gram Jaccard similarity join (prefix filtering — the
@@ -859,7 +859,7 @@ object SparkEntry {
     // probabilistic LSH pair mining, same never-all-pairs shape.
     "q_jaccard_near_dups" -> ((s, dir) => {
       Dedup.jaccardNearDups(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_a", "doc_b")
+        
     }),
 
     // Edit-distance near-dup pairs: LSH band candidates verified by
@@ -870,7 +870,7 @@ object SparkEntry {
       Dedup.editNearDups(t(s, dir, "documents"), "doc_id", "text",
           maxEdits = EditNearDupMaxEdits)
         .select(col("doc_a"), col("doc_b"), col("edits").cast("long").as("edits"))
-        .orderBy("doc_a", "doc_b")
+        
     }),
 
     // Cross-document exact-substring duplication (Lee et al. 2022):
@@ -881,7 +881,7 @@ object SparkEntry {
     "q_substring_dedup" -> ((s, dir) => {
       Dedup.substringDupSpans(t(s, dir, "documents"), "doc_id", "text",
           k = SubstringDupK)
-        .orderBy("doc_id")
+        
     }),
 
     // The APPLY half of substring dedup: rebuild every document with
@@ -891,14 +891,14 @@ object SparkEntry {
     "q_substring_scrub" -> ((s, dir) => {
       Dedup.scrubDupSpans(t(s, dir, "documents"), "doc_id", "text",
           k = SubstringDupK)
-        .orderBy("doc_id")
+        
     }),
 
     // SimHash fingerprint (native one-pass Catalyst expression).
     "q_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-        .orderBy("doc_id")
+        
     }),
 
     // The SQL SURFACE of the extension functions: the same engine
@@ -921,14 +921,14 @@ object SparkEntry {
     // pigeonhole, never all-pairs).
     "q_simhash_near_dups" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_a", "doc_b")
+        
     }),
 
     // Brute-force cosine top-k (quantized, oracle-exact) — the ANN
     // correctness baseline.
     "q_cosine_topk" -> ((s, dir) => {
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
-        .orderBy("vec_id", "rank")
+        
     }),
 
     // Int8 scalar-quantized (SQ8) cosine top-k — the memory-bandwidth
@@ -938,7 +938,7 @@ object SparkEntry {
     // hash-exact vs an oracle that replays the quantization rule.
     "q_ann_q8" -> ((s, dir) => {
       Similarity.bruteForceTopKQ8(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
-        .orderBy("vec_id", "rank")
+        
     }),
 
     // IVF-partitioned approximate top-k — the similarity scale path
@@ -948,12 +948,12 @@ object SparkEntry {
     // seed ids as q_ann_ivf, so the oracle replays it hash-exactly.
     "q_ann_ivf_q8" -> ((s, dir) => {
       Similarity.ivfTopKQ8(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
-        .orderBy("vec_id", "rank")
+        
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
-        .orderBy("vec_id", "rank")
+        
     }),
 
     // Recall@5 of the IVF index against the brute-force ground truth
@@ -965,7 +965,7 @@ object SparkEntry {
       Similarity.recallAtK(
           Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5),
           Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5))
-        .orderBy("vec_id")
+        
     }),
 
     // The probe-count TRADEOFF, measured: corpus recall@5 of ivfTopK
@@ -981,15 +981,17 @@ object SparkEntry {
       val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           k = 5)
         .localCheckpoint(true)
-      Seq(1, 3, 5).map { p =>
-        Similarity.recallAtK(
-            Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
-              nprobe = p), exact)
-          .agg(sum(col("n_hits")).as("n_hits"),
-            sum(col("n_exact")).as("n_exact"))
-          .select(lit(p).as("nprobe"), col("n_hits"), col("n_exact"),
-            expr("n_hits * 1000 div n_exact").as("recall_permille"))
-      }.reduce(_ unionByName _).orderBy("nprobe")
+      // ONE shared assignment + score pass for all three depths
+      // (r20: Similarity.ivfTopKSweep — was 3 full ivfTopK passes)
+      Similarity.ivfTopKSweep(emb, "vec_id", "embedding", k = 5,
+          probes = Seq(1, 3, 5))
+        .map { case (p, approx) =>
+          Similarity.recallAtK(approx, exact)
+            .agg(sum(col("n_hits")).as("n_hits"),
+              sum(col("n_exact")).as("n_exact"))
+            .select(lit(p).as("nprobe"), col("n_hits"), col("n_exact"),
+              expr("n_hits * 1000 div n_exact").as("recall_permille"))
+        }.reduce(_ unionByName _)
     }),
 
     // One Lloyd (k-means) refinement step over the IVF assignment —
@@ -1005,7 +1007,7 @@ object SparkEntry {
           posexplode(col("centroid")).as(Seq("pos", "m")))
         .select(col("cid"), col("n_members"),
           col("pos").cast("long").as("pos"), col("m"))
-        .orderBy("cid", "pos")
+        
     }),
 
     // IVF search over TRAINED centroids — kmeansStep's reason to
@@ -1017,7 +1019,7 @@ object SparkEntry {
     "q_ann_ivf_trained" -> ((s, dir) => {
       Similarity.ivfTopKTrained(t(s, dir, "embeddings"), "vec_id",
           "embedding", k = 5)
-        .orderBy("vec_id", "rank")
+        
     }),
 
     // Does training MOVE recall? Corpus recall@5 at nprobe=3 for the
@@ -1041,7 +1043,7 @@ object SparkEntry {
             .select(lit(variant).as("variant"), col("n_hits"),
               col("n_exact"),
               expr("n_hits * 1000 div n_exact").as("recall_permille"))
-        }.reduce(_ unionByName _).orderBy("variant")
+        }.reduce(_ unionByName _)
     }),
 
     // The full recall MATRIX: nprobe ∈ {1,3,5} × {seeded, trained}
@@ -1059,20 +1061,22 @@ object SparkEntry {
       val trained = Similarity.trainIvfCentroids(emb, "vec_id",
           "embedding")
         .localCheckpoint(true)
+      // ONE shared assignment + score pass PER SEEDING for all three
+      // depths (r20: Similarity.ivfTopKSweep — was 6 full ivfTopK
+      // passes; the oracle always shared its asg chain this way)
       (for {
         (variant, seeding) <- Seq[(String, Similarity.CentroidSeeding)](
           "seeded" -> Similarity.HashSampledCentroids(),
           "trained" -> Similarity.ProvidedCentroids(trained))
-        p <- Seq(1, 3, 5)
-      } yield Similarity.recallAtK(
-          Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
-            seeding = seeding, nprobe = p), exact)
+        (p, approx) <- Similarity.ivfTopKSweep(emb, "vec_id",
+          "embedding", k = 5, seeding = seeding, probes = Seq(1, 3, 5))
+      } yield Similarity.recallAtK(approx, exact)
         .agg(sum(col("n_hits")).as("n_hits"),
           sum(col("n_exact")).as("n_exact"))
         .select(lit(variant).as("variant"), lit(p).as("nprobe"),
           col("n_hits"), col("n_exact"),
           expr("n_hits * 1000 div n_exact").as("recall_permille")))
-        .reduce(_ unionByName _).orderBy("variant", "nprobe")
+        .reduce(_ unionByName _)
     }),
 
     // PageRank on the co-purchase graph (10 power iterations,
@@ -1081,7 +1085,7 @@ object SparkEntry {
     // rows-only check, spec compares vs in-memory power iteration.
     "q_pagerank" -> ((s, dir) => {
       PageRank.run(copurchaseEdges(s, dir), iterations = PageRankIters)
-        .orderBy("id")
+        
     }),
 
     // Personalized PageRank (random walk with restart): restart mass
@@ -1092,7 +1096,7 @@ object SparkEntry {
     "q_pagerank_personalized" -> ((s, dir) => {
       PageRank.personalized(copurchaseEdges(s, dir), Seq(2L, 4L),
           iterations = PageRankIters)
-        .orderBy("id")
+        
     }),
 
     // Exact phrase search on positional postings: adjacency = integer
@@ -1101,7 +1105,7 @@ object SparkEntry {
     "q_phrase_search" -> ((s, dir) => {
       Indexing.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
           Seq("value", "table", "part"))
-        .orderBy("doc_id")
+        
     }),
 
     // BM25 ranked retrieval: Okapi scoring of a 4-term query against
@@ -1113,7 +1117,7 @@ object SparkEntry {
     "q_bm25_topk" -> ((s, dir) => {
       Ranking.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
           Seq("dup", "hash", "join", "vector"), k = 10)
-        .orderBy("rank")
+        
     }),
 
     // Mixture-drift monitor: Laplace-smoothed token-distribution KL
@@ -1125,7 +1129,7 @@ object SparkEntry {
     "q_kl_drift" -> ((s, dir) => {
       Distributions.klDriftTopK(t(s, dir, "documents"),
           "doc_id", "text", k = 20)
-        .orderBy("rank")
+        
     }),
 
     // Unigram-LM perplexity quality scores: model trained on even-id
@@ -1135,7 +1139,7 @@ object SparkEntry {
     "q_unigram_ppl" -> ((s, dir) => {
       Distributions.unigramPerplexity(t(s, dir, "documents"),
           "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // Corpus token frequencies, top 20 (explode + global sort + limit;
@@ -1157,7 +1161,7 @@ object SparkEntry {
     "q_ann_pq" -> ((s, dir) => {
       Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           dim = 64)
-        .orderBy("vec_id", "rank")
+        
     }),
 
     // PQ + exact re-rank — the production composition: the 32-bit-code
@@ -1168,7 +1172,7 @@ object SparkEntry {
     "q_ann_pq_rerank" -> ((s, dir) => {
       Similarity.pqTopKReranked(t(s, dir, "embeddings"), "vec_id",
           "embedding", dim = 64)
-        .orderBy("vec_id", "rank")
+        
     }),
 
     // IVF-PQ (the FAISS IVFPQ shape, completing the ANN matrix:
@@ -1178,7 +1182,7 @@ object SparkEntry {
     "q_ann_ivf_pq" -> ((s, dir) => {
       Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id",
           "embedding", dim = 64)
-        .orderBy("vec_id", "rank")
+        
     }),
 
     // Count-min heavy hitters: exact top-20 tokens point-queried
@@ -1203,7 +1207,7 @@ object SparkEntry {
         .filter(col("asof_ts").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"),
           col("asof_value"))
-        .orderBy("event_id")
+        
     }),
 
     // Forward as-of: for each view, the NEXT purchase strictly after
@@ -1219,7 +1223,7 @@ object SparkEntry {
           direction = "forward")
         .filter(col("asof_ts").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts"), col("asof_ts"))
-        .orderBy("event_id")
+        
     }),
 
     // Salted skew join under the gate: fact×dim equi-join through the
@@ -1236,7 +1240,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))
-        .orderBy("p_size")
+        
     }),
 
     // AQE runtime skew-join split — the AUTOMATIC counterpart of the
@@ -1257,7 +1261,7 @@ object SparkEntry {
           ntile(4).over(w).as("quartile"),
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"))
-        .orderBy("o_orderkey")
+        
     }),
 
     // Arbitrary GROUPING SETS (the general form cube/rollup
@@ -1279,8 +1283,7 @@ object SparkEntry {
         // nulls-LAST, so relying on defaults leaves the row orders
         // divergent — harmless under today's order-insensitive
         // compare, wrong the day it isn't (r12 advice)
-        .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)
+        
     }),
 
     // Nearest-direction as-of: each view matched to its CLOSEST
@@ -1297,7 +1300,7 @@ object SparkEntry {
         .filter(col("asof_ts").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts"),
           col("asof_ts"), col("asof_dir"))
-        .orderBy("event_id")
+        
     }),
 
     // Tolerance-bounded nearest as-of with a PER-KEY bound (r12
@@ -1323,7 +1326,7 @@ object SparkEntry {
           col("asof_dir"),
           abs(unix_micros(col("asof_ts")) - unix_micros(col("ts")))
             .as("gap_us"))
-        .orderBy("event_id")
+        
     }),
 
     // Rollup (grouping-sets family — subtotals + grand total).
@@ -1333,8 +1336,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)
+        
     }),
 
     // Skew-safe salted two-phase aggregation (holistic exact-distinct
@@ -1342,7 +1344,7 @@ object SparkEntry {
     "q_salted_agg" -> ((s, dir) => {
       SkewOps.saltedDistinctAndSum(t(s, dir, "lineitem"), "l_returnflag",
           "l_extendedprice")
-        .orderBy("key")
+        
     }),
 
     // End-to-end curation pipeline: language-verified, quality-scored,
@@ -1361,7 +1363,7 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-        .orderBy("source")
+        
     }),
 
     // The full corpus-preparation pipeline in ONE query — every stage
@@ -1394,7 +1396,7 @@ object SparkEntry {
             .otherwise("test"))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-        .orderBy("split", "lang")
+        
     }),
 
     // Embedding-cosine near-dup pairs (threshold calibrated to the
@@ -1402,14 +1404,14 @@ object SparkEntry {
     "q_embedding_near_dups" -> ((s, dir) => {
       Similarity.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.45)
-        .orderBy("vec_a", "vec_b")
+        
     }),
 
     // Watermark-ready tumbling-window aggregation over event time
     // (EventStream.windowedCounts runs identically on readStream input).
     "q_events_window" -> ((s, dir) => {
       EventStream.windowedCounts(EventStream.eventsTable(s, dir))
-        .orderBy("window_start", "event_type")
+        
     }),
 
     // ---- Streaming faces under the driver's gate: each runs a REAL
@@ -1420,7 +1422,7 @@ object SparkEntry {
     // result by construction (complete mode emits every window).
     "q_streaming_window" -> ((s, dir) => {
       StreamHarness.boundedWindowedCounts(s, dir)
-        .orderBy("window_start", "event_type")
+        
     }),
 
     // SLIDING windows (1h window / 15min slide): each event explodes
@@ -1429,7 +1431,7 @@ object SparkEntry {
     // stream equals the batch replay bit-for-bit.
     "q_streaming_sliding" -> ((s, dir) => {
       StreamHarness.boundedSlidingCounts(s, dir)
-        .orderBy("window_start", "event_type")
+        
     }),
 
     // The same windowed aggregation under the RocksDB state store —
@@ -1439,7 +1441,7 @@ object SparkEntry {
     // the result must be state-backend-invisible (same oracle).
     "q_streaming_rocksdb" -> ((s, dir) => {
       StreamHarness.rocksdbWindowFace(s, dir)
-        .orderBy("window_start", "event_type")
+        
     }),
 
     // Watermark late-data DROP, proven from the engine's own metric:
@@ -1450,7 +1452,7 @@ object SparkEntry {
     // contract, hash-gated.
     "q_streaming_late_drop" -> ((s, dir) => {
       StreamHarness.lateDropFace(s, dir)
-        .orderBy("window_start", "event_type")
+        
     }),
 
     // Checkpoint stop→resume: the SAME windowed aggregation as two
@@ -1460,14 +1462,14 @@ object SparkEntry {
     // state must reproduce the full aggregation bit-for-bit.
     "q_streaming_resume" -> ((s, dir) => {
       StreamHarness.resumedWindowedCounts(s, dir)
-        .orderBy("window_start", "event_type")
+        
     }),
 
     // dropDuplicatesWithinWatermark over the (user_id, event_type)
     // key; deterministic surviving-key-set contract.
     "q_streaming_dedup" -> ((s, dir) => {
       StreamHarness.boundedDedupKeys(s, dir)
-        .orderBy("user_id", "event_type")
+        
     }),
 
     // Optimizer-rule face: the NAIVE interval-join SQL (bare range
@@ -1502,7 +1504,7 @@ object SparkEntry {
     // Stream-stream interval join (purchase ⋈ preceding views ≤1h).
     "q_streaming_attribution" -> ((s, dir) => {
       StreamHarness.boundedAttribution(s, dir)
-        .orderBy("event_id", "v_ts")
+        
     }),
 
     // Stream-stream LEFT OUTER interval join: unmatched purchases
@@ -1520,7 +1522,7 @@ object SparkEntry {
           coalesce(col("v_ts"), timestamp_micros(lit(0L))).as("v_ts"),
           col("v_ts").isNotNull.cast("long").as("matched"),
           col("value"))
-        .orderBy("event_id", "v_ts")
+        
     }),
 
     // Stream-stream FULL OUTER interval join — the join matrix
@@ -1539,7 +1541,7 @@ object SparkEntry {
           col("p_ts").isNotNull.cast("long").as("has_p"),
           col("v_ts").isNotNull.cast("long").as("has_v"),
           col("value"))
-        .orderBy("user_id", "event_id", "p_ts", "v_ts")
+        
     }),
 
     // TWO stateful operators chained in ONE streaming query:
@@ -1550,13 +1552,13 @@ object SparkEntry {
     // boundedChainedAgg).
     "q_streaming_chained_agg" -> ((s, dir) => {
       StreamHarness.boundedChainedAgg(s, dir)
-        .orderBy("w_start")
+        
     }),
 
     // Stream-static enrichment: streaming views pick up a static
     // per-user purchase-LTV dimension (broadcast per micro-batch).
     "q_streaming_enrich" -> ((s, dir) => {
-      StreamHarness.boundedEnrichment(s, dir).orderBy("event_id")
+      StreamHarness.boundedEnrichment(s, dir)
     }),
 
     // flatMapGroupsWithState sessionization with event-time timeout,
@@ -1564,7 +1566,7 @@ object SparkEntry {
     "q_streaming_sessionize" -> ((s, dir) => {
       StreamHarness.boundedSessions(s, dir,
           gapMs = 6L * 3600000, delaySec = 600)
-        .orderBy("user_id", "session_start")
+        
     }),
 
     // The BUILT-IN session_window aggregation — the state-store-native
@@ -1573,7 +1575,7 @@ object SparkEntry {
     // makes the value total order-free, so it IS hash-gated here.
     "q_streaming_session_window" -> ((s, dir) => {
       StreamHarness.boundedNativeSessions(s, dir)
-        .orderBy("user_id", "session_start")
+        
     }),
 
     // Checkpoint stop→resume of CUSTOM flatMapGroupsWithState state —
@@ -1585,7 +1587,7 @@ object SparkEntry {
     "q_streaming_resume_sessions" -> ((s, dir) => {
       StreamHarness.resumedSessions(s, dir,
           gapMs = 6L * 3600000, delaySec = 600)
-        .orderBy("user_id", "session_start")
+        
     }),
 
     // foreachBatch CDC-apply: a versioned update stream merged
@@ -1623,7 +1625,7 @@ object SparkEntry {
     "q_markov_transitions" -> ((s, dir) => {
       Funnel.transitionMatrix(EventStream.eventsTable(s, dir),
           "user_id", "ts", "event_type", "event_id")
-        .orderBy("from_type", "to_type")
+        
     }),
 
     // 2-D skyline (Pareto frontier): cheapest-per-size parts —
@@ -1636,7 +1638,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_parts"),
           min(col("p_partkey")).as("min_partkey"))
       graft.operators.Skyline.skyline2d(pts, "cost", "benefit")
-        .orderBy("cost", "benefit")
+        
     }),
 
     // Cohort retention triangle: users cohorted by week of first
@@ -1645,7 +1647,7 @@ object SparkEntry {
     // activity distinct; final rollup is tiny.
     "q_retention" -> ((s, dir) => {
       Retention.cohortRetention(EventStream.eventsTable(s, dir))
-        .orderBy("cohort_week", "week_offset")
+        
     }),
 
     // Sessionization (gap-based) — batch face of the streaming
@@ -1653,7 +1655,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => {
       EventStream.sessionizeBatch(EventStream.eventsTable(s, dir),
           gapMs = 6L * 3600000)
-        .orderBy("user_id", "session_no")
+        
     }),
 
     // Sliding window frame: per-user 4-row moving sum over event time
@@ -1666,7 +1668,7 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
             .as("moving_value"),
           count(lit(1)).over(w).as("n_window"))
-        .orderBy("user_id", "ts", "event_id")
+        
     }),
 
     // Time-series regularization: each user's events resampled onto
@@ -1677,7 +1679,7 @@ object SparkEntry {
       TimeSeries.resampleLocf(EventStream.eventsTable(s, dir),
           "user_id", "ts", "event_id", "value", stepUs = 3600L * 1000000)
         .withColumnRenamed("k", "user_id")
-        .orderBy("user_id", "bucket_ts")
+        
     }),
 
     // Grouped OLS: per-user linear spend trend over hourly buckets,
@@ -1688,7 +1690,7 @@ object SparkEntry {
       TimeSeries.groupedTrend(EventStream.eventsTable(s, dir),
           "user_id", "ts", "value", stepUs = 3600L * 1000000)
         .withColumnRenamed("k", "user_id")
-        .orderBy("user_id")
+        
     }),
 
     // Binned range join (equi-join on (key, time-bucket), never a
@@ -1703,7 +1705,7 @@ object SparkEntry {
           "ts", "ts", windowUs = 3600L * 1000000, valueCol = "value")
         .select(col("event_id"), col("user_id"), col("n_matched"),
           col("matched_value"))
-        .orderBy("event_id")
+        
     }),
 
     // Multi-table relational join (TPC-H Q3 shape): broadcast the
@@ -1719,7 +1721,7 @@ object SparkEntry {
         .agg(sum(price * (lit(1) - disc)).cast("double").as("revenue"),
           count(lit(1)).as("n_items"),
           count_distinct(col("o_orderkey")).as("n_orders"))
-        .orderBy("c_mktsegment", "o_orderpriority")
+        
     }),
 
     // Ranking: top-3 quality documents per language (deterministic
@@ -1738,7 +1740,7 @@ object SparkEntry {
         .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "top")))
         .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
           col("top.neighbor_id").as("doc_id"), col("top.sim").as("quality"))
-        .orderBy("lang", "rank")
+        
     }),
 
     // Semi-structured extraction: JSON property column → typed field
@@ -1752,7 +1754,7 @@ object SparkEntry {
           sum(col("k")).as("sum_k"),
           count_distinct(col("k")).as("distinct_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-        .orderBy("event_type")
+        
     }),
 
     // Calendar-dimension aggregation (date_trunc on the orders fact).
@@ -1763,7 +1765,7 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("total"),
           count_distinct(col("o_custkey")).as("n_customers"))
-        .orderBy("month")
+        
     }),
 
     // Relational set ops (INTERSECT/EXCEPT — absent from the reference,
@@ -1786,7 +1788,7 @@ object SparkEntry {
     "q_table_profile" -> ((s, dir) => {
       Profile.profile(t(s, dir, "lineitem"), ProfileNumericCols,
           ProfileOtherCols)
-        .orderBy("column")
+        
     }),
 
     // Pivot (values-to-columns reshaping over the line-status domain).
@@ -1795,7 +1797,7 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
-        .orderBy("l_returnflag")
+        
     }),
 
     // Unpivot/melt (columns-to-values — the inverse reshaping of
@@ -1813,7 +1815,7 @@ object SparkEntry {
       wide.unpivot(Array(col("l_returnflag")),
           Array(col("sum_qty"), col("sum_price"), col("n_rows")),
           "metric", "value")
-        .orderBy("l_returnflag", "metric")
+        
     }),
 
     // Exact interpolated percentiles (holistic aggregate — the sketch
@@ -1825,7 +1827,7 @@ object SparkEntry {
         .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
           expr("percentile(l_quantity, 0.9)").as("p90_qty"),
           expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
-        .orderBy("l_returnflag")
+        
     }),
 
     // Semi/anti join: per market segment, customers with vs without
@@ -1841,7 +1843,7 @@ object SparkEntry {
         .select(col("c_mktsegment"),
           coalesce(col("n_active"), lit(0L)).as("n_active"),
           coalesce(col("n_inactive"), lit(0L)).as("n_inactive"))
-        .orderBy("c_mktsegment")
+        
     }),
 
     // Cube (full grouping-sets lattice — all 4 grouping combinations).
@@ -1851,8 +1853,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)
+        
     }),
 
     // Deterministic hash-based train/val/test split (80/10/10) — the
@@ -1869,7 +1870,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
           sum(col("n_chars")).as("sum_chars"))
-        .orderBy("split")
+        
     }),
 
     // Sequence packing (training-batch construction): docs packed into
@@ -1884,7 +1885,7 @@ object SparkEntry {
         .groupBy(col("lang"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy("lang", "pack_id")
+        
     }),
 
     // Sketch-path aggregates (HLL distinct, GK-quantile): the 100 TB
@@ -1924,7 +1925,7 @@ object SparkEntry {
             col("n_lt").cast("double") / col("n_rows") <= 0.502)
             .as("p50_within"),
           (col("n_eq") > 0).as("p50_is_member"))
-        .orderBy("l_returnflag")
+        
     }),
 
     // Sketch QUALITY under the hash gate: the HLL++ estimate itself is
@@ -1945,7 +1946,7 @@ object SparkEntry {
           (abs(col("approx_prices") - col("exact_prices"))
             .cast("double") / col("exact_prices").cast("double") <= 0.15)
             .as("within_rsd"))
-        .orderBy("l_returnflag")
+        
     }),
 
     // Multimodal plumbing: binary payload -> mapPartitions decode ->
@@ -1976,7 +1977,7 @@ object SparkEntry {
           col("sample_rate"), col("n_samples"),
           col("amp_min"), col("amp_max"), col("amp_mean"),
           col("n_frames"), col("fps"))
-        .orderBy("media_id")
+        
     }),
 
     // Real thumbnail pipeline: PNG decode → box-filter average-pool to
@@ -1991,7 +1992,7 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("width"), col("height"),
           col("px_min"), col("px_max"), col("px_mean"))
-        .orderBy("media_id")
+        
     }),
 
     // Real audio decimation: WAV decode → 2:1 window-average →
@@ -2004,7 +2005,7 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("amp_min"), col("amp_max"), col("amp_mean"))
-        .orderBy("media_id")
+        
     }),
 
     // Real video frame demux: AVI payload -> per-codec-frame rows with
@@ -2016,7 +2017,7 @@ object SparkEntry {
     "q_video_frames" -> ((s, dir) => {
       Multimodal.videoFrameStats(Multimodal.fromDocuments(t(s, dir, "documents")))
         .toDF()
-        .orderBy("media_id", "frame_no")
+        
     }),
 
     // IVF-bucketed embedding near-dups — the scale path of
@@ -2026,7 +2027,7 @@ object SparkEntry {
     "q_embedding_near_dups_ivf" -> ((s, dir) => {
       Similarity.cosineNearDupsIvf(t(s, dir, "embeddings"), "vec_id",
           "embedding", threshold = 0.45)
-        .orderBy("vec_a", "vec_b")
+        
     }),
 
     // Golden path-carrying BFS on the reference's committed tinyG
@@ -2043,7 +2044,7 @@ object SparkEntry {
       Bfs.run(GraphOps.symmetrize(edges), source = 0L,
           Bfs.Config(withPaths = true))
         .select(col("id"), col("dist"), array_join(col("path"), "->").as("path"))
-        .orderBy("id")
+        
     }),
 
     // BFS distances on the reference's committed 250-vertex dataset
@@ -2057,7 +2058,7 @@ object SparkEntry {
     "q_bfs_smallg_golden" -> ((s, _) => {
       val edges = graft.sources.EdgeListSource.load(
         s, "/root/reference/datasets/smallG.txt")
-      Bfs.run(GraphOps.symmetrize(edges), source = 0L).orderBy("id")
+      Bfs.run(GraphOps.symmetrize(edges), source = 0L)
     }),
 
     // BFS at the reference's two PUBLISHED scale points whose blobs
@@ -2078,7 +2079,7 @@ object SparkEntry {
       Bfs.run(GraphOps.symmetrize(edges), source = 0L)
         .groupBy("dist")
         .agg(count(lit(1)).as("n_vertices"), sum(col("id")).as("sum_id"))
-        .orderBy("dist")
+        
     }),
     "q_bfs_largeg_scale" -> ((s, _) => {
       val (n, e) = graft.sources.SyntheticGraphs.LargeG
@@ -2086,7 +2087,7 @@ object SparkEntry {
       Bfs.run(GraphOps.symmetrize(edges), source = 0L)
         .groupBy("dist")
         .agg(count(lit(1)).as("n_vertices"), sum(col("id")).as("sum_id"))
-        .orderBy("dist")
+        
     }),
 
     // Path-carrying BFS at REAL scale: the copurchase graph (16,743
@@ -2103,7 +2104,7 @@ object SparkEntry {
             withPaths = true))
         .select(col("id"), col("dist"),
           array_join(col("path"), "->").as("path"))
-        .orderBy("id")
+        
     }),
 
     // Path-carrying BFS at the reference's PUBLISHED mediumG scale
@@ -2124,7 +2125,7 @@ object SparkEntry {
           Bfs.Config(maxIterations = MediumGPathLayers, withPaths = true))
         .select(col("id"), col("dist"),
           array_join(col("path"), "->").as("path"))
-        .orderBy("id")
+        
     }),
 
     // Weighted SSSP (Bellman-Ford BSP — min-plus on the BFS core) on
@@ -2139,7 +2140,7 @@ object SparkEntry {
         .withColumn("w", lit(1L) + pmod(TextAnalysis.rollingHash(
           concat_ws("_", least(col("src"), col("dst")).cast("string"),
             greatest(col("src"), col("dst")).cast("string"))), lit(9L)))
-      Sssp.run(edges, source = 0L).orderBy("id")
+      Sssp.run(edges, source = 0L)
     }),
 
     // Weighted SSSP at REAL scale: the co-purchase graph (the same
@@ -2154,7 +2155,7 @@ object SparkEntry {
           concat_ws("_", least(col("src"), col("dst")).cast("string"),
             greatest(col("src"), col("dst")).cast("string"))), lit(9L)))
       Sssp.runBounded(edges, source = 2L, hops = SsspCopurchaseHops)
-        .orderBy("id")
+        
     }),
 
     // Deterministic random walks on the copurchase graph — the
@@ -2163,7 +2164,7 @@ object SparkEntry {
     "q_random_walks" -> ((s, dir) => {
       RandomWalk.walks(copurchaseEdges(s, dir),
           walksPerVertex = RandomWalksPerVertex, steps = RandomWalkSteps)
-        .orderBy("walk_id")
+        
     }),
 
     // Skip-gram (center, context) pair counts from the same walk
@@ -2174,7 +2175,7 @@ object SparkEntry {
           RandomWalk.walks(copurchaseEdges(s, dir),
             walksPerVertex = RandomWalksPerVertex, steps = RandomWalkSteps),
           window = 2)
-        .orderBy("center", "context")
+        
     }),
 
     // Deterministic negative sampling on the same graph — the
@@ -2183,7 +2184,7 @@ object SparkEntry {
     "q_negative_samples" -> ((s, dir) => {
       RandomWalk.negativeSamples(copurchaseEdges(s, dir), k = 5,
           candidatePool = 32)
-        .orderBy("id", "rank")
+        
     }),
 
     // Community detection: synchronous label propagation, 2 fixed
@@ -2193,7 +2194,7 @@ object SparkEntry {
     // unrolled oracle.
     "q_label_prop" -> ((s, dir) => {
       LabelPropagation.run(copurchaseEdges(s, dir), rounds = 2)
-        .orderBy("id")
+        
     }),
 
     // Louvain phase-1 move steps: two synchronous modularity-ascent
@@ -2204,7 +2205,7 @@ object SparkEntry {
     // ΔQ) with ties to the smallest community id, so the unrolled
     // oracle sweeps replay the argmax bit-exactly.
     "q_louvain_move" -> ((s, dir) => {
-      Louvain.moveSteps(copurchaseEdges(s, dir), steps = 2).orderBy("id")
+      Louvain.moveSteps(copurchaseEdges(s, dir), steps = 2)
     }),
 
     // Two-level Louvain, FUSED face (r20, VERDICT r19 #3): phase-1
@@ -2222,7 +2223,7 @@ object SparkEntry {
     // UNION ALL.
     "q_louvain_twolevel" -> ((s, dir) => {
       Louvain.twoLevelFull(copurchaseEdges(s, dir), steps1 = 2,
-        steps2 = 2).orderBy("id", "level")
+        steps2 = 2)
     }),
 
     // The WIDE-gain move face (r20, VERDICT r19 #2): the parity-gated
@@ -2239,7 +2240,7 @@ object SparkEntry {
       Louvain.moveStepsWeighted(
         Louvain.simpleWeighted(copurchaseEdges(s, dir))
           .withColumn("w", lit(10000000L)),
-        steps = 2, partialMoves = true).orderBy("id")
+        steps = 2, partialMoves = true)
     }),
 
     // Resolution-parameterized Louvain (r20, VERDICT r19 #7,
@@ -2251,7 +2252,7 @@ object SparkEntry {
     // the same two sweeps.
     "q_louvain_move_gamma" -> ((s, dir) => {
       Louvain.moveSteps(copurchaseEdges(s, dir), steps = 2,
-        partialMoves = true, gammaNum = 3L, gammaDen = 2L).orderBy("id")
+        partialMoves = true, gammaNum = 3L, gammaDen = 2L)
     }),
 
     // The RECOMMENDED public move-step face (r19, VERDICT r18 #3):
@@ -2264,7 +2265,7 @@ object SparkEntry {
     // phase-2 chain replays.
     "q_louvain_move_gated" -> ((s, dir) => {
       Louvain.moveSteps(copurchaseEdges(s, dir), steps = 2,
-        partialMoves = true).orderBy("id")
+        partialMoves = true)
     }),
 
     // Convergence-driven multi-level Louvain, FUSED face (r20,
@@ -2285,7 +2286,7 @@ object SparkEntry {
     "q_louvain_multilevel" -> ((s, dir) => {
       Louvain.untilConvergedFull(copurchaseEdges(s, dir),
         stepsPerLevel = 2, maxLevels = 3, minGainMicro = 1000L)
-        .orderBy("id", "level")
+        
     }),
 
     // Modularity of the 2-round LP communities — the community-
@@ -2295,7 +2296,7 @@ object SparkEntry {
     "q_modularity" -> ((s, dir) => {
       val e = copurchaseEdges(s, dir)
       LabelPropagation.modularity(e, LabelPropagation.run(e, rounds = 2))
-        .orderBy("label")
+        
     }),
 
     // k-core by bounded peeling: 4 peel rounds at k=6 on the
@@ -2315,13 +2316,13 @@ object SparkEntry {
     // BFS/CC already are.
     "q_kcore_converged" -> ((s, dir) => {
       KCore.peel(copurchaseEdges(s, dir), k = KCoreK)
-        .orderBy("id")
+        
     }),
 
     "q_kcore" -> ((s, dir) => {
       KCore.peelBounded(copurchaseEdges(s, dir), k = KCoreK,
           rounds = KCoreRounds)
-        .orderBy("id")
+        
     }),
 
     // k-truss to the fixed point (KTruss.truss): the triangle-backed
@@ -2342,7 +2343,7 @@ object SparkEntry {
       val edges = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      KTruss.truss(edges, k = KTrussK).orderBy("src", "dst")
+      KTruss.truss(edges, k = KTrussK)
     }),
 
     // Fixed-2-iteration PageRank twin of q_pagerank: same engine code
@@ -2354,7 +2355,7 @@ object SparkEntry {
     // damping*csum/1e15) is replayed in the same IEEE order by the
     // oracle.
     "q_pagerank_2iter" -> ((s, dir) => {
-      PageRank.run(copurchaseEdges(s, dir), iterations = 2).orderBy("id")
+      PageRank.run(copurchaseEdges(s, dir), iterations = 2)
     }),
 
     // Benchmark decontamination: training docs sharing any token
@@ -2363,7 +2364,7 @@ object SparkEntry {
     // corpus-side gram stream never shuffles before the per-doc count.
     "q_decontaminate" -> ((s, dir) => {
       CorpusOps.decontaminate(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // Gopher-style repetition statistics: bigram multiplicities and
@@ -2371,7 +2372,7 @@ object SparkEntry {
     // (docs with <2 tokens have no bigrams and are omitted).
     "q_repetition_stats" -> ((s, dir) => {
       CorpusOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // C4-style domain filtering: per-source quality aggregation and a
@@ -2381,7 +2382,7 @@ object SparkEntry {
     // exactness.
     "q_source_curation" -> ((s, dir) => {
       CorpusOps.sourceCuration(t(s, dir, "documents"), "text")
-        .orderBy("source")
+        
     }),
 
     // Deterministic hash-stratified sampling: per-language keep rates
@@ -2391,7 +2392,7 @@ object SparkEntry {
       CorpusOps.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
           SampleRates.toMap, SampleDefaultPct)
         .select(col("doc_id"), col("lang"), col("sampled"))
-        .orderBy("doc_id")
+        
     }),
 
     // Fixed-SIZE deterministic sampling (bottom-k by hash priority):
@@ -2403,7 +2404,7 @@ object SparkEntry {
       CorpusOps.prioritySample(t(s, dir, "documents"), "doc_id", "lang", 5)
         .select(col("stratum").as("lang"), col("rank"),
           col("id").as("doc_id"), col("priority"))
-        .orderBy("lang", "rank")
+        
     }),
 
     // Per-ROW-weight priority sample: 10 docs with odds monotone in
@@ -2416,7 +2417,7 @@ object SparkEntry {
             .withColumn("wlen", length(col("text")).cast("long")),
           "doc_id", "wlen", 10)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("rank")
+        
     }),
 
     // Mergeable histogram-sketch quantiles (the quantile member of
@@ -2450,7 +2451,7 @@ object SparkEntry {
           col("width"), col("q50"), col("q95"), col("d50"), col("d95"),
           (abs(col("q50") - col("d50")) < col("width")).as("ok50"),
           (abs(col("q95") - col("d95")) < col("width")).as("ok95"))
-        .orderBy("l_returnflag")
+        
     }),
 
     // Market-basket association rules over order baskets:
@@ -2461,7 +2462,7 @@ object SparkEntry {
     "q_assoc_rules" -> ((s, dir) => {
       MarketBasket.assocRules(t(s, dir, "lineitem"),
           "l_orderkey", "l_partkey")
-        .orderBy("item_a", "item_b")
+        
     }),
 
     // Robust per-group anomaly detection: lower-median + MAD over
@@ -2480,14 +2481,14 @@ object SparkEntry {
         .select(col("g").as("event_type"), col("id").as("event_id"),
           col("v").as("cents"), col("med"), col("mad"), col("dev"),
           col("rz_milli"))
-        .orderBy("event_type", "event_id")
+        
     }),
 
     // Corpus document frequency (the IDF input): per-token doc counts
     // and exact corpus fraction, one distinct-token explode + hash agg.
     "q_doc_frequency" -> ((s, dir) => {
       CorpusOps.docFrequency(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("token")
+        
     }),
 
     // Top-3 TF-IDF terms per document (keyword extraction): one
@@ -2496,7 +2497,7 @@ object SparkEntry {
     // monotone, so the ranking is the classical one).
     "q_tfidf_top_terms" -> ((s, dir) => {
       CorpusOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id", "rank")
+        
     }),
 
     // Inverted index with bounded posting lists: one exchange on term,
@@ -2505,7 +2506,7 @@ object SparkEntry {
     "q_inverted_index" -> ((s, dir) => {
       Indexing.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
           dfCap = 40)
-        .orderBy("term")
+        
     }),
 
     // Deterministic training shuffle: salted-hash sharding + stable
@@ -2513,14 +2514,14 @@ object SparkEntry {
     // the window partitions on batch_id so no single-task global sort.
     "q_corpus_shuffle" -> ((s, dir) => {
       Indexing.corpusShuffle(t(s, dir, "documents"), "doc_id", nBatches = 8)
-        .orderBy("batch_id", "seq")
+        
     }),
 
     // N-gram familiarity: mean corpus df of each doc's distinct
     // bigrams — the LM-free fluency/typicality quality signal.
     "q_ngram_familiarity" -> ((s, dir) => {
       Indexing.ngramFamiliarity(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // BPE merge-candidate counts: adjacent char pairs weighted by
@@ -2542,7 +2543,7 @@ object SparkEntry {
     // classic recurrence contract.
     "q_bpe_learn_batched" -> ((s, dir) => {
       Indexing.bpeLearnBatched(t(s, dir, "documents"), "text",
-        passes = 4, batchK = 8, window = 64).orderBy("rank")
+        passes = 4, batchK = 8, window = 64)
     }),
 
     // DEEP batched BPE (r20, VERDICT r19 #4): 256 merges in 4 driver
@@ -2558,7 +2559,7 @@ object SparkEntry {
     // non-interacting.
     "q_bpe_learn_deep" -> ((s, dir) => {
       Indexing.bpeLearnPhrases(t(s, dir, "documents"), "text",
-        passes = 4, batchK = 64, window = 1024).orderBy("rank")
+        passes = 4, batchK = 64, window = 1024)
     }),
 
     // The INCREMENTAL-maintenance twin of q_bpe_learn_deep (r20 —
@@ -2572,7 +2573,7 @@ object SparkEntry {
     // recursive oracle gates both paths independently.
     "q_bpe_learn_incr" -> ((s, dir) => {
       Indexing.bpeLearnPhrasesIncremental(t(s, dir, "documents"),
-        "text", passes = 4, batchK = 64, window = 1024).orderBy("rank")
+        "text", passes = 4, batchK = 64, window = 1024)
     }),
 
     // The batched table SERVING (its q_bpe_encode): encode the corpus
@@ -2595,7 +2596,7 @@ object SparkEntry {
 
     "q_bpe_learn" -> ((s, dir) => {
       Indexing.bpeLearn(t(s, dir, "documents"), "text", numMerges = 8)
-        .orderBy("rank")
+        
     }),
 
     // Serving-time BPE: learn 8 merges, then encode the corpus with
@@ -2623,7 +2624,7 @@ object SparkEntry {
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .toSeq
       Indexing.bpeFertility(docs, "doc_id", "text", merges)
-        .orderBy("lang")
+        
     }),
 
     // CDC-style snapshot upsert: current corpus (v1) merged with a
@@ -2650,7 +2651,7 @@ object SparkEntry {
       Snapshot.upsert(current,
           reproc.unionByName(takedown).unionByName(fresh),
           "doc_id", "version", deletedCol = "deleted")
-        .orderBy("doc_id")
+        
     }),
 
     // Byte-rate-limited backlog drain (backpressure): the CDC merge
@@ -2688,7 +2689,7 @@ object SparkEntry {
           .withColumn("version", lit(3L))
           .withColumn("deleted", lit(true)))
       Snapshot.scd2History(log, "doc_id", "version")
-        .orderBy(col("doc_id"), col("valid_from"))
+        
     }),
 
     // Point-in-time lookup against the SAME SCD2 history (r12 verdict
@@ -2715,7 +2716,7 @@ object SparkEntry {
       Snapshot.asOf(hist, probes, "doc_id", "t")
         .select(col("doc_id"), col("t"), col("lang"), col("source"),
           col("version"), col("deleted"))
-        .orderBy("doc_id", "t")
+        
     }),
 
     // Change-data feed between the v1 snapshot and the upserted
@@ -2746,7 +2747,7 @@ object SparkEntry {
           col("before.lang").as("lang_before"),
           col("after.lang").as("lang_after"),
           col("after.version").as("version_after"))
-        .orderBy("doc_id")
+        
     }),
 
     // Per-vertex triangle counts + local clustering coefficient over
@@ -2759,7 +2760,7 @@ object SparkEntry {
       val edges = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      GraphOps.clusteringCoefficients(edges).orderBy("id")
+      GraphOps.clusteringCoefficients(edges)
     }),
 
     // Sparse lexical retrieval: top-5 cosine-similar documents per
@@ -2768,7 +2769,7 @@ object SparkEntry {
     "q_sparse_cosine_topk" -> ((s, dir) => {
       Indexing.sparseCosineTopK(t(s, dir, "documents"), "doc_id", "text",
           dfMax = 50, k = 5)
-        .orderBy("doc_id", "rank")
+        
     }),
 
     // corpus_prep extended with the CorpusOps stages — the full
@@ -2788,7 +2789,7 @@ object SparkEntry {
             .otherwise("test"))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-        .orderBy("split", "lang")
+        
     }),
 
     // v2's funnel extended with the post-curation operators — the
@@ -2825,7 +2826,7 @@ object SparkEntry {
             .as("sum_tokens_kept"),
           count(lit(1)).as("n_chunks"),
           count_distinct(col("chunk_hash")).as("n_distinct_chunks"))
-        .orderBy("split", "lang")
+        
     }),
 
     // C4/RefinedWeb-style boilerplate-span removal: spans repeating
@@ -2834,7 +2835,7 @@ object SparkEntry {
     // exchange; the frequent tail broadcasts back.
     "q_boilerplate_spans" -> ((s, dir) => {
       CorpusOps.boilerplateSpans(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
+        
     }),
 
     // Domain-mixture resampling (DoReMi/Pile-style): derive per-lang
@@ -2850,7 +2851,7 @@ object SparkEntry {
           max(col("target_docs")).as("target_docs"),
           max(col("keep_bp")).as("keep_bp"),
           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
-        .orderBy("lang")
+        
     }),
 
     // Context-window chunking (the dual of q_pack_stats): docs longer
@@ -2858,7 +2859,7 @@ object SparkEntry {
     // posexplode, zero exchanges at any scale.
     "q_chunk_docs" -> ((s, dir) => {
       CorpusOps.chunkDocs(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id", "chunk_id")
+        
     }),
 
     // PII redaction: the synthetic corpus has no PII, so a
@@ -2875,7 +2876,7 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails"), col("n_phones"),
           length(col("redacted")).cast("long").as("red_len"),
           md5(col("redacted")).as("red_md5"))
-        .orderBy("doc_id")
+        
     }),
 
     // Right-to-be-forgotten cascade: a deletion-request set (docs with
@@ -2908,7 +2909,7 @@ object SparkEntry {
             .select(col("c_nationkey").cast("string").as("qi_nation"),
               col("c_mktsegment").as("qi_segment")),
           Seq("qi_nation", "qi_segment"), k = KAnonymityK)
-        .orderBy("qi_nation", "qi_segment")
+        
     }),
 
     // ---- Physical-layout faces (TableLayout): the storage-side

@@ -76,14 +76,44 @@ private[graft] trait CachePinning {
     (p, n)
   }
 
+  /** [[pin]] as an eager LOCAL CHECKPOINT instead of a columnar
+    * persist (r20): same eager-materialization race fix, same release
+    * tracking, but the blocks are raw InternalRows — no columnar
+    * encode on build and no decode on any of the multiple consumer
+    * reads (the r17 loop-residency doctrine applied to the pinned
+    * text projections, whose build stage showed 52 task-seconds of
+    * run time against 8 CPU-seconds: most of it block-write overhead
+    * under the columnar codec). Lineage truncation is the accepted
+    * trade everywhere else checkpoints are used. */
+  protected def pinCkpt(df: DataFrame): DataFrame = {
+    val p = df.localCheckpoint(true)
+    pins.add(p)
+    p
+  }
+
+  /** [[pinCkpt]] + the row count (a cheap job over the materialized
+    * blocks) — the checkpoint analog of [[pinWithCount]]. */
+  protected def pinCkptWithCount(df: DataFrame): (DataFrame, Long) = {
+    val p = pinCkpt(df)
+    (p, p.count())
+  }
+
   /** Unpersist every DataFrame this operator family persisted since
     * the last release. Call after materializing the query result —
     * results already collected/written are unaffected. `blocking`
-    * forces synchronous block removal (useful before timing runs). */
+    * forces synchronous block removal (useful before timing runs).
+    * Checkpoint pins ([[pinCkpt]]) need their backing RDD released
+    * too — Dataset.unpersist alone never touches RDD-layer blocks
+    * (the KCore r16 lesson, routed here by plan shape). */
   def releaseCaches(blocking: Boolean = false): Unit = {
     var d = pins.poll()
     while (d != null) {
-      d.unpersist(blocking)
+      d.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          d.unpersist(blocking)
+          lr.rdd.unpersist(blocking)
+        case _ => d.unpersist(blocking)
+      }
       d = pins.poll()
     }
   }

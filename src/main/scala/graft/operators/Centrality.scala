@@ -67,6 +67,14 @@ object Centrality {
       .repartition($"src")
       .localCheckpoint(false)
     val bcGate = 4000000L
+    // NOTE (r20, measured negative result — don't retry): replacing
+    // this union-merge with an all-pairs (pivot, vertex) state and a
+    // partition-aligned left join (the shape that removes the state
+    // from the per-round exchange) read 4.49 → 5.69s / CPU 57 → 98 on
+    // the closeness face at sf0.1 — the k·|V| join probe per round
+    // costs more than the state's share of the union exchange saves
+    // at bench scale. Same verdict on Bfs/Sssp/CC (see
+    // OPTIMIZATION_r20.md).
     var state = pivots.zipWithIndex
       .map { case (p, i) => (i.toLong, p) }.toDF("pv", "id")
       .select($"pv", $"id", lit(0L).as("dist"))
@@ -172,15 +180,24 @@ object Centrality {
       .foldRight(lit(cap): Column) { case ((c, v), els) =>
         when(c, v).otherwise(els)
       }
+    // LAZY round chain (r20; the q_msf/q_effective_diameter job-count
+    // lesson applied to the sketch loop): rounds persist() lazily and
+    // the ONE result checkpoint at the tail materializes the whole
+    // chain in a single job — the eager per-round localCheckpoint paid
+    // one driver job per round for a fixed-depth loop with no
+    // convergence probe to serve. Plan depth is bounded by `iters`
+    // (≤ 8), so there is no lineage blow-up to truncate; each round's
+    // blocks still cache (both its consumers — the next round and the
+    // output fold — read the cached frame).
     val state0 = verts.select(col("id") +:
       (0 until m).map(k =>
         when(j === k, rho).otherwise(lit(0)).cast("int").as(s"r$k")): _*)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // union-with-self rides the join input as explicit self-loops —
     // one join + one grouped max per round, the Bfs exchange shape
     val withSelf = edges.select(col("src"), col("dst"))
       .unionByName(verts.select(col("id").as("src"), col("id").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var states = Vector(state0)
     for (_ <- 1 to iters) {
       val prev = states.last.withColumnRenamed("id", "src")
@@ -188,7 +205,7 @@ object Centrality {
         .groupBy(col("dst").as("id"))
         .agg(max(col("r0")).as("r0"),
           (1 until m).map(k => max(col(s"r$k")).as(s"r$k")): _*)
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       states :+= next
     }
     def packed(t: Int): Column = (0 until m).map(k =>
@@ -202,8 +219,10 @@ object Centrality {
     }.join(states(iters).withColumn("z", zT)
         .withColumn("est_milli", expr(s"$numer div z"))
         .select(col("id"), col("est_milli")), "id")
+    // the ONE materialization job of the whole loop — every lazily
+    // persisted round (and the staged withSelf) computes inside it
     val result = out.localCheckpoint(true)
-    states.foreach(GraphOps.releaseCheckpointedFrame(_))
+    states.foreach(_.unpersist(false))
     GraphOps.releaseCheckpointedFrame(withSelf)
     result
   }

@@ -180,7 +180,7 @@ object CorpusOps extends CachePinning {
   def corpusPrepKept(df: DataFrame, idCol: String, textCol: String,
                      langCol: String, minQuality: Double = 0.5,
                      evalMod: Int = EvalMod): DataFrame = {
-    val shared = pin(prepShared(df, idCol, langCol, col(textCol),
+    val shared = pinCkpt(prepShared(df, idCol, langCol, col(textCol),
       withToks = false))
     corpusPrepKeptFromShared(shared, idCol, langCol, minQuality, evalMod)
   }
@@ -345,7 +345,7 @@ object CorpusOps extends CachePinning {
     // greatest(..., 1): an empty token array still yields one (empty)
     // span, keeping the arithmetic total-token invariant definitional
     val nSpans = greatest(ceil(size(toks).cast("double") / k).cast("int"), lit(1))
-    val base = pin(tokBase
+    val base = pinCkpt(tokBase
       .select(col(idCol),
         transform(sequence(lit(0), nSpans - 1), i => struct(
           least(size(toks) - i * k, lit(k)).as("span_len"),
@@ -471,7 +471,7 @@ object CorpusOps extends CachePinning {
                    minDocs: Int = BoilerplateMinDocs,
                    maxTokens: Int = ChunkMaxTokens,
                    overlap: Int = ChunkOverlap): DataFrame = {
-    val shared = pin(prepShared(df, idCol, langCol, col(textCol),
+    val shared = pinCkpt(prepShared(df, idCol, langCol, col(textCol),
       withToks = true))
     // kept is pinned as IDS ONLY; the kept slice of the corpus (lang,
     // n_tokens, toks) re-derives from the CACHED shared projection by
@@ -529,7 +529,7 @@ object CorpusOps extends CachePinning {
                           idCol: String, textCol: String, langCol: String,
                           minQuality: Double = 0.5, evalMod: Int = EvalMod,
                           n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val (shared, batchRows) = pinWithCount(
+    val (shared, batchRows) = pinCkptWithCount(
       prepShared(batch, idCol, langCol, col(textCol), withToks = false)
         .withColumn("sig", Dedup.minhashFromHashes(col("hs3"))))
     // within-batch curation: the funnel body over the shared pin (its

@@ -94,8 +94,15 @@ object Louvain {
                 gammaNum: Long = 1L, gammaDen: Long = 1L): DataFrame = {
     require(steps > 0, s"steps must be positive, got $steps")
     GraphOps.withLoopAqeDisabled(edges.sparkSession, keepAqe) {
-      runStepsCounted(simpleWeighted(edges), steps, partialMoves,
-        gammaNum = gammaNum, gammaDen = gammaDen)._1
+      // stage via stageCanonical (one exchange — r20) instead of
+      // letting runStepsCounted re-partition the distinct's output
+      val staged = stageCanonical(edges)
+      val out = runStepsCounted(staged, steps, partialMoves,
+        preStaged = true, gammaNum = gammaNum, gammaDen = gammaDen)._1
+      // out is an eager flat checkpoint — nothing recomputes through
+      // the staged table, so its blocks release here
+      GraphOps.releaseCheckpointedFrame(staged)
+      out
     }
   }
 
@@ -489,9 +496,22 @@ object Louvain {
   /** Canonical staged edge table: simple-graph rows with unit weight,
     * src-partitioned and lazily flat-checkpointed — the shape every
     * loop, contraction and eval in this object can share without
-    * recomputing the distinct exchange. Caller releases. */
+    * recomputing the distinct exchange. Caller releases.
+    *
+    * ONE exchange, not two (r20, guide §2.4 "two operations keyed the
+    * same way can share one exchange"): repartition(src) FIRST, then
+    * distinct — HashPartitioning(src) satisfies the dedup aggregate's
+    * ClusteredDistribution(src, dst) (equal (src, dst) rows are
+    * co-located), so the distinct rides the loop's staging exchange
+    * instead of adding its own full (src, dst) exchange before it.
+    * Same rows, same partitioning out. */
   private def stageCanonical(edges: DataFrame): DataFrame =
-    simpleWeighted(edges).repartition(col("src")).localCheckpoint(false)
+    edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .repartition(col("src"))
+      .distinct()
+      .withColumn("w", lit(1L))
+      .localCheckpoint(false)
 
   /** Newman Q (micro, integer-exact — the q_modularity formula
     * collapsed to its global row) plus community count of `assign`
@@ -643,10 +663,21 @@ object Louvain {
       else wEdges.select($"src", $"dst", $"w")
         .repartition($"src")
         .localCheckpoint(false)
-    // one materialization supplies 2m AND warms the cache the per-step
-    // joins reuse; 2m = total weight INCLUDING self-loops (a
-    // super-vertex's internal mass is part of its degree)
-    val twoM = e.agg(coalesce(sum($"w"), lit(0L))).head().getLong(0)
+    // Pre-loop fusion (r20, guide §1.2 "remove passes you don't
+    // need"): the init state IS the degree table with comm = id, so
+    // build it directly as the one eager checkpoint (its job also
+    // materializes e), and read |V| AND 2m off the checkpointed |V|
+    // rows in ONE tiny agg job — 2m = Σ_v k_v because every e row
+    // contributes its weight to exactly its src's degree (self-loops
+    // included: a super-vertex's internal mass is part of its
+    // degree). Was: an |E| sum job for 2m + a deg checkpoint job + a
+    // deg count job + a state checkpoint job.
+    var state = e.groupBy($"src".as("id")).agg(sum($"w").as("k"))
+      .select($"id", $"id".as("comm"), $"k")
+      .localCheckpoint(true)
+    val nvRow = state.agg(count(lit(1)), coalesce(sum($"k"), lit(0L))).head()
+    val nV = nvRow.getLong(0)
+    val twoM = nvRow.getLong(1)
     // scoring width (r20): Long while max(γ)·(2m)² fits with headroom,
     // decimal(38,0) past it — every factor is Long-ranged (cast to
     // decimal(19,0)), so each product fits 38 digits exactly and the
@@ -673,13 +704,10 @@ object Louvain {
         lit(gTwoM) * kvc - (lit(gammaNum) * k) * totLessSame
     // self-loops feed degrees, never messages
     val eMsg = e.filter($"src" =!= $"dst")
-    val deg = e.groupBy($"src".as("id")).agg(sum($"w").as("k"))
-      .localCheckpoint(true)
-    // the per-vertex side tables (state, deg, Σtot — all ≤ |V| rows)
-    // join the |E|-sized score stream map-side while |V| is under the
-    // Bfs broadcast ceiling; past it every gated join degrades to
+    // the per-vertex side tables (state, Σtot — all ≤ |V| rows) join
+    // the |E|-sized score stream map-side while |V| is under the Bfs
+    // broadcast ceiling; past it every gated join degrades to
     // shuffle-hash instead of OOMing the driver (the betweenness gate)
-    val nV = deg.count()
     val small = nV <= 4000000L
     def gated(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df.hint("shuffle_hash")
@@ -690,8 +718,6 @@ object Louvain {
     // every step already ends with — 2-3 fewer gated |V| joins (and
     // deg broadcast builds) per step for one extra Long in the
     // checkpoint row
-    var state = deg.select($"id", $"id".as("comm"), $"k")
-      .localCheckpoint(true)
     var step = 0
     while (step < steps) {
       step += 1
@@ -756,9 +782,6 @@ object Louvain {
       state = newState
     }
     if (!preStaged) GraphOps.releaseCheckpointedFrame(e)
-    // deg is loop-resident too — the returned state is a flat
-    // checkpoint, so nothing recomputes through deg (r17 ADVICE leak)
-    GraphOps.releaseCheckpointedFrame(deg)
     (state, nV)
   }
 }

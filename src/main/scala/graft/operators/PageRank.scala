@@ -85,9 +85,8 @@ object PageRank {
     while (iter < iterations) {
       iter += 1
       val tRound = System.nanoTime()
-      // ONE shuffle per round (the BFS/CC union-merge pattern): carry
-      // rows keep each vertex's outdeg, contribution rows add rank
-      // mass; groupBy(id) merges both — no separate state join.
+      // ONE shuffle per round, and it carries ONLY the contribution
+      // stream (r20 — see the merge comment below).
       // shuffle-hash (not sort-merge): SMJ would re-SORT the cached
       // 2.4M-row edge table EVERY round; hashing the (much smaller)
       // state side reuses the edge partitioning sort-free. Unlike the
@@ -95,13 +94,20 @@ object PageRank {
       // scale answer here.
       val contribs = state.as("s").hint("shuffle_hash")
         .join(e.as("e"), col("s.id") === col("e.src"))
-        .select(col("e.dst").as("id"), lit(null).cast("long").as("outdeg"),
+        .select(col("e.dst").as("id"),
           // fixed-point BEFORE the sum: order-free exact aggregation
           ($"s.rank" / $"s.outdeg" * Scale).cast("long").as("c"))
-      val carry = state.select($"id", $"outdeg", lit(null).cast("long").as("c"))
-      val newState = carry.union(contribs)
-        .groupBy($"id")
-        .agg(max($"outdeg").as("outdeg"), sum($"c").as("csum"))
+      // r20 (the Bfs restructure — guide §2.3/§2.4): contributions
+      // partial-aggregate and exchange ALONE; the |V| carry rows merge
+      // by a partition-aligned LEFT join — the state is born
+      // hash(id)-partitioned (stateBase's vertices-distinct), a left
+      // outer join preserves that partitioning and so does each
+      // round's checkpoint, so the carry never crosses an exchange
+      // (the old union shape re-shuffled it every round, plus paid a
+      // max(outdeg) over |V|+|E| rows for the re-attach).
+      val contribAgg = contribs.groupBy($"id").agg(sum($"c").as("csum"))
+      val newState = state.select($"id", $"outdeg")
+        .join(contribAgg, Seq("id"), "left")
         .select($"id", $"outdeg",
           (lit(base) + lit(damping) *
             (coalesce($"csum", lit(0L)).cast("double") / Scale)).as("rank"))
@@ -185,15 +191,14 @@ object PageRank {
       val tRound = System.nanoTime()
       val contribs = state.as("s").hint("shuffle_hash")
         .join(e.as("e"), col("s.id") === col("e.src"))
-        .select(col("e.dst").as("id"), lit(null).cast("long").as("outdeg"),
-          lit(null).cast("long").as("tele"),
+        .select(col("e.dst").as("id"),
           ($"s.rank" / $"s.outdeg" * Scale).cast("long").as("c"))
-      val carry = state.select($"id", $"outdeg", $"tele",
-        lit(null).cast("long").as("c"))
-      val newState = carry.union(contribs)
-        .groupBy($"id")
-        .agg(max($"outdeg").as("outdeg"), max($"tele").as("tele"),
-          sum($"c").as("csum"))
+      // r20: partial-agg'd contributions + partition-aligned left join
+      // instead of the union-merge — see [[runLoop]]'s round comment
+      // (the carry with its outdeg/tele payload never re-shuffles)
+      val contribAgg = contribs.groupBy($"id").agg(sum($"c").as("csum"))
+      val newState = state.select($"id", $"outdeg", $"tele")
+        .join(contribAgg, Seq("id"), "left")
         .select($"id", $"outdeg", $"tele",
           (when($"tele" === 1L, lit(baseMass)).otherwise(lit(0.0)) +
             lit(damping) *

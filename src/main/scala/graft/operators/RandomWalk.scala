@@ -96,14 +96,20 @@ object RandomWalk {
       .select(($"seed" * walksPerVertex + $"w").as("walk_id"), $"seed",
         $"seed".as("cur"), lit(0).as("step"),
         $"seed".cast("string").as("path"))
-      // lazy checkpoint, NOT persist: this frame is released through
-      // releaseCheckpointedFrame after step 1, and that helper (r18
-      // contract) accepts ONLY a flat one-LogicalRDD checkpoint handle
-      // — a persisted (e-derived) init state is a derived frame and
-      // would be REJECTED, not swept. A flat checkpoint contains only
-      // itself, so releasing it can never free e's blocks mid-query.
+      // lazy flat checkpoint: materializes inside the chain's one tail
+      // job; released after the tail checkpoint lands (a flat handle
+      // contains only itself, so releasing it never frees e's blocks)
       .localCheckpoint(false)
+    val state0 = state
 
+    // LAZY round chain (r20; the q_effective_diameter/neighborhood-
+    // function job-count lesson): a FIXED-step loop has no convergence
+    // probe to serve, so the per-step eager checkpoint job was pure
+    // driver latency — steps persist() lazily and ONE tail checkpoint
+    // materializes the whole chain in a single job. Plan depth is
+    // bounded by `steps`; each step's blocks still cache for their two
+    // readers (the next step's candidate join and its state join).
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     GraphOps.withLoopAqeDisabled(spark, keepAqe = false) {
       for (i <- 1 to steps) {
         val tRound = System.nanoTime()
@@ -132,23 +138,24 @@ object RandomWalk {
           .select($"walk_id", $"seed", $"nxt".as("cur"),
             ($"step" + 1).as("step"),
             concat($"path", lit(","), $"nxt".cast("string")).as("path"))
-          .localCheckpoint(true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         System.err.println(
           f"[walk] step $i ${(System.nanoTime() - tRound) / 1e9}%.2fs")
-        // release the superseded frame NOW: `next` is eagerly
-        // checkpointed (lineage truncated), so nothing can recompute
-        // through the old state again. Dataset.unpersist alone is a
-        // no-op for the checkpointed steps (r13 verdict audit) — the
-        // backing RDD is released explicitly, holding peak walk-state
-        // storage at TWO frames regardless of step count (a 40-step
-        // corpus walk would otherwise stack 40 copies until a GC or a
-        // harness sweep).
-        GraphOps.releaseCheckpointedFrame(state)
+        persisted += next
         state = next
       }
     }
+    // ONE materialization job for the whole chain, then the
+    // intermediate step caches (walk-state-sized each, `steps` of
+    // them) release — bounded at steps × |walks| rows, and a flat
+    // handle is what long-walk callers would checkpoint anyway
+    val out = state
+      .select($"walk_id", $"seed", $"cur".as("final_vertex"), $"path")
+      .localCheckpoint(true)
+    persisted.foreach(_.unpersist(false))
+    GraphOps.releaseCheckpointedFrame(state0)
     GraphOps.releaseCheckpointedFrame(e)
-    state.select($"walk_id", $"seed", $"cur".as("final_vertex"), $"path")
+    out
   }
 
   /** Skip-gram pair counts from a walk corpus: every position in

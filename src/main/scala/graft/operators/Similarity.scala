@@ -422,6 +422,53 @@ object Similarity extends CachePinning {
               nprobe: Int = 3): DataFrame =
     ivfTopKOverBase(pin(quantized(df, idCol, embCol)), k, seeding, nprobe)
 
+  /** [[ivfTopK]] at SEVERAL probe depths over ONE shared candidate
+    * pass (r20 optimization round; guide §1.2 "don't compute things
+    * you throw away"): the per-(query, neighbor) similarity stream is
+    * computed ONCE at max(probes) with its probe rank attached; each
+    * requested depth then aggregates the `rank < p` slice. Bit-equal
+    * to running [[ivfTopK]] per depth: [[TopKBySim]]'s (sim desc, id
+    * asc) order is total, so the nprobe = p assignment is the
+    * p-prefix of the max-probe assignment, and every vector lives in
+    * exactly ONE cluster, so the candidate set at depth p is exactly
+    * the rank < p slice of the max-depth pair stream. The recall-sweep
+    * faces paid |probes| full assignment + score-join passes per
+    * seeding; this pays one (the per-depth top-k aggregates over the
+    * pinned pair stream are the only repeated work, and they are the
+    * sweep's inherent output).
+    *
+    * @return (nprobe, top-k frame in [[bruteForceTopK]]'s schema) per
+    *         requested depth, in input order; caller releases pins via
+    *         [[releaseCaches]] after materializing. */
+  def ivfTopKSweep(df: DataFrame, idCol: String, embCol: String,
+                   k: Int = 5,
+                   seeding: CentroidSeeding = HashSampledCentroids(),
+                   probes: Seq[Int] = Seq(1, 3, 5)): Seq[(Int, DataFrame)] = {
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      s"probe depths must be >= 1: $probes")
+    val base = pin(quantized(df, idCol, embCol))
+    val ranked = ivfAssignmentOverBase(base, seeding, probes.max)
+    val index = ranked
+      .select(col("vec_id").as("neighbor_id"),
+        col("tk").getItem(0).getField("neighbor_id").as("cluster"),
+        col("qe").as("qe_b"), col("nn").as("nn_b"))
+    val probed = ranked
+      .select(col("vec_id"), posexplode(col("tk")).as(Seq("pr", "probe")),
+        col("qe"), col("nn"))
+      .select(col("vec_id"), col("probe.neighbor_id").as("cluster"),
+        col("pr"), col("qe").as("qe_a"), col("nn").as("nn_a"))
+    val pairs = pin(probed.join(index, Seq("cluster"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("pr"),
+        cosineQ(dotLong(col("qe_a"), col("qe_b")),
+          col("nn_a"), col("nn_b")).as("sim")))
+    probes.map { p =>
+      p -> explodeRanked(pairs.filter(col("pr") < p).groupBy(col("vec_id"))
+        .agg(TopKBySim.top_k_by_sim(col("sim"), col("neighbor_id"), k)
+          .as("tk")))
+    }
+  }
+
   /** IVF approximate top-k over SQ8 codes — [[ivfTopK]]'s search
     * structure on [[int8Codes]]'s base: the 100 TB configuration of
     * the similarity family, composing the two scale levers (IVF

@@ -84,12 +84,16 @@ object SpanningForest {
     // before the firewall).
     def fresh(ckpt: DataFrame): DataFrame = GraphOps.freshStats(ckpt)
 
-    // canonical undirected edge set: src < dst, lightest parallel edge
+    // canonical undirected edge set: src < dst, lightest parallel edge.
+    // ONE exchange (r20, guide §2.4): repartition(src) FIRST — the
+    // canonicalizing groupBy(src, dst) then rides HashPartitioning(src)
+    // (equal (src, dst) pairs are co-located), instead of paying its
+    // own (src, dst) exchange and re-shuffling the result back to src.
     val e0 = edges.filter($"src" =!= $"dst")
       .select(least($"src", $"dst").as("src"),
         greatest($"src", $"dst").as("dst"), $"weight")
-      .groupBy($"src", $"dst").agg(min($"weight").as("weight"))
       .repartition($"src")
+      .groupBy($"src", $"dst").agg(min($"weight").as("weight"))
       // local checkpoint, not persist: no columnar decode on the
       // per-round reads (r17 loop-residency doctrine; see PageRank)
       .localCheckpoint(false)
