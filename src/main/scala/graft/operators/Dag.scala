@@ -38,7 +38,7 @@ object Dag {
     * @return DataFrame(id LONG, layer LONG) over src ∪ dst, layer =
     *         longest directed path length ending at id */
   def longestPathLayers(edges: DataFrame, maxRounds: Int = 64,
-                        keepAqe: Boolean = false): DataFrame = {
+                        keepAqe: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     GraphOps.withLoopAqeDisabled(spark, keepAqe) {
       runLayers(edges, maxRounds)

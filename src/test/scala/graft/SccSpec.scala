@@ -104,6 +104,21 @@ class SccSpec extends AnyFunSuite with SparkTestBase {
     assert(merged.values.toSet == Set(11L), s"merged: $merged")
   }
 
+  test("the r20 reverse-reach reformulation (f(v) = max id forward-" +
+       "reachable within the color class; reached ⟺ f = color) " +
+       "matches Tarjan on a graph whose classes mix cyclic cores " +
+       "with dangling forward tails") {
+    // per class: a cycle (the SCC) plus a tail the pivot reaches but
+    // which cannot reach back — the tail must NOT be extracted with
+    // the cycle even though it shares the color class
+    val edges = Seq[(Long, Long)](
+      (20L, 10L), (10L, 12L), (12L, 20L), // cycle, pivot 20
+      (20L, 1L), (1L, 2L), (2L, 3L),      // tail inside class 20
+      (30L, 31L), (31L, 30L),             // second cycle, pivot 31
+      (31L, 4L), (4L, 5L))                // its tail
+    assert(engine(edges) == tarjan(edges))
+  }
+
   test("a pure DAG decomposes into all-trivial SCCs") {
     val dag = Seq[(Long, Long)]((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
     val out = engine(dag)
