@@ -961,11 +961,15 @@ object SparkEntry {
     // Set-membership only (integer counts + one truncating div), so
     // the evaluation of an approximate path is itself hash-exact.
     "q_ann_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      // ONE checkpoint-pinned quantized base feeds both the searcher
+      // and the ground truth (r20: Similarity.quantizedBase — was two
+      // persist pins shared via CacheManager plan-equality)
+      val base = Similarity.quantizedBase(t(s, dir, "embeddings"),
+        "vec_id", "embedding")
       Similarity.recallAtK(
-          Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5),
-          Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5))
-        
+          Similarity.ivfTopKOnBase(base, k = 5),
+          Similarity.bruteForceTopKOnBase(base, k = 5))
+
     }),
 
     // The probe-count TRADEOFF, measured: corpus recall@5 of ivfTopK
@@ -977,14 +981,15 @@ object SparkEntry {
     // independent, so the oracle shares one cents/assignment chain
     // across all three probe depths.
     "q_ann_recall_sweep" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          k = 5)
+      // ONE checkpoint-pinned quantized base for ground truth + sweep
+      // (r20 session 2 — was per-operator persist pins)
+      val base = Similarity.quantizedBase(t(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      val exact = Similarity.bruteForceTopKOnBase(base, k = 5)
         .localCheckpoint(true)
       // ONE shared assignment + score pass for all three depths
       // (r20: Similarity.ivfTopKSweep — was 3 full ivfTopK passes)
-      Similarity.ivfTopKSweep(emb, "vec_id", "embedding", k = 5,
-          probes = Seq(1, 3, 5))
+      Similarity.ivfTopKSweepOnBase(base, k = 5, probes = Seq(1, 3, 5))
         .map { case (p, approx) =>
           Similarity.recallAtK(approx, exact)
             .agg(sum(col("n_hits")).as("n_hits"),
@@ -1027,15 +1032,19 @@ object SparkEntry {
     // ground truth — the eval row that justifies (or refutes) paying
     // for centroid training before indexing. Two rows, integer-exact.
     "q_ann_trained_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          k = 5)
+      // ONE checkpoint-pinned quantized base for ground truth, the
+      // seeded searcher, AND the Lloyd training + trained searcher
+      // (r20 session 2 — was three persist pins of the same plan)
+      val base = Similarity.quantizedBase(t(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      val exact = Similarity.bruteForceTopKOnBase(base, k = 5)
+        .localCheckpoint(true)
+      val trained = Similarity.trainIvfCentroidsOnBase(base)
         .localCheckpoint(true)
       Seq(
-        "seeded" -> Similarity.ivfTopK(emb, "vec_id", "embedding",
-          k = 5, nprobe = 3),
-        "trained" -> Similarity.ivfTopKTrained(emb, "vec_id",
-          "embedding", k = 5, nprobe = 3))
+        "seeded" -> Similarity.ivfTopKOnBase(base, k = 5, nprobe = 3),
+        "trained" -> Similarity.ivfTopKOnBase(base, k = 5,
+          seeding = Similarity.ProvidedCentroids(trained), nprobe = 3))
         .map { case (variant, approx) =>
           Similarity.recallAtK(approx, exact)
             .agg(sum(col("n_hits")).as("n_hits"),
@@ -1054,12 +1063,14 @@ object SparkEntry {
     // branch re-ranks the same hash-order seeds. Six rows,
     // integer-exact.
     "q_ann_trained_recall_sweep" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          k = 5)
+      // ONE checkpoint-pinned quantized base across ground truth,
+      // training and both sweeps (r20 session 2 — was four persist
+      // pins of the same plan)
+      val base = Similarity.quantizedBase(t(s, dir, "embeddings"),
+        "vec_id", "embedding")
+      val exact = Similarity.bruteForceTopKOnBase(base, k = 5)
         .localCheckpoint(true)
-      val trained = Similarity.trainIvfCentroids(emb, "vec_id",
-          "embedding")
+      val trained = Similarity.trainIvfCentroidsOnBase(base)
         .localCheckpoint(true)
       // ONE shared assignment + score pass PER SEEDING for all three
       // depths (r20: Similarity.ivfTopKSweep — was 6 full ivfTopK
@@ -1068,8 +1079,8 @@ object SparkEntry {
         (variant, seeding) <- Seq[(String, Similarity.CentroidSeeding)](
           "seeded" -> Similarity.HashSampledCentroids(),
           "trained" -> Similarity.ProvidedCentroids(trained))
-        (p, approx) <- Similarity.ivfTopKSweep(emb, "vec_id",
-          "embedding", k = 5, seeding = seeding, probes = Seq(1, 3, 5))
+        (p, approx) <- Similarity.ivfTopKSweepOnBase(base, k = 5,
+          seeding = seeding, probes = Seq(1, 3, 5))
       } yield Similarity.recallAtK(approx, exact)
         .agg(sum(col("n_hits")).as("n_hits"),
           sum(col("n_exact")).as("n_exact"))

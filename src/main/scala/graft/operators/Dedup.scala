@@ -154,7 +154,7 @@ object Dedup extends CachePinning {
   def jaccardNearDups(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    val base = pin(df.select(col(idCol).as("doc_id"),
+    val base = pinCkpt(df.select(col(idCol).as("doc_id"),
         sort_array(shingleHashes(col(textCol), n)).as("hs"))
       .withColumn("sz", size(col("hs"))))
     // prefix length |S| - ceil(t*|S|) + 1; the 1e-9 guards float error
@@ -213,7 +213,7 @@ object Dedup extends CachePinning {
     * k integer equality checks per pair. */
   def minhashEstQuality(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3): DataFrame = {
-    val base = pin(df.select(col(idCol).as("doc_id"),
+    val base = pinCkpt(df.select(col(idCol).as("doc_id"),
         shingleHashes(col(textCol), n).as("hs"))
       .withColumn("sig", minhashFromHashes(col("hs"))))
     val bands = bandsOf(base)
@@ -300,6 +300,13 @@ object Dedup extends CachePinning {
     // feeds three consumers (band explode, both sides of the verify
     // join) and is by far the dominant per-row cost. Without the
     // persist each consumer re-hashes every document from the source.
+    // COLUMNAR persist, deliberately NOT a checkpoint pin (r20
+    // session 2): the one same-window A/B that isolates this site
+    // read pinCkpt slightly WORSE (q_neardup_clusters 2.35 -> 2.57 s,
+    // CPU 19.8 -> 21.2) — the (hs, sig) arrays are large per row and
+    // the three consumers' reads are cheaper off the columnar cache
+    // than the row-block copy is to build here, unlike the narrow
+    // bases the rest of the family checkpoint-pins.
     val base = pin(hsBase.select(col("doc_id"), col("hs"))
       .withColumn("sig", minhashFromHashes(col("hs"))))
 
@@ -514,8 +521,8 @@ object Dedup extends CachePinning {
     require(maxHamming >= 0 && maxHamming < nBits)
     val nb = maxHamming + 1
     val bounds = (0 to nb).map(i => i * nBits / nb)
-    val base = pin(df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh")))
-    val sigs = pin(base.select(col("sh")).distinct())
+    val base = pinCkpt(df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh")))
+    val sigs = pinCkpt(base.select(col("sh")).distinct())
     val bandCols = (0 until nb).map { j =>
       val off = bounds(j)
       val width = bounds(j + 1) - bounds(j)
@@ -650,7 +657,7 @@ object Dedup extends CachePinning {
   private def dupSpanFrames(df: DataFrame, idCol: String, textCol: String,
                             k: Int): (DataFrame, DataFrame) = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val w = pin(df
+    val w = pinCkpt(df
       .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(transform(

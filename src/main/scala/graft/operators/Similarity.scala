@@ -32,12 +32,19 @@ import graft.operators.TextAnalysis.rollingHash
   * IEEE sqrt, deterministic in both engines. [[cosineSim]] offers the
   * raw double variant for library use (spec checks quantized ≈ raw).
   *
-  * Caching note: each operator persists its quantized projection for
-  * the duration of the returned query (it feeds multiple join sides).
-  * Long-lived applications issuing many calls should release those
-  * pins per query via [[CachePinning.releaseCaches]] after
-  * materializing the result (the Bench/Verify harnesses sweep the
-  * whole session cache instead).
+  * Caching note: each operator pins its quantized projection for the
+  * duration of the returned query (it feeds multiple join sides) — as
+  * an eager LOCAL CHECKPOINT since r20 (raw row blocks skip the
+  * columnar encode/decode the old persist paid per consumer read;
+  * measured across the ANN family, e.g. q_ann_trained_recall process
+  * CPU 45 → 10 s). Faces composing SEVERAL operators over one
+  * embedding table share a single [[quantizedBase]] handle through
+  * the `*OnBase` entry points (checkpoints materialize per handle —
+  * unlike persist they are NOT deduplicated by plan equality).
+  * Long-lived applications issuing many calls should release pins per
+  * query via [[CachePinning.releaseCaches]] after materializing the
+  * result (the Bench/Verify harnesses sweep the whole session cache
+  * instead).
   */
 object Similarity extends CachePinning {
 
@@ -135,7 +142,36 @@ object Similarity extends CachePinning {
     * map-side instead of shuffling + sorting every candidate pair. */
   def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
                      k: Int = 5): DataFrame =
-    topKOverBase(pin(quantized(df, idCol, embCol)), k)
+    topKOverBase(pinCkpt(quantized(df, idCol, embCol)), k)
+
+  /** The quantized (vec_id, qe, nn) base pinned as an eager LOCAL
+    * CHECKPOINT — for faces that compose several searchers/evals over
+    * the SAME embeddings (r20). Passing this one handle to the
+    * `*OnBase` entry points replaces the per-operator persist pins
+    * those compositions relied on CacheManager plan-equality dedup to
+    * share, and the checkpoint's raw row blocks skip the columnar
+    * encode + per-consumer-read decode the persist paid (the corpus
+    * checkpoint-pin rationale — array columns are the expensive
+    * columnar case). Same release contract as every pin: the caller
+    * materializes the composed query, then [[releaseCaches]]. */
+  def quantizedBase(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    pinCkpt(quantized(df, idCol, embCol))
+
+  /** [[bruteForceTopK]] over a shared [[quantizedBase]]. */
+  def bruteForceTopKOnBase(base: DataFrame, k: Int = 5): DataFrame =
+    topKOverBase(base, k)
+
+  /** [[ivfTopK]] over a shared [[quantizedBase]]. */
+  def ivfTopKOnBase(base: DataFrame, k: Int = 5,
+                    seeding: CentroidSeeding = HashSampledCentroids(),
+                    nprobe: Int = 3): DataFrame =
+    ivfTopKOverBase(base, k, seeding, nprobe)
+
+  /** [[trainIvfCentroids]] over a shared [[quantizedBase]]. */
+  def trainIvfCentroidsOnBase(base: DataFrame, steps: Int = IvfTrainSteps,
+                              seeding: CentroidSeeding =
+                                HashSampledCentroids()): DataFrame =
+    trainOverBase(base, steps, seeding)
 
   /** All-pairs cosine + bounded top-k over a prepared (vec_id, qe, nn)
     * base — shared by the exact and int8-quantized searchers. */
@@ -304,7 +340,7 @@ object Similarity extends CachePinning {
                              ksub: Int): (DataFrame, DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim not divisible by $m subvectors")
     val sub = dim / m
-    val base = pin(quantized(df, idCol, embCol))
+    val base = pinCkpt(quantized(df, idCol, embCol))
     // declared-dim guard rides the main job (the centroid-guard
     // pattern): a vector of any OTHER length would slice garbage
     // silently
@@ -333,7 +369,7 @@ object Similarity extends CachePinning {
     val subVecs = checked.select(col("vec_id"),
       posexplode(array((0 until m).map(s =>
         slice(col("qe"), s * sub + 1, sub)): _*)).as(Seq("s", "vsub")))
-    val d2 = pin(subVecs.join(broadcast(subCents), "s")
+    val d2 = pinCkpt(subVecs.join(broadcast(subCents), "s")
       .withColumn("d2", dotLong(col("vsub"), col("vsub")) +
         dotLong(col("csub"), col("csub")) -
         lit(2L) * dotLong(col("vsub"), col("csub")))
@@ -388,7 +424,7 @@ object Similarity extends CachePinning {
     * index unchanged (both paths consume a (vec_id, qe, nn) base). */
   def bruteForceTopKQ8(df: DataFrame, idCol: String, embCol: String,
                        k: Int = 5): DataFrame =
-    topKOverBase(pin(int8Codes(df, idCol, embCol)), k)
+    topKOverBase(pinCkpt(int8Codes(df, idCol, embCol)), k)
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * quantized cosine ≥ threshold — the embedding-space face of the
@@ -397,7 +433,7 @@ object Similarity extends CachePinning {
     * scale path that never goes all-pairs. */
   def cosineNearDups(df: DataFrame, idCol: String, embCol: String,
                      threshold: Double): DataFrame = {
-    val base = pin(quantized(df, idCol, embCol))
+    val base = pinCkpt(quantized(df, idCol, embCol))
     val a = base.select(col("vec_id").as("vec_a"), col("qe").as("qe_a"),
       col("nn").as("nn_a"))
     val b = base.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"),
@@ -420,7 +456,7 @@ object Similarity extends CachePinning {
   def ivfTopK(df: DataFrame, idCol: String, embCol: String,
               k: Int = 5, seeding: CentroidSeeding = HashSampledCentroids(),
               nprobe: Int = 3): DataFrame =
-    ivfTopKOverBase(pin(quantized(df, idCol, embCol)), k, seeding, nprobe)
+    ivfTopKOverBase(pinCkpt(quantized(df, idCol, embCol)), k, seeding, nprobe)
 
   /** [[ivfTopK]] at SEVERAL probe depths over ONE shared candidate
     * pass (r20 optimization round; guide §1.2 "don't compute things
@@ -443,10 +479,16 @@ object Similarity extends CachePinning {
   def ivfTopKSweep(df: DataFrame, idCol: String, embCol: String,
                    k: Int = 5,
                    seeding: CentroidSeeding = HashSampledCentroids(),
-                   probes: Seq[Int] = Seq(1, 3, 5)): Seq[(Int, DataFrame)] = {
+                   probes: Seq[Int] = Seq(1, 3, 5)): Seq[(Int, DataFrame)] =
+    ivfTopKSweepOnBase(pinCkpt(quantized(df, idCol, embCol)), k, seeding, probes)
+
+  /** [[ivfTopKSweep]] over a shared [[quantizedBase]]. */
+  def ivfTopKSweepOnBase(base: DataFrame, k: Int = 5,
+                         seeding: CentroidSeeding = HashSampledCentroids(),
+                         probes: Seq[Int] = Seq(1, 3, 5))
+      : Seq[(Int, DataFrame)] = {
     require(probes.nonEmpty && probes.forall(_ >= 1),
       s"probe depths must be >= 1: $probes")
-    val base = pin(quantized(df, idCol, embCol))
     val ranked = ivfAssignmentOverBase(base, seeding, probes.max)
     val index = ranked
       .select(col("vec_id").as("neighbor_id"),
@@ -457,7 +499,7 @@ object Similarity extends CachePinning {
         col("qe"), col("nn"))
       .select(col("vec_id"), col("probe.neighbor_id").as("cluster"),
         col("pr"), col("qe").as("qe_a"), col("nn").as("nn_a"))
-    val pairs = pin(probed.join(index, Seq("cluster"))
+    val pairs = pinCkpt(probed.join(index, Seq("cluster"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"), col("pr"),
         cosineQ(dotLong(col("qe_a"), col("qe_b")),
@@ -480,7 +522,7 @@ object Similarity extends CachePinning {
   def ivfTopKQ8(df: DataFrame, idCol: String, embCol: String,
                 k: Int = 5, seeding: CentroidSeeding = HashSampledCentroids(),
                 nprobe: Int = 3): DataFrame =
-    ivfTopKOverBase(pin(int8Codes(df, idCol, embCol)), k, seeding, nprobe)
+    ivfTopKOverBase(pinCkpt(int8Codes(df, idCol, embCol)), k, seeding, nprobe)
 
   /** Recall of an approximate neighbor list against the exact one —
     * the eval harness every ANN deployment runs before trusting an
@@ -534,7 +576,7 @@ object Similarity extends CachePinning {
     * [[kmeansStep]] and [[cosineNearDupsIvf]]. */
   private def ivfAssignment(df: DataFrame, idCol: String, embCol: String,
                             seeding: CentroidSeeding, nprobe: Int): DataFrame =
-    ivfAssignmentOverBase(pin(quantized(df, idCol, embCol)), seeding, nprobe)
+    ivfAssignmentOverBase(pinCkpt(quantized(df, idCol, embCol)), seeding, nprobe)
 
   private def ivfAssignmentOverBase(base: DataFrame,
                                     seeding: CentroidSeeding,
@@ -575,7 +617,7 @@ object Similarity extends CachePinning {
     // null-extending projection — the guard rows survive optimization
     // by construction. An empty INPUT yields an empty result
     // (nothing to search) instead of an error.
-    pin(base.join(broadcast(cents), lit(true), "left")
+    pinCkpt(base.join(broadcast(cents), lit(true), "left")
       .withColumn("csim",
         when(col("cid").isNull, raise_error(lit(
           "no centroid candidates: no seed id carries a nonzero " +
@@ -654,7 +696,7 @@ object Similarity extends CachePinning {
                         steps: Int = IvfTrainSteps,
                         seeding: CentroidSeeding = HashSampledCentroids()): DataFrame = {
     require(steps >= 1 && steps <= 8, s"steps 1..8: $steps")
-    trainOverBase(pin(quantized(df, idCol, embCol)), steps, seeding)
+    trainOverBase(pinCkpt(quantized(df, idCol, embCol)), steps, seeding)
   }
 
   private def trainOverBase(base: DataFrame, steps: Int,
@@ -686,8 +728,8 @@ object Similarity extends CachePinning {
                      k: Int = 5, steps: Int = IvfTrainSteps,
                      seeding: CentroidSeeding = HashSampledCentroids(),
                      nprobe: Int = 3): DataFrame = {
-    val base = pin(quantized(df, idCol, embCol))
-    val trained = pin(trainOverBase(base, steps, seeding))
+    val base = pinCkpt(quantized(df, idCol, embCol))
+    val trained = pinCkpt(trainOverBase(base, steps, seeding))
     ivfTopKOverBase(base, k, ProvidedCentroids(trained), nprobe)
   }
 

@@ -45,6 +45,38 @@ class IvfSweepSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("the shared checkpoint base (r20 session 2): every OnBase entry " +
+       "point over one quantizedBase equals its df-entry twin") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = Similarity.quantizedBase(emb, "vec_id", "embedding")
+    val bruteB = canon(Similarity.bruteForceTopKOnBase(base, k = 5))
+    val ivfB = canon(Similarity.ivfTopKOnBase(base, k = 5, nprobe = 3))
+    val trainedB = Similarity.trainIvfCentroidsOnBase(base)
+      .localCheckpoint(true)
+    val trainedIvfB = canon(Similarity.ivfTopKOnBase(base, k = 5,
+      seeding = Similarity.ProvidedCentroids(trainedB), nprobe = 3))
+    val sweepB = Similarity.ivfTopKSweepOnBase(base, k = 5,
+      probes = Seq(1, 5)).map { case (p, df) => (p, canon(df)) }.toMap
+    Similarity.releaseCaches(blocking = true)
+    assert(bruteB ==
+      canon(Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)))
+    Similarity.releaseCaches(blocking = true)
+    assert(ivfB ==
+      canon(Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5, nprobe = 3)))
+    Similarity.releaseCaches(blocking = true)
+    assert(trainedIvfB ==
+      canon(Similarity.ivfTopKTrained(emb, "vec_id", "embedding", k = 5,
+        nprobe = 3)))
+    Similarity.releaseCaches(blocking = true)
+    Seq(1, 5).foreach { p =>
+      assert(sweepB(p) ==
+        canon(Similarity.ivfTopK(emb, "vec_id", "embedding", k = 5,
+          nprobe = p)), s"OnBase sweep(nprobe=$p) diverged")
+      Similarity.releaseCaches(blocking = true)
+    }
+  }
+
   test("a single-depth sweep at the default probe count is ivfTopK") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

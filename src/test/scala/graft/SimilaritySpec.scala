@@ -47,15 +47,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       (3L, 1L, 1L, 1000L)))
   }
 
-  test("releaseCaches unpersists exactly the operator's pinned frames") {
+  test("releaseCaches releases exactly the operator's pinned frames " +
+       "(checkpoint pins live at the RDD layer since r20)") {
     spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val out = Similarity.cosineNearDups(vecs, "vec_id", "embedding", 0.9)
-    out.count() // materialize — the pinned quantized projection is now cached
-    assert(!spark.sharedState.cacheManager.isEmpty,
-      "expected the quantized projection to be cached after materializing")
+    out.count()
+    assert(Similarity.pinnedCount > 0, "expected a registered pin")
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected the quantized projection's checkpoint blocks to be " +
+        "pinned after materializing")
     Similarity.releaseCaches(blocking = true)
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "releaseCaches left cached entries behind")
+    assert(Similarity.pinnedCount == 0, "pin queue not drained")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releaseCaches left checkpoint blocks behind")
   }
 
   test("quantized sim tracks raw double cosine within quantization error") {
